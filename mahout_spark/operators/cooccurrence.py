@@ -1,0 +1,138 @@
+"""Item-similarity by LLR cooccurrence — the SimilarityAnalysis pipeline.
+
+Reference flow (math-scala/.../cf/SimilarityAnalysis.scala:61-122):
+downsample+binarize -> A'A -> LLR reweight -> per-item top-K. In long-form
+triple encoding, A'A **is** the natural self-join + groupBy plan — the
+reference's Gramian-detection rewrite (DistributedEngine.scala:160-161) has
+nothing to detect here; Catalyst plans the single shuffle directly.
+
+Scale design (10^12 interactions):
+- binarize + downsample FIRST (cap per row & column, default 500 as the
+  reference, SimilarityAnalysis.scala:64-65) — this bounds the self-join
+  fan-out to maxPrefs^2 per row and is THE throughput lever;
+- deterministic hash coins for sampling (retry-safe, no rand()), mirroring
+  the reference's seeded MurmurHash (SimilarityAnalysis.scala:403-405);
+- the pair self-join shuffles on row_id once; the pair count groupBy
+  shuffles on (item_a, item_b); both get AQE-coalesced;
+- per-item interaction counts are a small aggregate joined broadcast-style.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.functions.hashutil import deterministic_coin
+from mahout_spark.functions.measures import llr_cooc_expr
+from mahout_spark.operators.topk import topk_per_group
+
+
+def sample_down_and_binarize(triples: DataFrame, seed: int = 0xDEADBEEF,
+                             max_per_row: int = 500,
+                             max_per_col: int = 500,
+                             row: str = "row_id", col: str = "col_id") -> DataFrame:
+    """Binarize interactions and cap interactions per row AND per column.
+
+    Acceptance probability = min(row_rate, col_rate) as in the reference
+    (SimilarityAnalysis.scala:389-437), but with a deterministic
+    hash(row, col, seed) coin instead of a seeded per-partition RNG so task
+    retries and both cluster sizes reproduce identical samples.
+    """
+    binarized = triples.select(row, col).distinct()
+    row_counts = binarized.groupBy(row).agg(F.count("*").alias("__rc"))
+    col_counts = binarized.groupBy(col).agg(F.count("*").alias("__cc"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(max_per_row)) / F.col("__rc"),
+        F.lit(float(max_per_col)) / F.col("__cc"),
+    )
+    return (binarized
+            .join(row_counts, row)
+            .join(col_counts, col)
+            .filter(deterministic_coin([F.col(row), F.col(col)], seed, rate))
+            .select(row, col))
+
+
+def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
+                        col: str = "col_id",
+                        include_self: bool = False) -> DataFrame:
+    """A'A in long form: (item_a, item_b, n_ab) for items sharing a row.
+
+    One ordered pair per direction (a != b unless include_self) so per-item
+    top-K sees every neighbor. Input must be binarized/distinct.
+    """
+    a = interactions.select(F.col(row).alias("__r"), F.col(col).alias("item_a"))
+    b = interactions.select(F.col(row).alias("__r"), F.col(col).alias("item_b"))
+    cond = F.col("item_a") != F.col("item_b")
+    pairs = a.join(b, "__r")
+    if not include_self:
+        pairs = pairs.filter(cond)
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count("*").alias("n_ab"))
+
+
+def llr_item_similarity(triples: DataFrame, row: str = "row_id",
+                        col: str = "col_id", k: int = 50,
+                        min_llr: float | None = None,
+                        seed: int = 0xDEADBEEF,
+                        max_interactions: int = 500,
+                        downsample: bool = True) -> DataFrame:
+    """The full cooccurrences() pipeline -> (item_a, item_b, llr) top-K per
+
+    item_a. numUsers = distinct row count; n_x = per-item distinct-row
+    counts; LLR threshold takes precedence over top-K when given
+    (SimilarityAnalysis.scala:312-376).
+    """
+    inter = (sample_down_and_binarize(triples, seed, max_interactions,
+                                      max_interactions, row, col)
+             if downsample else triples.select(row, col).distinct())
+    inter = inter.persist()
+    n_users = inter.select(row).distinct().count()
+    item_counts = inter.groupBy(col).agg(F.count("*").alias("n"))
+    cooc = cooccurrence_counts(inter, row, col)
+    scored = (cooc
+              .join(item_counts.select(F.col(col).alias("item_a"),
+                                       F.col("n").alias("n_a")), "item_a")
+              .join(item_counts.select(F.col(col).alias("item_b"),
+                                       F.col("n").alias("n_b")), "item_b")
+              .withColumn("llr", llr_cooc_expr(
+                  F.col("n_a"), F.col("n_b"), F.col("n_ab"),
+                  F.lit(n_users))))
+    if min_llr is not None:
+        scored = scored.filter(F.col("llr") >= min_llr)
+    out = topk_per_group(scored, ["item_a"], "llr", k,
+                         tiebreak_cols=["item_b"])
+    return out.select("item_a", "item_b", "n_ab", "llr")
+
+
+def llr_cross_similarity(triples_a: DataFrame, triples_b: DataFrame,
+                         row: str = "row_id", col: str = "col_id",
+                         k: int = 50, min_llr: float | None = None,
+                         seed: int = 0xDEADBEEF,
+                         max_interactions: int = 500) -> DataFrame:
+    """A'B cross-cooccurrence (e.g. purchase vs view): for each item_a of A,
+
+    top-K items of B by LLR. numUsers comes from A's rows (the reference
+    uses drmA.nrow for both, SimilarityAnalysis.scala:80-112).
+    """
+    a = sample_down_and_binarize(triples_a, seed, max_interactions,
+                                 max_interactions, row, col).persist()
+    b = sample_down_and_binarize(triples_b, seed, max_interactions,
+                                 max_interactions, row, col).persist()
+    n_users = a.select(row).distinct().count()
+    counts_a = a.groupBy(col).agg(F.count("*").alias("n_a"))
+    counts_b = b.groupBy(col).agg(F.count("*").alias("n_b"))
+    pairs = (a.select(F.col(row).alias("__r"), F.col(col).alias("item_a"))
+             .join(b.select(F.col(row).alias("__r"),
+                            F.col(col).alias("item_b")), "__r")
+             .groupBy("item_a", "item_b").agg(F.count("*").alias("n_ab")))
+    scored = (pairs
+              .join(counts_a.select(F.col(col).alias("item_a"), "n_a"), "item_a")
+              .join(counts_b.select(F.col(col).alias("item_b"), "n_b"), "item_b")
+              .withColumn("llr", llr_cooc_expr(
+                  F.col("n_a"), F.col("n_b"), F.col("n_ab"), F.lit(n_users))))
+    if min_llr is not None:
+        scored = scored.filter(F.col("llr") >= min_llr)
+    return topk_per_group(scored, ["item_a"], "llr", k,
+                          tiebreak_cols=["item_b"]).select(
+        "item_a", "item_b", "n_ab", "llr")

@@ -1,0 +1,89 @@
+"""Row-similarity with pluggable measures — the RowSimilarityJob mirror.
+
+The reference runs 4 MR phases (mr/.../cooccurrence/RowSimilarityJob.java:
+160-217): count observations per column; downsample+normalize+transpose;
+pairwise partial dot products per column; similarity + top-K merge. In
+DataFrame form those collapse to: row-level preprocessing (normalize /
+center / binarize) -> join-on-column pair dots -> measure expression ->
+Window top-K. The per-column pair generation mirrors CooccurrencesMapper
+(RowSimilarityJob.java:430-455); the final expr mirrors SimilarityReducer's
+``similarity(dots, normA, normB, ncols)`` (:458-502).
+
+Scale: the column join fan-out is quadratic in column frequency — cap heavy
+columns first (downsample, as the reference's ObservationsPerColumn phase);
+dots groupBy((row_a,row_b)) is the one big shuffle, AQE-skew-handled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mahout_spark.functions.measures import MEASURES, Measure
+from mahout_spark.operators.topk import topk_per_group
+
+
+def _preprocess(triples: DataFrame, measure: Measure, row: str, col: str,
+                val: str) -> DataFrame:
+    df = triples.select(F.col(row).alias("row_id"), F.col(col).alias("col_id"),
+                        F.col(val).cast("double").alias("value"))
+    if measure.binarize:
+        df = df.withColumn("value", F.when(F.col("value") != 0, 1.0)
+                           .otherwise(0.0)).filter(F.col("value") != 0)
+    if measure.name == "pearson":
+        w = Window.partitionBy("row_id")
+        df = df.withColumn("value", F.col("value") - F.avg("value").over(w))
+        df = df.filter(F.col("value") != 0)
+    if measure.l2_normalize:
+        w = Window.partitionBy("row_id")
+        norm = F.sqrt(F.sum(F.col("value") * F.col("value")).over(w))
+        df = df.withColumn("value", F.col("value") / norm)
+    return df
+
+
+def row_similarity(triples: DataFrame, measure: str = "cosine",
+                   row: str = "row_id", col: str = "col_id",
+                   val: str = "value", k: int = 100,
+                   threshold: float | None = None,
+                   exclude_self: bool = True,
+                   n_cols: int | None = None) -> DataFrame:
+    """(row_a, row_b, sim) — top-K most similar rows per row under the
+
+    chosen measure. Measures: cosine, pearson, euclidean, tanimoto,
+    cityblock, loglikelihood, cooccurrence (reference's 7 plug-ins).
+    """
+    m = MEASURES[measure]
+    df = _preprocess(triples, m, row, col, val)
+    if n_cols is None:
+        n_cols = df.select("col_id").distinct().count()
+    df = df.persist()
+
+    # row norms: L0 (nnz) for count-based measures, sum(v^2) otherwise —
+    # computed on the PREPROCESSED values, as the reference normalizes first
+    norm_col = (F.count("*").cast("double") if m.norm_is_count
+                else F.sum(F.col("value") * F.col("value")))
+    norms = df.groupBy("row_id").agg(norm_col.alias("norm"))
+
+    a = df.select(F.col("col_id").alias("__c"), F.col("row_id").alias("row_a"),
+                  F.col("value").alias("__va"))
+    b = df.select(F.col("col_id").alias("__c"), F.col("row_id").alias("row_b"),
+                  F.col("value").alias("__vb"))
+    pairs = a.join(b, "__c")
+    if exclude_self:
+        pairs = pairs.filter(F.col("row_a") != F.col("row_b"))
+    dots = pairs.groupBy("row_a", "row_b").agg(
+        F.sum(F.col("__va") * F.col("__vb")).alias("dots"))
+
+    scored = (dots
+              .join(norms.select(F.col("row_id").alias("row_a"),
+                                 F.col("norm").alias("norm_a")), "row_a")
+              .join(norms.select(F.col("row_id").alias("row_b"),
+                                 F.col("norm").alias("norm_b")), "row_b")
+              .withColumn("sim", m.similarity_expr(
+                  F.col("dots"), F.col("norm_a"), F.col("norm_b"),
+                  F.lit(float(n_cols)))))
+    if threshold is not None:
+        scored = scored.filter(F.col("sim") >= threshold)
+    return topk_per_group(scored, ["row_a"], "sim", k,
+                          tiebreak_cols=["row_b"]).select(
+        "row_a", "row_b", "sim")

@@ -1,0 +1,64 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The engine targets 1000-executor clusters over ~100 TB; locally we run
+``local[N]``. Every knob here exists for the big-cluster plan:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — replaces the
+  reference's hand-rolled partition-count estimation
+  (spark/.../blas/AtA.scala:134-139);
+- Arrow enabled for all pandas UDF exchange (the engine's executor-side
+  kernels are Arrow-batch NumPy);
+- shuffle partitions default sized for the local core count; on a real
+  cluster set ``spark.sql.shuffle.partitions`` ~ 2-3x total cores or rely
+  on AQE coalescing from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "mahout_spark", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cores = 32
+    if master.startswith("local["):
+        inner = master[6:-1]
+        cores = os.cpu_count() if inner == "*" else int(inner)
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict:
+    """Register the driver's parquet tables as temp views; returns dict of DFs."""
+    names = names or ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out

@@ -1,0 +1,198 @@
+"""Generic mergeable-sketch aggregation over DataFrames.
+
+The distributed pattern (north rule: "built per partition ... merged
+associatively through treeAggregate-style combine steps"):
+
+  phase 1 (map-side combine): ``mapInPandas`` walks Arrow batches; for each
+      batch it groups locally by the group key and updates one partial
+      sketch per (group) — the shuffle then carries only
+      #batches x #groups binary blobs, never raw rows. This is the direct
+      analog of the reference's per-partition dense-accumulator pattern
+      (SparkEngine.scala:44-82 colSums/nnz) and of AtA's map-side combine
+      (blas/AtA.scala:203-220).
+
+  phase 2 (reduce): ``applyInPandas`` per group key merges blobs
+      associatively. With ``n_salt > 1`` a salted intermediate level is
+      inserted (groupBy(key, salt) merge -> groupBy(key) merge) — the
+      treeAggregate depth-2 shape, for head-key skew (north rule requires
+      explicit salting; the reference only downsamples).
+
+Determinism: partial emission order never affects the result for CMS/HLL/
+Bloom (bit-exact merges); t-digest/KLL are order-insensitive up to their
+published error bounds. No rand() anywhere — salts are hashes of row
+content.
+
+Sizing note for 100 TB: one CMS blob at (eps=1e-3, delta=1e-2) is
+d=5 x w=2719 x 8B ≈ 109 KB; per-batch-per-group emission keeps executor
+memory at O(groups-per-batch x blob), independent of input rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, StructField, StructType)
+
+from mahout_spark.core.bloom import BloomFilter
+from mahout_spark.core.cms import CountMinSketch
+from mahout_spark.core.hll import HyperLogLog
+from mahout_spark.core.kll import KLLSketch
+from mahout_spark.core.tdigest import TDigest
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """How to build / update / merge one sketch kind."""
+
+    kind: str
+    make: Callable[[], object]
+    # update(sketch, keys: np.ndarray|None, values: np.ndarray|None)
+    update: Callable[[object, np.ndarray, np.ndarray], None]
+    needs_key: bool
+    needs_value: bool
+
+    def deserialize(self, blob: bytes):
+        return {
+            "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
+            "tdigest": TDigest, "kll": KLLSketch,
+        }[self.kind].deserialize(bytes(blob))
+
+
+def cms_spec(eps: float = 0.001, delta: float = 0.01, seed: int = 1) -> SketchSpec:
+    return SketchSpec(
+        "cms",
+        make=lambda: CountMinSketch.from_error_bound(eps, delta, seed),
+        update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
+        needs_key=True, needs_value=False)
+
+
+def hll_spec(p: int = 14, seed: int = 1, sparse_limit: int = 4096) -> SketchSpec:
+    return SketchSpec(
+        "hll", make=lambda: HyperLogLog(p=p, seed=seed, sparse_limit=sparse_limit),
+        update=lambda s, k, v: s.update_batch(k),
+        needs_key=True, needs_value=False)
+
+
+def bloom_spec(capacity: int = 100_000, fp_rate: float = 0.01,
+               seed: int = 1) -> SketchSpec:
+    return SketchSpec(
+        "bloom", make=lambda: BloomFilter.from_capacity(capacity, fp_rate, seed),
+        update=lambda s, k, v: s.add_batch(k),
+        needs_key=True, needs_value=False)
+
+
+def tdigest_spec(compression: float = 100.0) -> SketchSpec:
+    return SketchSpec(
+        "tdigest", make=lambda: TDigest(compression),
+        update=lambda s, k, v: s.update_batch(v),
+        needs_key=False, needs_value=True)
+
+
+def kll_spec(k: int = 200, seed: int = 1) -> SketchSpec:
+    return SketchSpec(
+        "kll", make=lambda: KLLSketch(k, seed),
+        update=lambda s, k_, v: s.update_batch(v),
+        needs_key=False, needs_value=True)
+
+
+SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
+                "tdigest": tdigest_spec, "kll": kll_spec}
+
+
+def _merge_blobs(spec: SketchSpec, blobs) -> bytes:
+    acc = None
+    for blob in blobs:
+        s = spec.deserialize(blob)
+        acc = s if acc is None else acc.merge(s)
+    return acc.serialize()
+
+
+def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
+                  key_col: str | None = None, value_col: str | None = None,
+                  n_salt: int = 1, salt_seed: int = 7) -> DataFrame:
+    """-> DataFrame[group_cols..., sketch: binary] — one merged sketch per
+
+    group. String keys are hashed JVM-side (xxhash64) into the sketches'
+    64-bit key domain before Python ever sees them.
+    """
+    if spec.needs_key:
+        assert key_col, f"{spec.kind} needs key_col"
+    if spec.needs_value and value_col is None:
+        raise ValueError(f"{spec.kind} needs value_col")
+
+    cols = [F.col(c) for c in group_cols]
+    sel = list(cols)
+    if key_col:
+        kc = df.schema[key_col].dataType.simpleString()
+        key_expr = (F.xxhash64(F.col(key_col)) if kc in ("string", "binary")
+                    else F.col(key_col).cast("long"))
+        sel.append(key_expr.alias("__key"))
+    if value_col:
+        sel.append(F.col(value_col).cast("double").alias("__val"))
+    slim = df.select(*sel)
+
+    gnames = list(group_cols)
+    out_fields = [slim.schema[g] for g in gnames]
+    partial_schema = StructType(out_fields + [StructField("sketch", BinaryType())])
+
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for gkey, sub in pdf.groupby(gnames, dropna=False, sort=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                s = spec.make()
+                keys = sub["__key"].to_numpy(dtype=np.int64) if key_col else None
+                vals = sub["__val"].to_numpy(dtype=np.float64) if value_col else None
+                spec.update(s, keys, vals)
+                rows.append((*gkey, s.serialize()))
+            yield pd.DataFrame(rows, columns=gnames + ["sketch"])
+
+    partials = slim.mapInPandas(build_partials, schema=partial_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = _merge_blobs(spec, pdf["sketch"])
+        head = pdf.iloc[[0]][gnames].copy()
+        head["sketch"] = [blob]
+        return head
+
+    if n_salt > 1:
+        # two-level treeAggregate: merge within salt buckets, then across
+        salted = partials.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("sketch"), F.lit(salt_seed)),
+                             F.lit(n_salt)))
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = _merge_blobs(spec, pdf["sketch"])
+            head = pdf.iloc[[0]][gnames + ["__salt"]].copy()
+            head["sketch"] = [blob]
+            return head
+
+        level1 = salted.groupBy(*gnames, "__salt").applyInPandas(
+            merge_salted, schema=StructType(
+                out_fields + [salted.schema["__salt"],
+                              StructField("sketch", BinaryType())]))
+        return level1.drop("__salt").groupBy(*gnames).applyInPandas(
+            merge_group, schema=partial_schema)
+
+    return partials.groupBy(*gnames).applyInPandas(merge_group,
+                                                   schema=partial_schema)
+
+
+def sketch_global(df: DataFrame, spec: SketchSpec, key_col: str | None = None,
+                  value_col: str | None = None, n_salt: int = 8) -> bytes:
+    """One sketch over the whole DataFrame (driver-side result) via the
+
+    salted two-level merge — never funnels raw rows to the driver.
+    """
+    with_g = df.withColumn("__g", F.lit(0))
+    out = sketch_by_key(with_g, ["__g"], spec, key_col, value_col,
+                        n_salt=n_salt)
+    return bytes(out.collect()[0]["sketch"])
