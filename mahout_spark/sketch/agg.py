@@ -71,6 +71,22 @@ def cms_spec(eps: float = 0.001, delta: float = 0.01, seed: int = 1) -> SketchSp
         needs_key=True, needs_value=False)
 
 
+def cms_spec_shape(depth: int, width: int, seed: int = 1,
+                   parity: bool = False) -> SketchSpec:
+    """CMS with explicit geometry. ``parity=True`` uses the reference's
+
+    affine hash family ((a*k+b) mod p) mod w — slower, but replayable in
+    DuckDB SQL (HUGEINT) so the driver's oracle can verify the whole
+    distributed build+merge numerically.
+    """
+    return SketchSpec(
+        "cms",
+        make=lambda: CountMinSketch(depth=depth, width=width, seed=seed,
+                                    parity=parity),
+        update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
+        needs_key=True, needs_value=False)
+
+
 def hll_spec(p: int = 14, seed: int = 1, sparse_limit: int = 4096) -> SketchSpec:
     return SketchSpec(
         "hll", make=lambda: HyperLogLog(p=p, seed=seed, sparse_limit=sparse_limit),
@@ -114,20 +130,25 @@ def _merge_blobs(spec: SketchSpec, blobs) -> bytes:
 
 def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
                   key_col: str | None = None, value_col: str | None = None,
-                  n_salt: int = 1, salt_seed: int = 7) -> DataFrame:
+                  n_salt: int = 1, salt_seed: int = 7,
+                  key_expr: F.Column | None = None) -> DataFrame:
     """-> DataFrame[group_cols..., sketch: binary] — one merged sketch per
 
     group. String keys are hashed JVM-side (xxhash64) into the sketches'
-    64-bit key domain before Python ever sees them.
+    64-bit key domain before Python ever sees them; pass ``key_expr`` to
+    override (e.g. md5_long60 for DuckDB-replayable parity sketches).
     """
     if spec.needs_key:
-        assert key_col, f"{spec.kind} needs key_col"
+        assert key_col or key_expr is not None, f"{spec.kind} needs key_col"
     if spec.needs_value and value_col is None:
         raise ValueError(f"{spec.kind} needs value_col")
 
     cols = [F.col(c) for c in group_cols]
     sel = list(cols)
-    if key_col:
+    if key_expr is not None:
+        sel.append(key_expr.cast("long").alias("__key"))
+        key_col = "__key"
+    elif key_col:
         kc = df.schema[key_col].dataType.simpleString()
         key_expr = (F.xxhash64(F.col(key_col)) if kc in ("string", "binary")
                     else F.col(key_col).cast("long"))

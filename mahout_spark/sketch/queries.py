@@ -1,0 +1,268 @@
+"""DataFrame-level queries over sketch tables (binary sketch columns).
+
+The reference answers CMS queries single-JVM (DoubleCountMinSketch.get /
+cosine, CosineCM.userSimilarity); here every query is a DataFrame op over a
+sketch table produced by ``sketch_by_key`` — lookups via a broadcast-style
+join + Arrow-batched pandas UDFs (sketch deserialized once per batch, then
+vectorized NumPy), pairwise queries via self-join.
+
+``cms_*_oracle_sql`` builders emit DuckDB SQL computing the *mathematical
+definition* of the same estimates (bucket sums under the same affine parity
+hash family, HUGEINT arithmetic, md5-derived 60-bit keys). With integral
+increments every intermediate is exact in float64, so Spark's distributed
+build+merge must match the SQL bit-for-bit — this turns the driver's oracle
+gate into a true end-to-end verification of the sketch machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.core.cms import CountMinSketch
+from mahout_spark.core.hashing import BIG_PRIME, affine_params
+from mahout_spark.functions.hashutil import md5_long60, md5_long60_sql
+from mahout_spark.sketch.agg import SketchSpec
+
+# ---------------------------------------------------------------------------
+# Point lookups: probe rows against a sketch table
+# ---------------------------------------------------------------------------
+
+
+def cms_point_lookup(sketch_df: DataFrame, probe_df: DataFrame,
+                     probe_key: F.Column, join_cols: list[str] | None = None,
+                     out_col: str = "cms_estimate") -> DataFrame:
+    """probe rows + CMS point estimate.
+
+    ``probe_key`` must be the same key expression the sketch was built with.
+    With ``join_cols`` the probe joins its group's sketch; without, the
+    (single-row) sketch table is broadcast-cross-joined.
+    """
+    probe = probe_df.withColumn("__key", probe_key.cast("long"))
+    if join_cols:
+        joined = probe.join(sketch_df, join_cols)
+    else:
+        joined = probe.crossJoin(F.broadcast(sketch_df))
+    out_fields = [f for f in joined.schema.fields
+                  if f.name not in ("__key", "sketch")]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in out_fields) + f", {out_col} double"
+    names = [f.name for f in out_fields]
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[bytes, CountMinSketch] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            est = np.empty(len(pdf))
+            for blob, sub in pdf.groupby("sketch", sort=False):
+                s = cache.get(bytes(blob))
+                if s is None:
+                    s = CountMinSketch.deserialize(bytes(blob))
+                    cache[bytes(blob)] = s
+                est[sub.index.to_numpy()] = s.point_batch(
+                    sub["__key"].to_numpy(dtype=np.int64))
+            out = pdf[names].copy()
+            out[out_col] = est
+            yield out
+
+    return joined.mapInPandas(lookup, schema=schema)
+
+
+def sketch_eval(sketch_df: DataFrame, spec: SketchSpec, method: str,
+                out_col: str, args: tuple = ()) -> DataFrame:
+    """Generic per-sketch scalar query: adds ``out_col`` double.
+
+    method ∈ {'count' (HLL), 'quantile' (t-digest/KLL, args=(q,)),
+    'l1' (CMS), ...} — any zero/low-arity kernel method returning float.
+    """
+    fields = [f for f in sketch_df.schema.fields if f.name != "sketch"]
+    parts = [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+    schema = ", ".join(parts + [f"{out_col} double"])
+    names = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = [float(getattr(spec.deserialize(bytes(b)), method)(*args))
+                    for b in pdf["sketch"]]
+            out = pdf[names].copy()
+            out[out_col] = vals
+            yield out
+
+    return sketch_df.mapInPandas(run, schema=schema)
+
+
+def bloom_contains_lookup(sketch_df: DataFrame, probe_df: DataFrame,
+                          probe_key: F.Column,
+                          join_cols: list[str] | None = None,
+                          out_col: str = "maybe_contains") -> DataFrame:
+    """probe rows + Bloom membership (no false negatives)."""
+    from mahout_spark.core.bloom import BloomFilter
+
+    probe = probe_df.withColumn("__key", probe_key.cast("long"))
+    joined = (probe.join(sketch_df, join_cols) if join_cols
+              else probe.crossJoin(F.broadcast(sketch_df)))
+    out_fields = [f for f in joined.schema.fields
+                  if f.name not in ("__key", "sketch")]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in out_fields) + f", {out_col} boolean"
+    names = [f.name for f in out_fields]
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[bytes, BloomFilter] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = np.empty(len(pdf), dtype=bool)
+            for blob, sub in pdf.groupby("sketch", sort=False):
+                s = cache.setdefault(bytes(blob),
+                                     BloomFilter.deserialize(bytes(blob)))
+                res[sub.index.to_numpy()] = s.contains_batch(
+                    sub["__key"].to_numpy(dtype=np.int64))
+            out = pdf[names].copy()
+            out[out_col] = res
+            yield out
+
+    return joined.mapInPandas(lookup, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise queries: all (a, b) group pairs from one sketch table
+# ---------------------------------------------------------------------------
+
+
+def cms_pairwise(sketch_df: DataFrame, group_col: str,
+                 kind: str = "cosine", out_col: str | None = None) -> DataFrame:
+    """(a, b, value) for every unordered pair of groups, a < b.
+
+    kind='cosine' → DoubleCountMinSketch.cosine semantics (min over depth
+    rows of row-cosine); kind='inner' → CMS inner-product estimate. The
+    pair fan-out is |groups|²/2 — groups here are coarse (lang, domain
+    bucket, user cohort), so the self-join is a broadcast-sized table even
+    when the underlying corpus is 10^12 docs.
+    """
+    out_col = out_col or f"cms_{kind}"
+    a = sketch_df.select(F.col(group_col).alias("a"),
+                         F.col("sketch").alias("__sa"))
+    b = sketch_df.select(F.col(group_col).alias("b"),
+                         F.col("sketch").alias("__sb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    gtype = sketch_df.schema[group_col].dataType.simpleString()
+    schema = f"a {gtype}, b {gtype}, {out_col} double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = []
+            for sa, sb in zip(pdf["__sa"], pdf["__sb"]):
+                ca = CountMinSketch.deserialize(bytes(sa))
+                cb = CountMinSketch.deserialize(bytes(sb))
+                vals.append(CountMinSketch.cosine(ca, cb) if kind == "cosine"
+                            else ca.inner_product(cb))
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], out_col: vals})
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders for the parity CMS
+# ---------------------------------------------------------------------------
+
+
+def _hashes_cte(depth: int, seed: int) -> str:
+    rows = ", ".join(f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+                     for i, (a, b) in enumerate(affine_params(seed, depth)))
+    return f"hashes(i, a, b) AS (SELECT * FROM (VALUES {rows}) v(i, a, b))"
+
+
+def _bucket_expr(k: str, width: int) -> str:
+    return f"((h.a * ({k}) + h.b) % {BIG_PRIME}) % {width}"
+
+
+def cms_bucket_cte(keyed_cte: str, depth: int, width: int, seed: int,
+                   group_by: str = "") -> str:
+    """CTE text computing per-(depth-row, bucket) counter sums from a CTE
+
+    ``keyed(k BIGINT, c, ...)`` — the mathematical CMS contents.
+    ``group_by``: extra grouping columns (e.g. 'lang, ').
+    """
+    gsel = f"{group_by} " if group_by else ""
+    return (f"{_hashes_cte(depth, seed)}, "
+            f"bucketed AS (SELECT {gsel}h.i AS i, "
+            f"{_bucket_expr('keyed.k', width)} AS bucket, "
+            f"sum(keyed.c)::DOUBLE AS bc "
+            f"FROM ({keyed_cte}) keyed CROSS JOIN hashes h "
+            f"GROUP BY ALL)")
+
+
+def cms_point_oracle_sql(token_source_sql: str, probe_sql: str,
+                         depth: int, width: int, seed: int,
+                         token_col: str = "token",
+                         out_col: str = "cms_estimate") -> str:
+    """Full DuckDB query: CMS point estimates for probe tokens.
+
+    ``token_source_sql``: SELECT yielding one row per token occurrence with
+    column ``token``. ``probe_sql``: SELECT yielding probe rows with column
+    ``token`` (must be a subset of occurrences or absent→row bucket sums).
+    """
+    keyed = (f"SELECT {token_col} AS tok, {md5_long60_sql(token_col)} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    return f"""
+WITH {cms_bucket_cte(keyed, depth, width, seed)},
+probe AS (SELECT {token_col} AS tok,
+                 {md5_long60_sql(token_col)} AS k
+          FROM ({probe_sql})),
+est AS (
+  SELECT probe.tok, min(coalesce(b.bc, 0.0)) AS e
+  FROM probe CROSS JOIN hashes h
+  LEFT JOIN bucketed b
+    ON b.i = h.i AND b.bucket = {_bucket_expr('probe.k', width)}
+  GROUP BY probe.tok)
+SELECT tok AS {token_col}, e AS {out_col} FROM est
+"""
+
+
+def cms_pairwise_oracle_sql(token_source_sql: str, depth: int, width: int,
+                            seed: int, group_col: str = "lang",
+                            kind: str = "cosine",
+                            out_col: str | None = None) -> str:
+    """DuckDB query: pairwise CMS cosine/inner-product between group sketches.
+
+    Mirrors DoubleCountMinSketch.cosine: per depth row i,
+    cos_i = Σ(bcA·bcB) / (sqrt(Σ bcA²) · sqrt(Σ bcB²)); result = min over
+    rows with nonzero denominator. All bucket sums are integral → exact.
+    """
+    out_col = out_col or f"cms_{kind}"
+    keyed = (f"SELECT {group_col} AS g, {md5_long60_sql('token')} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    if kind == "cosine":
+        value = ("CASE WHEN sqrt(v.na) * sqrt(v.nb) > 0 "
+                 "THEN v.dots / (sqrt(v.na) * sqrt(v.nb)) END")
+    else:
+        value = "v.dots"
+    return f"""
+WITH {cms_bucket_cte(keyed, depth, width, seed, group_by='keyed.g,')},
+grps AS (SELECT DISTINCT g FROM bucketed),
+pairs AS (SELECT x.g AS a, y.g AS b FROM grps x JOIN grps y ON x.g < y.g),
+rownorm AS (SELECT g, i, sum(bc * bc) AS nn FROM bucketed GROUP BY 1, 2),
+rowdots AS (
+  SELECT x.g AS a, y.g AS b, x.i AS i, sum(x.bc * y.bc) AS dots
+  FROM bucketed x JOIN bucketed y
+    ON x.i = y.i AND x.bucket = y.bucket AND x.g < y.g
+  GROUP BY ALL),
+vals AS (
+  SELECT p.a, p.b, h.i, coalesce(d.dots, 0.0) AS dots, na.nn AS na, nb.nn AS nb
+  FROM pairs p CROSS JOIN hashes h
+  LEFT JOIN rowdots d ON d.a = p.a AND d.b = p.b AND d.i = h.i
+  JOIN rownorm na ON na.g = p.a AND na.i = h.i
+  JOIN rownorm nb ON nb.g = p.b AND nb.i = h.i)
+SELECT a, b, min({value}) AS {out_col}
+FROM vals v GROUP BY a, b
+"""

@@ -1,0 +1,155 @@
+"""Distributed sketch build/merge/query tests.
+
+The heavy guarantees:
+- parity CMS (affine hash family): Spark's distributed two-phase build+merge
+  matches the mathematical definition computed by DuckDB SQL **bit-exactly**
+  (integral counters → exact float64 everywhere);
+- fast CMS: never underestimates; overestimate ≤ eps·N at rate ≥ 1−delta;
+- build at different partition counts → byte-identical sketch (merge
+  associativity/commutativity end-to-end);
+- HLL/t-digest/KLL estimates within published bounds vs exact aggregates.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.functions.hashutil import md5_long60
+from mahout_spark.functions.text import explode_tokens, tokens_array_sql
+from mahout_spark.sketch.agg import (bloom_spec, cms_spec, cms_spec_shape,
+                                     hll_spec, kll_spec, sketch_by_key,
+                                     sketch_global, tdigest_spec)
+from mahout_spark.sketch.queries import (bloom_contains_lookup,
+                                         cms_pairwise,
+                                         cms_pairwise_oracle_sql,
+                                         cms_point_lookup,
+                                         cms_point_oracle_sql, sketch_eval)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+TOKSRC = (f"SELECT unnest({tokens_array_sql('text')}) AS token, lang "
+          f"FROM '{DOCS}'")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def tokens(docs):
+    return explode_tokens(docs.withColumn("__lang", F.col("lang")),
+                          "__lang", "text").withColumnRenamed("__lang", "lang")
+
+
+class TestParityCMSvsDuckDB:
+    DEPTH, WIDTH, SEED = 4, 257, 12345
+
+    def test_point_estimates_bitexact(self, spark, tokens):
+        spec = cms_spec_shape(self.DEPTH, self.WIDTH, self.SEED, parity=True)
+        sk = sketch_by_key(tokens.withColumn("__g", F.lit(0)), ["__g"], spec,
+                           key_expr=md5_long60(F.col("token"))).drop("__g")
+        probe_sql = (f"SELECT token FROM ({TOKSRC}) GROUP BY token "
+                     f"ORDER BY count(*) DESC, token LIMIT 25")
+        probes = spark.sql_ctx if False else None  # noqa
+        probe_df = (tokens.groupBy("token").count()
+                    .orderBy(F.desc("count"), "token").limit(25)
+                    .select("token"))
+        got = cms_point_lookup(sk, probe_df, md5_long60(F.col("token")))
+        gpd = got.toPandas().sort_values("token").reset_index(drop=True)
+        want = duckdb.sql(cms_point_oracle_sql(
+            TOKSRC, probe_sql, self.DEPTH, self.WIDTH, self.SEED)
+        ).fetchdf().sort_values("token").reset_index(drop=True)
+        assert (gpd["token"] == want["token"]).all()
+        assert (gpd["cms_estimate"].to_numpy()
+                == want["cms_estimate"].to_numpy()).all()
+
+    def test_pairwise_cosine_bitexact(self, spark, tokens):
+        spec = cms_spec_shape(self.DEPTH, self.WIDTH, self.SEED, parity=True)
+        sk = sketch_by_key(tokens, ["lang"], spec,
+                           key_expr=md5_long60(F.col("token")))
+        got = (cms_pairwise(sk, "lang", kind="cosine").toPandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        want = duckdb.sql(cms_pairwise_oracle_sql(
+            TOKSRC, self.DEPTH, self.WIDTH, self.SEED, group_col="lang")
+        ).fetchdf().sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        assert (got["a"] == want["a"]).all() and (got["b"] == want["b"]).all()
+        assert (got["cms_cosine"].to_numpy()
+                == want["cms_cosine"].to_numpy()).all()
+
+    def test_pairwise_inner_bitexact(self, spark, tokens):
+        spec = cms_spec_shape(self.DEPTH, self.WIDTH, self.SEED, parity=True)
+        sk = sketch_by_key(tokens, ["lang"], spec,
+                           key_expr=md5_long60(F.col("token")))
+        got = (cms_pairwise(sk, "lang", kind="inner").toPandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        want = duckdb.sql(cms_pairwise_oracle_sql(
+            TOKSRC, self.DEPTH, self.WIDTH, self.SEED, group_col="lang",
+            kind="inner")).fetchdf().sort_values(["a", "b"]).reset_index(
+            drop=True)
+        assert (got["cms_inner"].to_numpy()
+                == want["cms_inner"].to_numpy()).all()
+
+
+class TestFastCMS:
+    def test_error_bound_and_partition_invariance(self, spark, tokens):
+        spec = cms_spec(eps=0.005, delta=0.01, seed=3)
+        exact = {r["token"]: r["count"] for r in
+                 tokens.groupBy("token").count().collect()}
+        n_total = sum(exact.values())
+        blob8 = sketch_global(tokens.repartition(8), spec, key_col="token")
+        blob2 = sketch_global(tokens.repartition(2), spec, key_col="token")
+        assert blob8 == blob2  # merge-path invariance, byte-identical
+
+        probe = (tokens.groupBy("token").count()
+                 .orderBy(F.desc("count"), "token").limit(200).select("token"))
+        sk = spark.createDataFrame([(bytearray(blob8),)], "sketch binary")
+        est = cms_point_lookup(sk, probe, F.xxhash64(F.col("token"))).toPandas()
+        over = 0
+        for tok, e in zip(est["token"], est["cms_estimate"]):
+            assert e >= exact[tok] - 1e-9  # never underestimates
+            if e > exact[tok] + 0.005 * n_total:
+                over += 1
+        assert over <= max(1, int(0.01 * len(est)) + 2)
+
+
+class TestOtherSketches:
+    def test_hll_per_lang_counts(self, spark, tokens):
+        sk = sketch_by_key(tokens, ["lang"], hll_spec(p=14, seed=1),
+                           key_col="token")
+        got = {r["lang"]: r["distinct_est"] for r in
+               sketch_eval(sk, hll_spec(p=14, seed=1), "count",
+                           "distinct_est").collect()}
+        exact = {r["lang"]: r["d"] for r in tokens.groupBy("lang").agg(
+            F.countDistinct("token").alias("d")).collect()}
+        for lang, d in exact.items():
+            rel = abs(got[lang] - d) / max(d, 1)
+            assert rel < 0.05, (lang, got[lang], d)
+
+    def test_tdigest_kll_quantiles(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        exact = li.selectExpr(
+            "percentile(l_extendedprice, array(0.1, 0.5, 0.9)) as p"
+        ).collect()[0]["p"]
+        lo = li.selectExpr("min(l_extendedprice) m").collect()[0]["m"]
+        hi = li.selectExpr("max(l_extendedprice) m").collect()[0]["m"]
+        span = hi - lo
+        for spec in [tdigest_spec(100.0), kll_spec(200, seed=5)]:
+            sk = spark.createDataFrame(
+                [(bytearray(sketch_global(li, spec,
+                                          value_col="l_extendedprice")),)],
+                "sketch binary")
+            for q, want in zip([0.1, 0.5, 0.9], exact):
+                got = sketch_eval(sk, spec, "quantile", "qv",
+                                  args=(q,)).collect()[0]["qv"]
+                assert abs(got - want) / span < 0.02, (spec.kind, q, got, want)
+
+    def test_bloom_no_false_negatives(self, spark, tokens):
+        spec = bloom_spec(capacity=20_000, fp_rate=0.01, seed=2)
+        blob = sketch_global(tokens, spec, key_col="token")
+        sk = spark.createDataFrame([(bytearray(blob),)], "sketch binary")
+        probe = tokens.select("token").distinct()
+        res = bloom_contains_lookup(sk, probe, F.xxhash64(F.col("token")))
+        n_missing = res.filter(~F.col("maybe_contains")).count()
+        assert n_missing == 0
