@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (query rows → top-k neighbors by cosine):
+
+- ``brute_force_topk`` — exact: crossJoin + JVM-side ``zip_with``/
+  ``aggregate`` dot product + Window top-k. This is the correctness
+  baseline and the right plan when |queries| is small (the join broadcasts
+  the query side; the corpus is scanned once, never shuffled).
+- ``lsh_topk`` — sign-random-projection (Charikar) bucketing: deterministic
+  hyperplanes (seeded NumPy, inlined as literals), equi-join on bucket with
+  multiprobe (flip ≤1 bit) for recall, exact re-rank inside buckets. At
+  10^12 rows the bucket join replaces the full scan; plane count trades
+  recall for bucket size.
+
+An IVF variant (k-means coarse quantizer) would slot in the same re-rank
+frame; sign-LSH is chosen because it needs no training pass.
+
+Dot products stay in whole-stage codegen — ``F.zip_with`` + ``F.aggregate``
+fold left-to-right in array order, which DuckDB's ``list_dot_product``
+(after DOUBLE[] cast) matches bit-for-bit, so the oracle can check exact
+results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.operators.topk import topk_per_group
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, sequential fold (JVM, codegen-friendly)."""
+    prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                       lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (f"{dot_sql(a, b)} / "
+            f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))")
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id: str = "query_id",
+                     metric: str = "cosine") -> DataFrame:
+    """(query_id, neighbor_id, score) — exact top-k, corpus scanned once.
+
+    ``queries``: DataFrame[query_id, <vec_col>]. The query side is
+    broadcast (explicitly) — the big side never shuffles before top-k.
+    """
+    q = queries.select(F.col(query_id),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    scorer = (cosine_expr if metric == "cosine"
+              else lambda a, b: dot_expr(a, b))
+    joined = c.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id, "neighbor_id",
+        scorer(F.col("__qv"), F.col("__cv")).alias("score"))
+    return topk_per_group(scored, [query_id], "score", k,
+                          tiebreak_cols=["neighbor_id"])
+
+
+def brute_force_topk_sql(corpus_table: str, queries_sql: str, k: int,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         query_id: str = "query_id") -> str:
+    cos = cosine_sql(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+WITH q AS ({queries_sql}),
+scored AS (
+  SELECT q.{query_id} AS {query_id}, c.{id_col} AS neighbor_id,
+         {cos} AS score
+  FROM {corpus_table} c CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY {query_id} ORDER BY score DESC, neighbor_id) AS rn
+  FROM scored)
+SELECT {query_id}, neighbor_id, score FROM ranked WHERE rn <= {k}
+"""
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signs_expr(vec: Column, planes: np.ndarray) -> Column:
+    """int bucket id: bit j = sign(<v, plane_j>). Planes inlined as array
+
+    literals — identical on every executor and at every cluster size.
+    """
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = dot_expr(vec, plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 8, seed: int = 7, probe_bits: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates from matching sign-LSH buckets
+
+    (multiprobe: all buckets within ``probe_bits`` sign flips), exact
+    cosine re-rank within candidates. probe_bits trades candidate count
+    for recall; probe_bits = n_planes degenerates to brute force.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      signs_expr(F.col(vec_col), planes).alias("__b"))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"),
+                       signs_expr(F.col(vec_col), planes).alias("__b0"))
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    probes = F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in masks])
+    q = q.withColumn("__b", F.explode(probes))
+    cand = c.join(F.broadcast(q.select(query_id, "__qv", "__b").distinct()),
+                  "__b")
+    scored = cand.select(
+        query_id, "neighbor_id",
+        cosine_expr(F.col("__qv"), F.col("__cv")).alias("score")).distinct()
+    return topk_per_group(scored, [query_id], "score", k,
+                          tiebreak_cols=["neighbor_id"])

@@ -1,0 +1,289 @@
+"""Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+
+embedding near-dup. These are the training-data-pipeline operators a
+100 TB web corpus needs in front of the sketch/similarity layer; the
+reference's closest primitives are Bloom token filtering
+(integration/.../BloomTokenFilter.java) and feature hashing
+(mr/.../vectorizer/EncodingMapper.java) — the LSH/minhash machinery is new,
+anchored on the standard MinHash construction (Broder '97) and the same
+deterministic affine-permutation trick the reference uses for CMS hashing
+(HashFunction.java:31-35).
+
+Scale design:
+- signatures are computed with ONE groupBy over exploded shingles carrying
+  ``num_perm`` min-aggregates — no per-permutation shuffle;
+- LSH banding turns the quadratic pair search into equi-joins on
+  (band_idx, band_hash); bucket sizes are capped (``max_bucket``) so a
+  degenerate bucket (boilerplate pages) cannot produce an O(n²) task —
+  the same head-skew guard as the cooccurrence downsampler;
+- every hash is md5-affine (no rand()) so retries and both cluster sizes
+  produce identical candidates, and the DuckDB oracle can replay the exact
+  pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mahout_spark.functions.hashutil import (MERSENNE61, affine_minhash,
+                                             affine_minhash_sql, md5_long60,
+                                             md5_long60_sql, minhash_params)
+from mahout_spark.functions.text import (content_fingerprint,
+                                         content_fingerprint_sql,
+                                         shingles_array, shingles_array_sql,
+                                         tokens_array, tokens_array_sql)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, rep_id, n_dups) for every duplicate group (n >= 2).
+
+    One hash-groupBy — at 10^12 docs this is a single shuffle on a
+    high-cardinality key with map-side combine; no skew risk beyond true
+    duplicate explosions, which are exactly what we want to find.
+    """
+    return (df.select(F.col(id_col).alias("__id"),
+                      content_fingerprint(F.col(text_col)).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min("__id").alias("rep_id"), F.count("*").alias("n_dups"))
+            .filter(F.col("n_dups") >= 2))
+
+
+def exact_dedup_groups_sql(table: str, id_col: str, text_col: str) -> str:
+    fp = content_fingerprint_sql(text_col)
+    return (f"SELECT {fp} AS fingerprint, min({id_col}) AS rep_id, "
+            f"count(*) AS n_dups FROM {table} GROUP BY 1 HAVING count(*) >= 2")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_perm: int = 16, shingle_n: int = 3,
+                       seed: int = 1) -> DataFrame:
+    """(id, sig_0..sig_{P-1}) — MinHash over word-shingle md5 hashes.
+
+    One explode + one groupBy carrying P min() aggregates; the affine
+    permutation params are driver-generated literals (deterministic).
+    Docs with no shingles are dropped (nothing to hash).
+    """
+    params = minhash_params(num_perm, seed)
+    sh = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(shingles_array(F.col(text_col), shingle_n))
+                    .alias("__s"))
+          .distinct()
+          .withColumn("__h", md5_long60(F.col("__s"))))
+    aggs = [F.min(affine_minhash(F.col("__h"), a, b)).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(params)]
+    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def minhash_signatures_sql(table: str, id_col: str, text_col: str,
+                           num_perm: int = 16, shingle_n: int = 3,
+                           seed: int = 1) -> str:
+    params = minhash_params(num_perm, seed)
+    sharr = shingles_array_sql(text_col, shingle_n)
+    h = md5_long60_sql("__s")
+    mins = ", ".join(
+        f"min({affine_minhash_sql('__h', a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(params))
+    return f"""
+SELECT __id AS {id_col}, {mins}
+FROM (SELECT __id, {h} AS __h
+      FROM (SELECT DISTINCT {id_col} AS __id, unnest({sharr}) AS __s
+            FROM {table}))
+GROUP BY __id
+"""
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, num_perm: int,
+                        bands: int, max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing at least one LSH band.
+
+    rows_per_band = num_perm // bands. Buckets larger than ``max_bucket``
+    are dropped (boilerplate guard) — deterministic, documented cap.
+    """
+    rows = num_perm // bands
+    assert bands * rows == num_perm, "bands must divide num_perm"
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}").cast("string")
+                for r in range(rows)]
+        band_rows.append(sigs.select(
+            F.col(id_col).alias("__id"), F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bh")))
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    sized = buckets.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("__n") <= max_bucket)
+    a = sized.select("band", "bh", F.col("__id").alias("id_a"))
+    b = sized.select("band", "bh", F.col("__id").alias("id_b"))
+    return (a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        num_perm: int = 16, bands: int = 4,
+                        shingle_n: int = 3, seed: int = 1,
+                        threshold: float = 0.7,
+                        max_bucket: int = 1000) -> DataFrame:
+    """(id_a, id_b, est_jaccard) — LSH candidates scored by signature
+
+    agreement (fraction of equal minhash components), thresholded.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    sigs = sigs.persist()
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket)
+    sa = sigs.select(F.col(id_col).alias("id_a"),
+                     *[F.col(f"sig_{i}").alias(f"a_{i}")
+                       for i in range(num_perm)])
+    sb = sigs.select(F.col(id_col).alias("id_b"),
+                     *[F.col(f"sig_{i}").alias(f"b_{i}")
+                       for i in range(num_perm)])
+    eq = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+             for i in range(num_perm))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("est_jaccard",
+                        eq.cast("double") / F.lit(float(num_perm)))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small-scale oracle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """(id_a, id_b, jaccard) exact shingle-set Jaccard for pairs sharing
+
+    ≥1 shingle. Integer intersection/union + one division — engine-exact.
+    Quadratic in shingle document-frequency: at corpus scale use
+    minhash_dedup_pairs and reserve this as the verifier on candidates.
+    """
+    sh = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(F.array_distinct(
+                        shingles_array(F.col(text_col), shingle_n)))
+                    .alias("__s")))
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__s")
+    b = sh.select(F.col("__id").alias("id_b"), "__s")
+    inter = (a.join(b, "__s").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("__id").alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("__id").alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("jaccard", F.col("inter").cast("double") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                        .cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_pairs_sql(table: str, id_col: str, text_col: str,
+                            shingle_n: int = 3,
+                            threshold: float = 0.5) -> str:
+    sharr = shingles_array_sql(text_col, shingle_n)
+    return f"""
+WITH sh AS (SELECT DISTINCT {id_col} AS id, unnest(list_distinct({sharr})) AS s
+            FROM {table}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48  # md5_long60 gives 60 usable bits; 48 keeps exprs compact
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — Charikar sign-random-projection over token md5 bits.
+
+    Per bit j: sum over token occurrences of ±1 by bit j of md5(token);
+    signature bit j set iff sum > 0. One explode + one groupBy with ``bits``
+    integer sums — all-integer, engine-exact, no UDF.
+    """
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens_array(F.col(text_col))).alias("__t"))
+    h = md5_long60(F.col("__t"))
+    aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"s_{j}")
+            for j in range(bits)]
+    per_bit = toks.groupBy("__id").agg(*aggs)
+    sig = sum((F.when(F.col(f"s_{j}") > 0,
+                      F.lit(1).cast("long") * (1 << j)).otherwise(F.lit(0)))
+              for j in range(bits))
+    return per_bit.select(F.col("__id").alias(id_col),
+                          sig.alias("simhash"))
+
+
+def simhash_sql(table: str, id_col: str, text_col: str,
+                bits: int = SIMHASH_BITS) -> str:
+    toks = tokens_array_sql(text_col)
+    h = md5_long60_sql("__t")
+    sums = ", ".join(
+        f"sum(CASE WHEN (__h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits))
+    sig = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH toks AS (SELECT {id_col} AS __id, unnest({toks}) AS __t FROM {table}),
+hashed AS (SELECT __id, {h} AS __h FROM toks),
+bitsum AS (SELECT __id, {sums} FROM hashed GROUP BY __id)
+SELECT __id AS {id_col}, {sig} AS simhash FROM bitsum
+"""
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 3,
+                          bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming``; blocked on
+
+    16-bit signature chunks (a pair within distance d ≤ chunks-1 shares at
+    least one exact chunk — pigeonhole), so no quadratic scan.
+    """
+    sigs = simhash(df, id_col, text_col, bits).persist()
+    n_chunks = max(max_hamming + 1, 3)
+    chunk_bits = bits // n_chunks
+    blocks = None
+    for c in range(n_chunks):
+        part = (F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1)))
+        bdf = sigs.select(F.col(id_col).alias("__id"), "simhash",
+                          F.lit(c).alias("chunk"), part.alias("cv"))
+        blocks = bdf if blocks is None else blocks.unionByName(bdf)
+    a = blocks.select("chunk", "cv", F.col("__id").alias("id_a"),
+                      F.col("simhash").alias("sig_a"))
+    b = blocks.select("chunk", "cv", F.col("__id").alias("id_b"),
+                      F.col("simhash").alias("sig_b"))
+    pairs = (a.join(b, ["chunk", "cv"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+             .withColumn("hamming", F.bit_count(
+                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+             .filter(F.col("hamming") <= max_hamming))
+    return pairs.select("id_a", "id_b", "hamming")
