@@ -1,0 +1,172 @@
+"""User-based recommender with CMS-approximated similarity — the fork's
+
+flagship path (SURVEY.md §3.3), as three DataFrame stages:
+
+1. per-user CMS profiles: ``groupBy(user).applyInPandas(build_cms)``
+   (mirrors CosineCM.exportProfile, CosineCM.java:41-58 — replaying the
+   user's (item, pref) pairs through cm.update);
+2. pairwise user similarity: CMS cosine over sketch pairs (CosineCM.java:
+   84-96 → DoubleCountMinSketch.cosine) or the exact Taste measures
+   (AbstractSimilarity.java:110-223) as a join+agg oracle;
+3. recommendation: neighborhood top-N, candidate generation by join,
+   preference estimate = similarity-weighted average of neighbor prefs
+   (GenericUserBasedRecommender.doEstimatePreference:134-184); in CMS mode
+   the neighbor pref is the CMS point query cm.get(item) with 0 treated
+   as missing (:156-158); estimates capped to the preference range and
+   required to have >= min_evidence data points (:176-178).
+
+Evaluators mirror mr/.../impl/eval: deterministic-hash k-fold split
+(AbstractKFoldRecommenderEvaluator.java:41-74), MAE and RMSE
+(AverageAbsoluteDifference/RMSRecommenderEvaluator).
+
+Scale: user-pair similarity is quadratic — production keeps the
+item-join + groupBy(pair) plan (sparse: only users sharing items pair up)
+plus the downsampling cap; profiles/sketches shuffle once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.operators.topk import topk_per_group
+from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+from mahout_spark.sketch.queries import cms_pairwise
+
+
+def user_cms_profiles(prefs: DataFrame, depth: int = 5, width: int = 272,
+                      seed: int = 1, user: str = "user_id",
+                      item: str = "item_id", pref: str = "pref") -> DataFrame:
+    """(user_id, sketch) — one CMS per user, updated with (item, pref).
+
+    Equal (depth, width, seed) across users so cosine is defined
+    (CosineCM builds cm1 with cm2's config, CosineCM.java:69-82).
+    """
+    spec = cms_spec_shape(depth, width, seed)
+    return (sketch_by_key(prefs, [user], spec, key_col=item, value_col=pref)
+            .withColumnRenamed(user, "user_id"))
+
+
+def cms_user_similarity(profiles: DataFrame,
+                        user_col: str = "user_id") -> DataFrame:
+    """(a, b, sim) for all user pairs — CMS cosine, both directions."""
+    pairs = cms_pairwise(profiles, user_col, kind="cosine", out_col="sim")
+    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"),
+                                         F.col("a").alias("b"), "sim"))
+    return sym.select(F.col("a").alias("user_a"), F.col("b").alias("user_b"),
+                      "sim")
+
+
+def exact_user_similarity(prefs: DataFrame, measure: str = "cosine",
+                          user: str = "user_id", item: str = "item_id",
+                          pref: str = "pref") -> DataFrame:
+    """(user_a, user_b, sim) exact pairwise similarity over shared items —
+
+    the Taste AbstractSimilarity merge-join as a DataFrame plan; serves as
+    the oracle for the CMS approximation (reference keeps both for the
+    same reason). cosine here = uncentered Pearson over co-rated items.
+    """
+    a = prefs.select(F.col(item).alias("__i"), F.col(user).alias("user_a"),
+                     F.col(pref).cast("double").alias("__pa"))
+    b = prefs.select(F.col(item).alias("__i"), F.col(user).alias("user_b"),
+                     F.col(pref).cast("double").alias("__pb"))
+    joined = a.join(b, "__i").filter(F.col("user_a") != F.col("user_b"))
+    agg = joined.groupBy("user_a", "user_b").agg(
+        F.sum(F.col("__pa") * F.col("__pb")).alias("sxy"),
+        F.sum(F.col("__pa") * F.col("__pa")).alias("sxx"),
+        F.sum(F.col("__pb") * F.col("__pb")).alias("syy"),
+        F.count("*").alias("n"))
+    if measure == "cosine":
+        sim = F.col("sxy") / (F.sqrt(F.col("sxx")) * F.sqrt(F.col("syy")))
+    elif measure == "euclidean":
+        dist2 = F.greatest(F.lit(0.0),
+                           F.col("sxx") - 2 * F.col("sxy") + F.col("syy"))
+        sim = 1.0 / (1.0 + F.sqrt(dist2))
+    else:
+        raise ValueError(measure)
+    return agg.select("user_a", "user_b", sim.alias("sim"), "n")
+
+
+def nearest_n_neighborhood(sims: DataFrame, n: int,
+                           min_sim: float | None = None) -> DataFrame:
+    """Top-N similar users per user (NearestNUserNeighborhood)."""
+    s = sims if min_sim is None else sims.filter(F.col("sim") >= min_sim)
+    return topk_per_group(s, ["user_a"], "sim", n, tiebreak_cols=["user_b"])
+
+
+def threshold_neighborhood(sims: DataFrame, threshold: float) -> DataFrame:
+    """ThresholdUserNeighborhood."""
+    return sims.filter(F.col("sim") >= threshold)
+
+
+def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
+              min_evidence: int = 2, user: str = "user_id",
+              item: str = "item_id", pref: str = "pref",
+              cap_range: tuple[float, float] | None = None) -> DataFrame:
+    """(user_id, item_id, score) — top-N unseen items per user, scored by
+
+    similarity-weighted average of neighbor preferences
+    (doEstimatePreference, GenericUserBasedRecommender.java:134-184).
+    """
+    nb = neighborhood.select(F.col("user_a").alias("__u"),
+                             F.col("user_b").alias("__nb"), "sim")
+    np_ = prefs.select(F.col(user).alias("__nb"), F.col(item).alias("__it"),
+                       F.col(pref).cast("double").alias("__p"))
+    cand = nb.join(np_, "__nb")
+    seen = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__it"),
+                        F.lit(1).alias("__seen"))
+    cand = (cand.join(seen, ["__u", "__it"], "left_anti"))
+    est = cand.groupBy("__u", "__it").agg(
+        (F.sum(F.col("sim") * F.col("__p")) / F.sum(F.abs(F.col("sim"))))
+        .alias("score"),
+        F.count("*").alias("__n"))
+    est = est.filter(F.col("__n") >= min_evidence)
+    if cap_range is not None:
+        lo, hi = cap_range
+        est = est.withColumn("score", F.least(F.lit(float(hi)), F.greatest(
+            F.lit(float(lo)), F.col("score"))))
+    out = topk_per_group(est.select(F.col("__u").alias("user_id"),
+                                    F.col("__it").alias("item_id"), "score"),
+                         ["user_id"], "score", top_n,
+                         tiebreak_cols=["item_id"])
+    return out
+
+
+def kfold_split(prefs: DataFrame, k: int, seed: int = 11,
+                user: str = "user_id", item: str = "item_id") -> DataFrame:
+    """Adds ``fold`` in [0, k) by deterministic hash of (user, item) —
+
+    retry-stable and engine-replayable (AbstractKFoldRecommenderEvaluator's
+    random split, made deterministic as everything else here)."""
+    return prefs.withColumn(
+        "fold", F.pmod(F.xxhash64(F.col(user), F.col(item), F.lit(seed)),
+                       F.lit(k)).cast("int"))
+
+
+def evaluate_fold(train: DataFrame, test: DataFrame, n_neighbors: int = 20,
+                  measure: str = "cosine", user: str = "user_id",
+                  item: str = "item_id", pref: str = "pref") -> DataFrame:
+    """Predict held-out prefs from train; returns (mae, rmse, n_scored).
+
+    RMSRecommenderEvaluatorKFold's inner loop as one DataFrame plan.
+    """
+    sims = exact_user_similarity(train, measure, user, item, pref)
+    nb = nearest_n_neighborhood(sims, n_neighbors)
+    np_ = train.select(F.col(user).alias("__nb"), F.col(item).alias("__it"),
+                       F.col(pref).cast("double").alias("__p"))
+    est = (nb.select(F.col("user_a").alias("__u"),
+                     F.col("user_b").alias("__nb"), "sim")
+           .join(np_, "__nb")
+           .groupBy("__u", "__it")
+           .agg((F.sum(F.col("sim") * F.col("__p"))
+                 / F.sum(F.abs(F.col("sim")))).alias("__est"),
+                F.count("*").alias("__n"))
+           .filter(F.col("__n") >= 2))
+    t = test.select(F.col(user).alias("__u"), F.col(item).alias("__it"),
+                    F.col(pref).cast("double").alias("__truth"))
+    scored = t.join(est, ["__u", "__it"])
+    return scored.agg(
+        F.avg(F.abs(F.col("__est") - F.col("__truth"))).alias("mae"),
+        F.sqrt(F.avg(F.pow(F.col("__est") - F.col("__truth"), 2)))
+        .alias("rmse"),
+        F.count("*").alias("n_scored"))
