@@ -1,38 +1,508 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: distributed parity-CMS build over document
+tokens + point-frequency estimates (the north star's core query).
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 and the training-data-pipeline extensions. Every oracle-
+checked query is engineered for engine-exact floats (integral aggregates,
+bounded IEEE expression arithmetic, deterministic tiebreaks); sketch
+queries whose hash families are not SQL-expressible (splitmix64) have no
+oracle and get the driver's rows-only check — their error bounds are
+asserted in pytest instead. The parity-CMS queries DO have SQL oracles:
+DuckDB recomputes the mathematical sketch definition under the same affine
+hash family, so the correctness gate verifies the entire distributed
+build + merge numerically.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# CMS geometry shared by Spark queries and DuckDB oracles
+CMS_DEPTH, CMS_WIDTH, CMS_SEED = 4, 509, 12345
+MINHASH_PERM, MINHASH_SEED, MINHASH_BANDS = 16, 1, 4
+TOPK = 10
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _order_part_triples(spark, sf_dir) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_orderkey").alias("row_id"),
+                     F.col("l_partkey").alias("col_id"),
+                     F.col("l_quantity").alias("value"))
+
+
+def _doc_tokens(spark, sf_dir) -> DataFrame:
+    from mahout_spark.functions.text import explode_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return explode_tokens(docs.select("doc_id", "lang", "text"),
+                          "doc_id", "text").join(
+        _read(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+
+
+TOKSRC_SQL = None  # set lazily (needs tokens_array_sql)
+
+
+def _toksrc_sql() -> str:
+    from mahout_spark.functions.text import tokens_array_sql
+
+    return (f"SELECT doc_id, lang, unnest({tokens_array_sql('text')}) AS token "
+            f"FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: distributed parity-CMS build over document
+
+    tokens, point-frequency estimates for the 25 head tokens."""
+    return _q_cms_point_frequency(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# sketch queries
+# ---------------------------------------------------------------------------
+
+
+def _q_cms_point_frequency(spark, sf_dir) -> DataFrame:
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    sk = sketch_by_key(toks.withColumn("__g", F.lit(0)), ["__g"], spec,
+                       key_expr=md5_long60(F.col("token")),
+                       n_salt=4).drop("__g")
+    probe = (toks.groupBy("token").count()
+             .orderBy(F.desc("count"), "token").limit(25).select("token"))
+    return cms_point_lookup(sk, probe, md5_long60(F.col("token")))
+
+
+def _q_cms_cosine_lang(spark, sf_dir) -> DataFrame:
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import cms_pairwise
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    sk = sketch_by_key(toks, ["lang"], spec,
+                       key_expr=md5_long60(F.col("token")))
+    return cms_pairwise(sk, "lang", kind="cosine")
+
+
+def _q_cms_inner_lang(spark, sf_dir) -> DataFrame:
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import cms_pairwise
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    sk = sketch_by_key(toks, ["lang"], spec,
+                       key_expr=md5_long60(F.col("token")))
+    return cms_pairwise(sk, "lang", kind="inner")
+
+
+def _q_hll_distinct_tokens(spark, sf_dir) -> DataFrame:
+    from mahout_spark.sketch.agg import hll_spec, sketch_by_key
+    from mahout_spark.sketch.queries import sketch_eval
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = hll_spec(p=14, seed=1)
+    sk = sketch_by_key(toks, ["lang"], spec, key_col="token")
+    return (sketch_eval(sk, spec, "count", "distinct_est")
+            .select("lang", F.round("distinct_est", 2).alias("distinct_est")))
+
+
+def _q_tdigest_price_quantiles(spark, sf_dir) -> DataFrame:
+    from mahout_spark.sketch.agg import sketch_by_key, tdigest_spec
+    from mahout_spark.sketch.queries import sketch_eval
+
+    li = _read(spark, sf_dir, "lineitem")
+    spec = tdigest_spec(100.0)
+    sk = sketch_by_key(li, ["l_returnflag"], spec,
+                       value_col="l_extendedprice")
+    out = None
+    for q in (0.25, 0.5, 0.75):
+        o = sketch_eval(sk, spec, "quantile", "qv", args=(q,)) \
+            .select("l_returnflag", F.lit(q).alias("q"), "qv")
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def _q_kll_event_quantiles(spark, sf_dir) -> DataFrame:
+    from mahout_spark.sketch.agg import kll_spec, sketch_by_key
+    from mahout_spark.sketch.queries import sketch_eval
+
+    ev = _read(spark, sf_dir, "events")
+    spec = kll_spec(200, seed=5)
+    sk = sketch_by_key(ev, ["event_type"], spec, value_col="value")
+    out = None
+    for q in (0.1, 0.5, 0.9):
+        o = sketch_eval(sk, spec, "quantile", "qv", args=(q,)) \
+            .select("event_type", F.lit(q).alias("q"), "qv")
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def _q_bloom_token_filter(spark, sf_dir) -> DataFrame:
+    """BloomTokenFilter analog: keep only tokens in the head-1000 allowlist
+
+    (built as a Bloom sketch), count survivors per lang."""
+    from mahout_spark.sketch.agg import bloom_spec, sketch_global
+    from mahout_spark.sketch.queries import bloom_contains_lookup
+
+    toks = _doc_tokens(spark, sf_dir).persist()
+    head = (toks.groupBy("token").count()
+            .orderBy(F.desc("count"), "token").limit(1000).select("token"))
+    blob = sketch_global(head, bloom_spec(capacity=2000, fp_rate=0.001,
+                                          seed=2), key_col="token")
+    sk = spark.createDataFrame([(bytearray(blob),)], "sketch binary")
+    filtered = bloom_contains_lookup(sk, toks, F.xxhash64(F.col("token")))
+    return (filtered.filter(F.col("maybe_contains"))
+            .groupBy("lang").agg(F.count("*").alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence / similarity / recommender
+# ---------------------------------------------------------------------------
+
+
+def _q_cooccurrence_topk(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.cooccurrence import cooccurrence_counts
+    from mahout_spark.operators.topk import topk_per_group
+
+    inter = _order_part_triples(spark, sf_dir).select(
+        "row_id", "col_id").distinct()
+    cooc = cooccurrence_counts(inter)
+    return topk_per_group(cooc, ["item_a"], "n_ab", TOPK,
+                          tiebreak_cols=["item_b"])
+
+
+def _q_llr_item_similarity(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.cooccurrence import llr_item_similarity
+
+    triples = _order_part_triples(spark, sf_dir)
+    out = llr_item_similarity(triples, k=TOPK, downsample=False)
+    # rank on raw llr, emit 6dp-rounded (ln ulp differs across engines)
+    return out.withColumn("llr", F.round("llr", 6))
+
+
+def _q_rowsim_tanimoto(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.rowsim import row_similarity
+
+    return row_similarity(_order_part_triples(spark, sf_dir),
+                          measure="tanimoto", k=TOPK)
+
+
+def _q_rowsim_cosine(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.rowsim import row_similarity
+
+    return row_similarity(_order_part_triples(spark, sf_dir),
+                          measure="cosine", k=TOPK)
+
+
+def _q_recommend_cooc(spark, sf_dir) -> DataFrame:
+    """User-based recommend with cooccurrence-count similarity (integer
+
+    weights → engine-exact weighted averages)."""
+    from mahout_spark.operators.recommender import (nearest_n_neighborhood,
+                                                    recommend)
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").alias("pref")))
+    a = prefs.select(F.col("item_id").alias("__i"),
+                     F.col("user_id").alias("user_a"))
+    b = prefs.select(F.col("item_id").alias("__i"),
+                     F.col("user_id").alias("user_b"))
+    sims = (a.join(b, "__i").filter(F.col("user_a") != F.col("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.count("*").cast("double").alias("sim")))
+    nb = nearest_n_neighborhood(sims, 10)
+    return recommend(prefs, nb, top_n=5, min_evidence=2)
+
+
+# ---------------------------------------------------------------------------
+# text / vectorization
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
+    from mahout_spark.functions.text import (content_fingerprint, detect_lang,
+                                             quality_score, token_count,
+                                             tokens_array)
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_array(t))).cast("long")
+        .alias("n_distinct"),
+        detect_lang(t).alias("lang_detected"),
+        quality_score(t).alias("quality"),
+        content_fingerprint(t).alias("fingerprint"))
+
+
+def _q_tfidf(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.vectorize import tfidf
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tfidf(docs, variant="mahout")
+
+
+def _q_bigram_collocations(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.vectorize import bigram_collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_collocations(docs, min_llr=1.0, min_count=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(spark, sf_dir, "documents"),
+                              "doc_id", "text")
+
+
+def _q_minhash_signatures(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_read(spark, sf_dir, "documents"),
+                              "doc_id", "text", num_perm=MINHASH_PERM,
+                              seed=MINHASH_SEED)
+
+
+def _q_simhash(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                               "doc_id", "text", threshold=0.2)
+
+
+def _q_ann_topk(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.ann import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return brute_force_topk(emb, queries, k=TOPK)
+
+
+def _q_embedding_neardup(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.ann import cosine_expr
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs.select("id_a", "id_b",
+                         cosine_expr(F.col("__va"), F.col("__vb"))
+                         .alias("cos"))
+            .filter(F.col("cos") >= 0.3))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cms_point_frequency": _q_cms_point_frequency,
+        "cms_cosine_lang": _q_cms_cosine_lang,
+        "cms_inner_lang": _q_cms_inner_lang,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "tdigest_price_quantiles": _q_tdigest_price_quantiles,
+        "kll_event_quantiles": _q_kll_event_quantiles,
+        "bloom_token_filter": _q_bloom_token_filter,
+        "cooccurrence_topk": _q_cooccurrence_topk,
+        "llr_item_similarity": _q_llr_item_similarity,
+        "rowsim_tanimoto": _q_rowsim_tanimoto,
+        "rowsim_cosine": _q_rowsim_cosine,
+        "recommend_cooc": _q_recommend_cooc,
+        "doc_token_stats": _q_doc_token_stats,
+        "tfidf": _q_tfidf,
+        "bigram_collocations": _q_bigram_collocations,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mahout_spark.functions.measures import llr_cooc_sql
+    from mahout_spark.functions.text import (content_fingerprint_sql,
+                                             detect_lang_sql,
+                                             quality_score_sql,
+                                             token_count_sql,
+                                             tokens_array_sql)
+    from mahout_spark.operators.ann import brute_force_topk_sql, cosine_sql
+    from mahout_spark.operators.dedup import (exact_dedup_groups_sql,
+                                              minhash_signatures_sql,
+                                              ngram_jaccard_pairs_sql,
+                                              simhash_sql)
+    from mahout_spark.operators.vectorize import (bigram_collocations_sql,
+                                                  tfidf_sql)
+    from mahout_spark.sketch.queries import (cms_pairwise_oracle_sql,
+                                             cms_point_oracle_sql)
+
+    toksrc = _toksrc_sql()
+    probe = (f"SELECT token FROM ({toksrc}) GROUP BY token "
+             f"ORDER BY count(*) DESC, token LIMIT 25")
+    llr = llr_cooc_sql("n_a", "n_b", "n_ab", "n_users")
+
+    cooc_sql = f"""
+WITH inter AS (SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+pairs AS (SELECT a.c AS item_a, b.c AS item_b, count(*) AS n_ab
+          FROM inter a JOIN inter b ON a.r = b.r AND a.c <> b.c GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY item_a ORDER BY n_ab DESC, item_b) AS rn FROM pairs)
+SELECT item_a, item_b, n_ab FROM ranked WHERE rn <= {TOPK}
+"""
+
+    llr_sql = f"""
+WITH inter AS (SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+nu AS (SELECT count(DISTINCT r) AS n_users FROM inter),
+ic AS (SELECT c, count(*) AS n FROM inter GROUP BY c),
+pairs AS (SELECT a.c AS item_a, b.c AS item_b, count(*) AS n_ab
+          FROM inter a JOIN inter b ON a.r = b.r AND a.c <> b.c GROUP BY 1, 2),
+scored AS (
+  SELECT item_a, item_b, n_ab,
+         ca.n AS n_a, cb.n AS n_b, (SELECT n_users FROM nu) AS n_users
+  FROM pairs JOIN ic ca ON ca.c = item_a JOIN ic cb ON cb.c = item_b),
+vals AS (SELECT item_a, item_b, n_ab, {llr} AS llr FROM scored),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY item_a ORDER BY llr DESC, item_b) AS rn FROM vals)
+SELECT item_a, item_b, n_ab, round(llr, 6) AS llr
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+    rowsim_tanimoto_sql = f"""
+WITH t AS (SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+sizes AS (SELECT r, count(*)::DOUBLE AS nz FROM t GROUP BY r),
+dots AS (SELECT a.r AS row_a, b.r AS row_b, count(*)::DOUBLE AS d
+         FROM t a JOIN t b ON a.c = b.c AND a.r <> b.r GROUP BY 1, 2),
+scored AS (SELECT row_a, row_b, d / (sa.nz + sb.nz - d) AS sim
+           FROM dots JOIN sizes sa ON sa.r = row_a
+                     JOIN sizes sb ON sb.r = row_b),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY row_a ORDER BY sim DESC, row_b) AS rn FROM scored)
+SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+    rowsim_cosine_sql = f"""
+WITH t AS (SELECT l_orderkey AS r, l_partkey AS c, (l_quantity)::DOUBLE AS v
+           FROM lineitem),
+norms AS (SELECT r, sum(v * v) AS nn FROM t GROUP BY r),
+dots AS (SELECT a.r AS row_a, b.r AS row_b, sum(a.v * b.v) AS d
+         FROM t a JOIN t b ON a.c = b.c AND a.r <> b.r GROUP BY 1, 2),
+scored AS (SELECT row_a, row_b, (d / (sqrt(na.nn) * sqrt(nb.nn))) AS sim
+           FROM dots JOIN norms na ON na.r = row_a
+                     JOIN norms nb ON nb.r = row_b),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY row_a ORDER BY sim DESC, row_b) AS rn FROM scored)
+SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+    recommend_sql = """
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+sims AS (SELECT a.u AS ua, b.u AS ub, count(*)::DOUBLE AS sim
+         FROM prefs a JOIN prefs b ON a.i = b.i AND a.u <> b.u GROUP BY 1, 2),
+nb AS (SELECT *, row_number() OVER (
+    PARTITION BY ua ORDER BY sim DESC, ub) AS rn FROM sims),
+cand AS (
+  SELECT nb.ua AS u, pr.i AS it, nb.sim, pr.p
+  FROM nb JOIN prefs pr ON pr.u = nb.ub
+  WHERE nb.rn <= 10
+    AND NOT EXISTS (SELECT 1 FROM prefs s WHERE s.u = nb.ua AND s.i = pr.i)),
+est AS (SELECT u, it, sum(sim * p) / sum(abs(sim)) AS score,
+               count(*) AS n FROM cand GROUP BY 1, 2),
+ranked AS (SELECT u, it, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, it) AS rn
+  FROM est WHERE n >= 2)
+SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
+"""
+
+    stats_sql = f"""
+SELECT doc_id,
+       ({token_count_sql('text')})::BIGINT AS n_tokens,
+       (len(list_distinct({tokens_array_sql('text')})))::BIGINT AS n_distinct,
+       {detect_lang_sql('text')} AS lang_detected,
+       {quality_score_sql('text')} AS quality,
+       {content_fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+    neardup_sql = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {cosine_sql('a.embedding', 'b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+"""
+
+    ann_queries = ("SELECT vec_id AS query_id, embedding FROM embeddings "
+                   "WHERE vec_id < 5")
+
+    return {
+        "cms_point_frequency": cms_point_oracle_sql(
+            toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
+        "cms_cosine_lang": cms_pairwise_oracle_sql(
+            toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="lang"),
+        "cms_inner_lang": cms_pairwise_oracle_sql(
+            toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="lang",
+            kind="inner"),
+        "cooccurrence_topk": cooc_sql,
+        "llr_item_similarity": llr_sql,
+        "rowsim_tanimoto": rowsim_tanimoto_sql,
+        "rowsim_cosine": rowsim_cosine_sql,
+        "recommend_cooc": recommend_sql,
+        "doc_token_stats": stats_sql,
+        "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
+                           variant="mahout"),
+        "bigram_collocations": bigram_collocations_sql(
+            "documents", min_llr=1.0, min_count=3),
+        "exact_dedup": exact_dedup_groups_sql("documents", "doc_id", "text"),
+        "minhash_signatures": minhash_signatures_sql(
+            "documents", "doc_id", "text", num_perm=MINHASH_PERM,
+            seed=MINHASH_SEED),
+        "simhash": simhash_sql("documents", "doc_id", "text"),
+        "ngram_jaccard": ngram_jaccard_pairs_sql(
+            "documents", "doc_id", "text", threshold=0.2),
+        "ann_topk": brute_force_topk_sql("embeddings", ann_queries, TOPK),
+        "embedding_neardup": neardup_sql,
+    }

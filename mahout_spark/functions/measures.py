@@ -111,20 +111,24 @@ class Measure:
 
 
 class CosineMeasure(Measure):
-    """normalize=L2-unit; similarity = dot of unit rows.
+    """cos = dots / (sqrt(normA)·sqrt(normB)), norm = Σv².
 
-    Reference: measures/CosineSimilarity.java:22-47.
+    Reference (measures/CosineSimilarity.java:22-47) pre-scales rows to
+    unit L2 and returns the raw dot; we compute the algebraically identical
+    post-normalized form — on integral inputs every intermediate is exact
+    in float64, so the DuckDB oracle matches bit-for-bit (pre-scaling would
+    make the dot a float sum whose order differs across engines).
     """
 
     def __init__(self):
-        super().__init__("cosine", binarize=False, l2_normalize=True,
+        super().__init__("cosine", binarize=False, l2_normalize=False,
                          norm_is_count=False)
 
     def similarity_expr(self, dots, norm_a, norm_b, n_cols):
-        return dots
+        return dots / (F.sqrt(norm_a) * F.sqrt(norm_b))
 
     def similarity_sql(self, dots, norm_a, norm_b, n_cols):
-        return dots
+        return f"({dots} / (sqrt({norm_a}) * sqrt({norm_b})))"
 
 
 class PearsonMeasure(Measure):

@@ -28,8 +28,11 @@ def _preprocess(triples: DataFrame, measure: Measure, row: str, col: str,
     df = triples.select(F.col(row).alias("row_id"), F.col(col).alias("col_id"),
                         F.col(val).cast("double").alias("value"))
     if measure.binarize:
-        df = df.withColumn("value", F.when(F.col("value") != 0, 1.0)
-                           .otherwise(0.0)).filter(F.col("value") != 0)
+        # matrix semantics: one cell per (row, col) — dedupe repeated
+        # observations (a DRM has no duplicate cells)
+        df = (df.filter(F.col("value") != 0)
+              .select("row_id", "col_id").distinct()
+              .withColumn("value", F.lit(1.0)))
     if measure.name == "pearson":
         w = Window.partitionBy("row_id")
         df = df.withColumn("value", F.col("value") - F.avg("value").over(w))
