@@ -1,0 +1,119 @@
+"""spark-submit job: CMS-build + top-K cosine over a web-page table.
+
+The north-star pipeline end-to-end (mirrors the reference CLI
+spark-itemsimilarity, drivers/ItemSimilarityDriver.scala:44-213):
+
+  pages(url, warc_ts, html, text, lang)
+    → tokenize (JVM explode)
+    → per-<group> CMS sketches (two-phase salted merge)  [--group]
+    → pairwise CMS cosine between groups                  → <out>/cms_cosine
+    → token top-K cosine item pairs (doc×token matrix)    → <out>/topk_pairs
+    → CMS point estimates for the head tokens             → <out>/cms_points
+  with per-shard lineage + resume via --checkpoint-dir.
+
+Usage:
+  spark-submit --py-files dist/mahout_spark.zip jobs/topk_cosine.py \
+      --input /data/webpages.parquet --output /tmp/out \
+      [--generate N] [--k 100] [--max-prefs 500] [--eps 1e-3]
+      [--delta 1e-2] [--group lang] [--checkpoint-dir DIR] [--cpus 32]
+
+Defaults mirror the reference: maxPrefs=500, top-K=100
+(ItemSimilarityDriver.scala:46-49).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="webpage parquet path")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate N synthetic pages instead of --input")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--max-prefs", type=int, default=500)
+    ap.add_argument("--eps", type=float, default=1e-3)
+    ap.add_argument("--delta", type=float, default=1e-2)
+    ap.add_argument("--group", default="lang")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--skip-itemsim", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from mahout_spark.functions.text import explode_tokens
+    from mahout_spark.operators.cooccurrence import llr_item_similarity
+    from mahout_spark.operators.rowsim import row_similarity
+    from mahout_spark.session import get_spark
+    from mahout_spark.sketch.agg import cms_spec, sketch_by_key
+    from mahout_spark.sketch.queries import cms_pairwise, cms_point_lookup
+    from mahout_spark.sources.webpages import generate_webpages
+
+    spark = get_spark("topk_cosine", master=f"local[{args.cpus}]",
+                      shuffle_partitions=max(args.cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.generate:
+        pages = generate_webpages(spark, args.generate, seed=args.seed)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    toks = explode_tokens(pages.select("url", args.group, "text"),
+                          "url", "text", token_col="token") \
+        .join(pages.select("url", args.group), "url")
+    toks = toks.persist()
+    n_docs = pages.count()
+
+    spec = cms_spec(eps=args.eps, delta=args.delta, seed=1)
+    if args.checkpoint_dir:
+        from mahout_spark.plans.checkpoint import CheckpointedSketchJob
+
+        job = CheckpointedSketchJob(spark, args.checkpoint_dir,
+                                    f"cms-{args.group}", n_shards=16)
+        sketches = job.run(toks, [args.group], spec, key_col="token",
+                           shard_key="url")
+    else:
+        sketches = sketch_by_key(toks, [args.group], spec, key_col="token",
+                                 n_salt=8)
+    sketches = sketches.persist()
+
+    cms_pairwise(sketches, args.group, kind="cosine") \
+        .write.mode("overwrite").parquet(f"{args.output}/cms_cosine")
+
+    head = (toks.groupBy("token").count()
+            .orderBy(F.desc("count"), "token").limit(100).select("token"))
+    glob = sketch_by_key(toks.withColumn("__g", F.lit(0)), ["__g"], spec,
+                         key_col="token", n_salt=8).drop("__g")
+    cms_point_lookup(glob, head, F.xxhash64(F.col("token"))) \
+        .write.mode("overwrite").parquet(f"{args.output}/cms_points")
+
+    if not args.skip_itemsim:
+        triples = toks.select(F.col("url").alias("row_id"),
+                              F.col("token").alias("col_id"))
+        sims = llr_item_similarity(triples, k=args.k,
+                                   max_interactions=args.max_prefs)
+        sims.write.mode("overwrite").parquet(f"{args.output}/topk_pairs")
+
+    wall = time.time() - t0
+    result = {"n_docs": n_docs, "wall_s": round(wall, 2),
+              "docs_per_sec": round(n_docs / wall, 1), "cpus": args.cpus}
+    print(json.dumps(result))
+    with open(f"{args.output}/RESULT.json", "w") as f:
+        json.dump(result, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

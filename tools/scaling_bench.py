@@ -1,0 +1,127 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 from
+
+N to 4N executors). No real cluster exists in this sandbox, so the same
+job runs on the same materialized input at local[8] and local[32] — 4x the
+cores — in fresh JVMs (subprocesses), and we report
+
+    scaling_efficiency = throughput(32) / (4 * throughput(8))
+                       = wall(8) / (4 * wall(32)).
+
+The input table is generated once (deterministic seed) and read by both
+runs; generation and JVM startup are excluded from the timed window
+(the job times itself after the read, RESULT.json).
+
+Usage: python tools/scaling_bench.py [--docs 40000] [--out BENCH]
+Writes <out>/BASELINE.md + scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def generate_input(docs: int, path: str, seed: int = 42) -> None:
+    sys.path.insert(0, REPO)
+    from mahout_spark.session import get_spark
+    from mahout_spark.sources.webpages import generate_webpages
+
+    spark = get_spark("gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_webpages(spark, docs, seed=seed, partitions=64) \
+        .write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_at(cpus: int, input_path: str, out: str, k: int,
+           max_prefs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "topk_cosine.py"),
+           "--input", input_path, "--output", out, "--cpus", str(cpus),
+           "--k", str(k), "--max-prefs", str(max_prefs)]
+    t0 = time.time()
+    subprocess.run(cmd, check=True, env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    total = time.time() - t0
+    with open(os.path.join(out, "RESULT.json")) as f:
+        r = json.load(f)
+    r["process_wall_s"] = round(total, 2)
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40_000)
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--max-prefs", type=int, default=200)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    ap.add_argument("--input", default="/tmp/scaling_pages.parquet")
+    args = ap.parse_args()
+
+    if not os.path.exists(args.input):
+        print(f"generating {args.docs} pages -> {args.input}", flush=True)
+        generate_input(args.docs, args.input)
+
+    runs = {}
+    for cpus in (8, 32):
+        print(f"running flagship at local[{cpus}] ...", flush=True)
+        runs[cpus] = run_at(cpus, args.input, f"/tmp/scaling_out_{cpus}",
+                            args.k, args.max_prefs)
+        print(f"  local[{cpus}]: {runs[cpus]}", flush=True)
+
+    eff = runs[8]["wall_s"] / (4.0 * runs[32]["wall_s"])
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    os.makedirs(args.out, exist_ok=True)
+    result = {
+        "n_docs": runs[8]["n_docs"],
+        "local8": runs[8], "local32": runs[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "git_sha": sha,
+    }
+    with open(os.path.join(args.out, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox protocol (no real cluster): identical flagship job
+(CMS-build per lang + pairwise CMS cosine + CMS head-token point queries +
+top-K LLR/cosine token pairs; jobs/topk_cosine.py) on the same
+deterministic input at local[8] vs local[32], fresh JVM per run, timing
+starts after session+read (RESULT.json written by the job itself).
+
+- input: {runs[8]['n_docs']} synthetic Common-Crawl-style pages
+  (sources/webpages.py, seed 42, Zipf domains/tokens), parquet at
+  `{args.input}`
+- git sha: {sha}
+
+| cores | job wall (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {runs[8]['wall_s']} | {runs[8]['docs_per_sec']} |
+| local[32] (4N) | {runs[32]['wall_s']} | {runs[32]['docs_per_sec']} |
+
+**scaling efficiency = wall(8) / (4 x wall(32)) =
+{result['scaling_efficiency']}** (target >= 0.8: {'PASS' if result['pass'] else 'FAIL'})
+
+Caveats vs a real 4x-executor scale-out: single-box memory bandwidth and a
+shared JVM heap make local[32] strictly harder than 4x separate executors;
+an efficiency near the target here understates cluster behavior, where the
+same partition-parallel plan (no driver-side loops, salted merges,
+AQE-coalesced shuffles) distributes without shared-resource contention.
+"""
+    with open(os.path.join(args.out, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
