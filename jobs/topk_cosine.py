@@ -69,12 +69,20 @@ def main(argv=None):
     else:
         pages = spark.read.parquet(args.input)
 
+    phases: dict[str, float] = {}
+
+    def mark(name: str, t_start: float) -> float:
+        now = time.time()
+        phases[name] = round(now - t_start, 2)
+        return now
+
     t0 = time.time()
     toks = explode_tokens(pages.select("url", args.group, "text"),
                           "url", "text", token_col="token") \
         .join(pages.select("url", args.group), "url")
     toks = toks.persist()
     n_docs = pages.count()
+    t = mark("tokenize_count", t0)
 
     spec = cms_spec(eps=args.eps, delta=args.delta, seed=1)
     if args.checkpoint_dir:
@@ -91,6 +99,7 @@ def main(argv=None):
 
     cms_pairwise(sketches, args.group, kind="cosine") \
         .write.mode("overwrite").parquet(f"{args.output}/cms_cosine")
+    t = mark("cms_build_cosine", t)
 
     head = (toks.groupBy("token").count()
             .orderBy(F.desc("count"), "token").limit(100).select("token"))
@@ -98,6 +107,7 @@ def main(argv=None):
                          key_col="token", n_salt=8).drop("__g")
     cms_point_lookup(glob, head, F.xxhash64(F.col("token"))) \
         .write.mode("overwrite").parquet(f"{args.output}/cms_points")
+    t = mark("cms_points", t)
 
     if not args.skip_itemsim:
         triples = toks.select(F.col("url").alias("row_id"),
@@ -105,10 +115,12 @@ def main(argv=None):
         sims = llr_item_similarity(triples, k=args.k,
                                    max_interactions=args.max_prefs)
         sims.write.mode("overwrite").parquet(f"{args.output}/topk_pairs")
+        t = mark("topk_pairs", t)
 
     wall = time.time() - t0
     result = {"n_docs": n_docs, "wall_s": round(wall, 2),
-              "docs_per_sec": round(n_docs / wall, 1), "cpus": args.cpus}
+              "docs_per_sec": round(n_docs / wall, 1), "cpus": args.cpus,
+              "phases": phases}
     print(json.dumps(result))
     with open(f"{args.output}/RESULT.json", "w") as f:
         json.dump(result, f)
