@@ -39,8 +39,12 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local mode = ONE JVM for all executor threads: size the heap for
+        # the core count or 32 threads thrash GC inside 8 GB. On a real
+        # cluster this maps to per-executor memory instead.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               f"{max(8, cores * 2)}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -41,7 +41,9 @@ def generate_input(docs: int, path: str, seed: int = 42) -> None:
 
 def run_at(cpus: int, input_path: str, out: str, k: int,
            max_prefs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # equal memory-per-core at both sizes (as a real N->4N scale-out would)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_DRIVER_MEM=f"{cpus * 3}g")
     cmd = [sys.executable, os.path.join(REPO, "jobs", "topk_cosine.py"),
            "--input", input_path, "--output", out, "--cpus", str(cpus),
            "--k", str(k), "--max-prefs", str(max_prefs)]
