@@ -132,6 +132,40 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
     return out
 
 
+def most_similar_users(sims: DataFrame, n: int) -> DataFrame:
+    """Top-N users by similarity per user (mostSimilarUserIDs,
+
+    GenericUserBasedRecommender.java:119-132)."""
+    return topk_per_group(sims, ["user_a"], "sim", n,
+                          tiebreak_cols=["user_b"])
+
+
+def ir_stats(recs: DataFrame, relevant: DataFrame, n: int) -> DataFrame:
+    """precision@N / recall@N (GenericRecommenderIRStatsEvaluator).
+
+    ``recs``: (user_id, item_id, score) top-N recommendations;
+    ``relevant``: (user_id, item_id) held-out relevant items.
+    Macro-averaged over users that have ≥1 relevant item.
+    """
+    rel_counts = relevant.groupBy("user_id").agg(
+        F.count("*").alias("__n_rel"))
+    hits = (recs.join(relevant.withColumn("__hit", F.lit(1)),
+                      ["user_id", "item_id"], "left")
+            .groupBy("user_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
+                 F.count("*").alias("__n_rec")))
+    per_user = (rel_counts.join(hits, "user_id", "left")
+                .select("user_id",
+                        (F.coalesce(F.col("__hits"), F.lit(0)) /
+                         F.least(F.lit(n), F.col("__n_rel")))
+                        .alias("precision_at_n"),
+                        (F.coalesce(F.col("__hits"), F.lit(0)) /
+                         F.col("__n_rel")).alias("recall_at_n")))
+    return per_user.agg(F.avg("precision_at_n").alias("precision"),
+                        F.avg("recall_at_n").alias("recall"),
+                        F.count("*").alias("n_users"))
+
+
 def kfold_split(prefs: DataFrame, k: int, seed: int = 11,
                 user: str = "user_id", item: str = "item_id") -> DataFrame:
     """Adds ``fold`` in [0, k) by deterministic hash of (user, item) —

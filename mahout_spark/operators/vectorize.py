@@ -108,6 +108,22 @@ def normalize_rows(vectors: DataFrame, p: float = 2.0,
     return vectors.withColumn(val_col, v / norm)
 
 
+def encoded_vectors(docs: DataFrame, dim: int = 1 << 12,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    seed: int = 0) -> DataFrame:
+    """Feature-hashing ('hash trick') vectors — EncodedVectorsFrom-
+
+    SequenceFiles / EncodingMapper: no dictionary, token -> bucket =
+    hash(token) mod dim; (doc_id, bucket, weight=count). The same trick
+    CMS itself uses, so collisions follow the CMS analysis.
+    """
+    toks = explode_tokens(docs, id_col, text_col)
+    bucket = F.pmod(F.xxhash64(F.col("token"), F.lit(seed)), F.lit(dim))
+    return (toks.withColumn("bucket", bucket)
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").cast("double").alias("weight")))
+
+
 def bigram_collocations(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", min_llr: float = 1.0,
                         min_count: int = 2) -> DataFrame:

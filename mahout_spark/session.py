@@ -45,6 +45,13 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                f"{max(8, cores * 2)}g"))
+        # shuffle/spill files on tmpfs when available — the sandbox's
+        # virtio disk serializes concurrent shuffle writers (cluster
+        # equivalent: executor-local NVMe)
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -1,0 +1,82 @@
+"""cmsconfig memoization, IR stats, encoded vectors, text IO edge cases."""
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.core.cms import cms_shape
+from mahout_spark.operators.recommender import ir_stats, most_similar_users
+from mahout_spark.operators.vectorize import encoded_vectors
+from mahout_spark.plans.cmsconfig import configure_groups
+
+
+def test_cms_config_table_memoizes(spark):
+    from mahout_spark.functions.text import explode_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = explode_tokens(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/cmsconfig"
+        cfg1 = configure_groups(spark, toks, "lang", "token",
+                                dataset="docs", q=0.5, table_path=path,
+                                max_width=1024).toPandas()
+        assert len(cfg1) == toks.select("lang").distinct().count()
+        # geometry consistent with the (delta, eps) formulas
+        for r in cfg1.itertuples():
+            d, w = cms_shape(r.eps, r.delta)
+            assert (d, w) == (r.depth, r.width)
+            assert r.u <= r.n
+        # second call: nothing recomputed, same rows
+        cfg2 = configure_groups(spark, toks, "lang", "token",
+                                dataset="docs", q=0.5, table_path=path,
+                                max_width=1024).toPandas()
+        assert len(cfg2) == len(cfg1)
+        a = cfg1.sort_values("group_key").reset_index(drop=True)
+        b = cfg2.sort_values("group_key").reset_index(drop=True)
+        assert (a["width"] == b["width"]).all()
+
+
+def test_ir_stats(spark):
+    recs = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 0.9), (1, 12, 0.8),
+         (2, 20, 1.0), (2, 21, 0.9)],
+        "user_id long, item_id long, score double")
+    relevant = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77)],
+        "user_id long, item_id long")
+    row = ir_stats(recs, relevant, n=3).collect()[0]
+    # user1: hits 2 of min(3, 3 relevant) -> p=2/3, recall 2/3
+    # user2: hits 0 -> p=0, recall 0
+    assert abs(row["precision"] - (2 / 3 + 0) / 2) < 1e-12
+    assert abs(row["recall"] - (2 / 3 + 0) / 2) < 1e-12
+    assert row["n_users"] == 2
+
+
+def test_most_similar_users(spark):
+    sims = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.5), (1, 4, 0.7), (2, 1, 0.9)],
+        "user_a long, user_b long, sim double")
+    top = most_similar_users(sims, 2).toPandas()
+    u1 = top[top["user_a"] == 1].sort_values("sim", ascending=False)
+    assert list(u1["user_b"]) == [2, 4]
+
+
+def test_encoded_vectors_hash_trick(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(50)
+    v = encoded_vectors(docs, dim=256)
+    pdf = v.toPandas()
+    assert (pdf["bucket"] >= 0).all() and (pdf["bucket"] < 256).all()
+    # total mass = total token count (hashing never drops tokens)
+    from mahout_spark.functions.text import token_count
+
+    total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert pdf["weight"].sum() == total
+    # deterministic
+    pdf2 = encoded_vectors(docs, dim=256).toPandas()
+    a = pdf.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    b = pdf2.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    assert (a["weight"] == b["weight"]).all()
