@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-itemsim", action="store_true")
+    ap.add_argument("--llr-itemsim", action="store_true",
+                    help="also run the exact LLR cooccurrence top-K")
+    ap.add_argument("--head-items", type=int, default=1000,
+                    help="head tokens given CMS context profiles for the "
+                         "top-K cosine pair search")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -110,12 +115,28 @@ def main(argv=None):
     t = mark("cms_points", t)
 
     if not args.skip_itemsim:
+        # the CosineCM flagship: CMS context profile per head token
+        # (token/url co-occurrence vectors) -> top-K CMS-cosine pairs
+        from mahout_spark.sketch.agg import cms_spec_shape, sketch_per_group
+        from mahout_spark.sketch.queries import cms_topk_cosine
+
+        head_items = (toks.groupBy("token").count()
+                      .orderBy(F.desc("count"), "token")
+                      .limit(args.head_items).select("token"))
+        profiles = sketch_per_group(
+            toks.join(F.broadcast(head_items), "token"), ["token"],
+            cms_spec_shape(4, 512, seed=2), key_col="url")
+        pairs = cms_topk_cosine(profiles, "token", k=args.k)
+        pairs.write.mode("overwrite").parquet(f"{args.output}/topk_pairs")
+        t = mark("topk_pairs", t)
+
+    if args.llr_itemsim:
         triples = toks.select(F.col("url").alias("row_id"),
                               F.col("token").alias("col_id"))
         sims = llr_item_similarity(triples, k=args.k,
                                    max_interactions=args.max_prefs)
-        sims.write.mode("overwrite").parquet(f"{args.output}/topk_pairs")
-        t = mark("topk_pairs", t)
+        sims.write.mode("overwrite").parquet(f"{args.output}/llr_pairs")
+        t = mark("llr_pairs", t)
 
     wall = time.time() - t0
     result = {"n_docs": n_docs, "wall_s": round(wall, 2),

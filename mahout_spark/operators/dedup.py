@@ -66,19 +66,31 @@ def exact_dedup_groups_sql(table: str, id_col: str, text_col: str) -> str:
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 16, shingle_n: int = 3,
-                       seed: int = 1) -> DataFrame:
-    """(id, sig_0..sig_{P-1}) — MinHash over word-shingle md5 hashes.
+                       seed: int = 1, family: str = "parity") -> DataFrame:
+    """(id, sig_0..sig_{P-1}) — MinHash over word shingles.
 
-    One explode + one groupBy carrying P min() aggregates; the affine
-    permutation params are driver-generated literals (deterministic).
+    One explode + one groupBy carrying P min() aggregates. Two hash
+    families, same estimator guarantees:
+
+    - ``parity``: md5-derived 60-bit key + affine permutations with
+      driver-generated literal params — decimal(38) arithmetic, exactly
+      replayable in DuckDB (the oracle path);
+    - ``fast``: P independent ``xxhash64(shingle, perm_seed)`` draws —
+      pure JVM long ops (~several x faster); k independent hash functions
+      are the textbook MinHash construction.
+
     Docs with no shingles are dropped (nothing to hash).
     """
-    params = minhash_params(num_perm, seed)
     sh = (df.select(F.col(id_col).alias("__id"),
                     F.explode(shingles_array(F.col(text_col), shingle_n))
                     .alias("__s"))
-          .distinct()
-          .withColumn("__h", md5_long60(F.col("__s"))))
+          .distinct())
+    if family == "fast":
+        aggs = [F.min(F.xxhash64(F.col("__s"), F.lit(seed * 1_000_003 + i)))
+                .alias(f"sig_{i}") for i in range(num_perm)]
+        return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+    params = minhash_params(num_perm, seed)
+    sh = sh.withColumn("__h", md5_long60(F.col("__s")))
     aggs = [F.min(affine_minhash(F.col("__h"), a, b)).alias(f"sig_{i}")
             for i, (a, b) in enumerate(params)]
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
@@ -135,12 +147,14 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         num_perm: int = 16, bands: int = 4,
                         shingle_n: int = 3, seed: int = 1,
                         threshold: float = 0.7,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000,
+                        family: str = "fast") -> DataFrame:
     """(id_a, id_b, est_jaccard) — LSH candidates scored by signature
 
     agreement (fraction of equal minhash components), thresholded.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n,
+                              seed, family=family)
     sigs = sigs.persist()
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket)
     sa = sigs.select(F.col(id_col).alias("id_a"),

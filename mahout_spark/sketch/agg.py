@@ -47,7 +47,15 @@ from mahout_spark.core.tdigest import TDigest
 
 @dataclass(frozen=True)
 class SketchSpec:
-    """How to build / update / merge one sketch kind."""
+    """How to build / update / merge one sketch kind.
+
+    ``preagg``: how the JVM can compress rows before Arrow transfer —
+    'sum' (linear sketch: groupBy(key).sum(weight) feeds weighted
+    updates), 'distinct' (idempotent sketch: duplicate keys are no-ops),
+    or None (order/value-sensitive: raw rows required). At web scale this
+    is the single biggest lever: the JVM partial aggregation collapses a
+    token stream ~100-1000x before any Python/Arrow cost is paid.
+    """
 
     kind: str
     make: Callable[[], object]
@@ -55,6 +63,7 @@ class SketchSpec:
     update: Callable[[object, np.ndarray, np.ndarray], None]
     needs_key: bool
     needs_value: bool
+    preagg: str | None = None
 
     def deserialize(self, blob: bytes):
         return {
@@ -68,7 +77,7 @@ def cms_spec(eps: float = 0.001, delta: float = 0.01, seed: int = 1) -> SketchSp
         "cms",
         make=lambda: CountMinSketch.from_error_bound(eps, delta, seed),
         update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
-        needs_key=True, needs_value=False)
+        needs_key=True, needs_value=False, preagg="sum")
 
 
 def cms_spec_shape(depth: int, width: int, seed: int = 1,
@@ -84,14 +93,14 @@ def cms_spec_shape(depth: int, width: int, seed: int = 1,
         make=lambda: CountMinSketch(depth=depth, width=width, seed=seed,
                                     parity=parity),
         update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
-        needs_key=True, needs_value=False)
+        needs_key=True, needs_value=False, preagg="sum")
 
 
 def hll_spec(p: int = 14, seed: int = 1, sparse_limit: int = 4096) -> SketchSpec:
     return SketchSpec(
         "hll", make=lambda: HyperLogLog(p=p, seed=seed, sparse_limit=sparse_limit),
         update=lambda s, k, v: s.update_batch(k),
-        needs_key=True, needs_value=False)
+        needs_key=True, needs_value=False, preagg="distinct")
 
 
 def bloom_spec(capacity: int = 100_000, fp_rate: float = 0.01,
@@ -99,7 +108,7 @@ def bloom_spec(capacity: int = 100_000, fp_rate: float = 0.01,
     return SketchSpec(
         "bloom", make=lambda: BloomFilter.from_capacity(capacity, fp_rate, seed),
         update=lambda s, k, v: s.add_batch(k),
-        needs_key=True, needs_value=False)
+        needs_key=True, needs_value=False, preagg="distinct")
 
 
 def tdigest_spec(compression: float = 100.0) -> SketchSpec:
@@ -156,8 +165,21 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
     if value_col:
         sel.append(F.col(value_col).cast("double").alias("__val"))
     slim = df.select(*sel)
-
     gnames = list(group_cols)
+
+    # JVM map-side combine BEFORE any Arrow transfer: a linear sketch only
+    # needs (key, total weight); an idempotent sketch only needs distinct
+    # keys. At token-stream scale this shrinks the Python-bound data by
+    # orders of magnitude and is the direct analog of the reference's
+    # per-partition dense accumulators (SparkEngine.scala:44-82).
+    if spec.preagg == "sum" and key_col:
+        agg = (F.sum("__val") if value_col else
+               F.count("*").cast("double")).alias("__val")
+        slim = slim.groupBy(*gnames, "__key").agg(agg)
+    elif spec.preagg == "distinct" and key_col:
+        slim = slim.select(*gnames, "__key").distinct()
+    has_val = "__val" in slim.columns
+
     out_fields = [slim.schema[g] for g in gnames]
     partial_schema = StructType(out_fields + [StructField("sketch", BinaryType())])
 
@@ -171,7 +193,7 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
                     gkey = (gkey,)
                 s = spec.make()
                 keys = sub["__key"].to_numpy(dtype=np.int64) if key_col else None
-                vals = sub["__val"].to_numpy(dtype=np.float64) if value_col else None
+                vals = sub["__val"].to_numpy(dtype=np.float64) if has_val else None
                 spec.update(s, keys, vals)
                 rows.append((*gkey, s.serialize()))
             yield pd.DataFrame(rows, columns=gnames + ["sketch"])
@@ -205,6 +227,57 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
 
     return partials.groupBy(*gnames).applyInPandas(merge_group,
                                                    schema=partial_schema)
+
+
+def sketch_per_group(df: DataFrame, group_cols: list[str], spec: SketchSpec,
+                     key_col: str | None = None, value_col: str | None = None,
+                     key_expr: F.Column | None = None) -> DataFrame:
+    """One sketch per group via direct ``groupBy().applyInPandas`` — the
+
+    right shape for MANY small groups (per-user / per-item profiles, the
+    CosineCM ``groupBy(user).applyInPandas(build_cms)`` mapping). The
+    two-phase ``sketch_by_key`` shape is for FEW groups over massive
+    streams, where per-partition partials + salted merges pay off; here a
+    group fits one task, so partials would only multiply blob traffic.
+    JVM pre-aggregation still applies before the group shuffle.
+    """
+    if spec.needs_key:
+        assert key_col or key_expr is not None
+
+    gnames = list(group_cols)
+    sel = [F.col(c) for c in gnames]
+    if key_expr is not None:
+        sel.append(key_expr.cast("long").alias("__key"))
+        key_col = "__key"
+    elif key_col:
+        kc = df.schema[key_col].dataType.simpleString()
+        ke = (F.xxhash64(F.col(key_col)) if kc in ("string", "binary")
+              else F.col(key_col).cast("long"))
+        sel.append(ke.alias("__key"))
+    if value_col:
+        sel.append(F.col(value_col).cast("double").alias("__val"))
+    slim = df.select(*sel)
+    if spec.preagg == "sum" and key_col:
+        agg = (F.sum("__val") if value_col else
+               F.count("*").cast("double")).alias("__val")
+        slim = slim.groupBy(*gnames, "__key").agg(agg)
+    elif spec.preagg == "distinct" and key_col:
+        slim = slim.select(*gnames, "__key").distinct()
+    has_val = "__val" in slim.columns
+
+    out_fields = [slim.schema[g] for g in gnames]
+    schema = StructType(out_fields + [StructField("sketch", BinaryType())])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = spec.make()
+        keys = pdf["__key"].to_numpy(dtype=np.int64) if key_col else None
+        vals = pdf["__val"].to_numpy(dtype=np.float64) if has_val else None
+        spec.update(s, keys, vals)
+        head = pdf.iloc[[0]][gnames].copy()
+        head["sketch"] = [s.serialize()]
+        return head
+
+    return slim.groupBy(*gnames).applyInPandas(build, schema=schema)
 
 
 def sketch_global(df: DataFrame, spec: SketchSpec, key_col: str | None = None,

@@ -171,6 +171,80 @@ def cms_pairwise(sketch_df: DataFrame, group_col: str,
     return pairs.mapInPandas(run, schema=schema)
 
 
+def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
+                    exclude_self: bool = True) -> DataFrame:
+    """(item, neighbor, cms_cosine) — top-K CMS-cosine neighbors per item.
+
+    The CosineCM flagship (CosineCM.java:84-96 scaled out): every item's
+    CMS profile is compared against all others. The full profile matrix
+    (n_items × depth·width float32) is broadcast to executors once; each
+    task computes its partition's rows against the matrix with one BLAS
+    matmul per depth row and takes per-item top-K with argpartition —
+    vectorized, embarrassingly parallel, no pair shuffle at all.
+
+    Broadcast budget: n_items · depth · width · 4 bytes (e.g. 10k items ×
+    4×512 → 80 MB). Beyond that, block both sides (ABt-style block join);
+    this implementation covers the head-item regime the recommender
+    actually queries.
+    """
+    rows = sketch_df.select(group_col, "sketch").collect()
+    ids = [r[group_col] for r in rows]
+    mats = []
+    depth = None
+    for r in rows:
+        s = CountMinSketch.deserialize(bytes(r["sketch"]))
+        depth = s.depth
+        mats.append(s.counts.astype(np.float32).reshape(-1))
+    profile = np.stack(mats)  # (n, depth*width)
+    n, dw = profile.shape
+    width = dw // depth
+    # pre-normalize each depth row so cosine = plain dot
+    prof3 = profile.reshape(n, depth, width)
+    norms = np.linalg.norm(prof3, axis=2, keepdims=True)
+    norms[norms == 0] = 1.0
+    prof3n = prof3 / norms
+    spark = sketch_df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, prof3n))
+
+    idx_df = spark.createDataFrame(
+        [(i,) for i in range(n)], "row_idx int").repartition(
+        max(2, spark.sparkContext.defaultParallelism))
+
+    gtype = sketch_df.schema[group_col].dataType.simpleString()
+    schema = f"item {gtype}, neighbor {gtype}, cms_cosine double"
+
+    def topk_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, mat = bc.value  # (n, depth, width), unit rows
+        nn = mat.shape[0]
+        flat = mat.reshape(nn, -1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx = pdf["row_idx"].to_numpy()
+            block = mat[idx]  # (b, depth, width)
+            # per-depth cosines: (b, n) per depth; min over depths
+            sims = None
+            for d in range(depth):
+                s = block[:, d, :] @ mat[:, d, :].T
+                sims = s if sims is None else np.minimum(sims, s)
+            out_i, out_j, out_v = [], [], []
+            for bi, i in enumerate(idx):
+                row = sims[bi]
+                if exclude_self:
+                    row[i] = -np.inf
+                kk = min(k, nn - (1 if exclude_self else 0))
+                cand = np.argpartition(-row, kk - 1)[:kk]
+                order = cand[np.argsort(-row[cand], kind="stable")]
+                for j in order:
+                    out_i.append(all_ids[i])
+                    out_j.append(all_ids[int(j)])
+                    out_v.append(float(row[int(j)]))
+            yield pd.DataFrame({"item": out_i, "neighbor": out_j,
+                                "cms_cosine": out_v})
+
+    return idx_df.mapInPandas(topk_block, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL builders for the parity CMS
 # ---------------------------------------------------------------------------
