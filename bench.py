@@ -31,28 +31,33 @@ def _noop_consume(df):
 
 
 def bench_cms_build_topk_cosine(spark, sf_dir):
-    """North-star flagship: CMS sketches per lang (fast splitmix hashing)
+    """North-star flagship: per-lang CMS sketches + pairwise CMS cosine +
 
-    + pairwise CMS cosine + per-item top-K cosine over token cooccurrence."""
+    per-head-token CMS context profiles -> top-K CMS-cosine item pairs
+    (the CosineCM flow at corpus scale)."""
     from pyspark.sql import functions as F
 
-    from mahout_spark.functions.text import explode_tokens
-    from mahout_spark.operators.cooccurrence import llr_item_similarity
-    from mahout_spark.sketch.agg import cms_spec, sketch_by_key
-    from mahout_spark.sketch.queries import cms_pairwise
+    from mahout_spark.functions.text import tokens_array
+    from mahout_spark.sketch.agg import (cms_spec, cms_spec_shape,
+                                         sketch_by_key, sketch_per_group)
+    from mahout_spark.sketch.queries import cms_pairwise, cms_topk_cosine
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    toks = explode_tokens(docs, "doc_id", "text").join(
-        docs.select("doc_id", "lang"), "doc_id")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(tokens_array(F.col("text"))).alias("token")).persist()
     sk = sketch_by_key(toks, ["lang"], cms_spec(eps=0.001, delta=0.01),
                        key_col="token", n_salt=4)
     _noop_consume(cms_pairwise(sk, "lang", kind="cosine"))
-    sims = llr_item_similarity(
-        toks.select(F.col("doc_id").alias("row_id"),
-                    F.col("token").alias("col_id")),
-        k=10, downsample=True, max_interactions=200)
-    _noop_consume(sims)
-    return docs.count()
+    head = (toks.groupBy("token").count()
+            .orderBy(F.desc("count"), "token").limit(1000).select("token"))
+    profiles = sketch_per_group(
+        toks.join(F.broadcast(head), "token"), ["token"],
+        cms_spec_shape(4, 512, seed=2), key_col="doc_id")
+    _noop_consume(cms_topk_cosine(profiles, "token", k=10))
+    n = docs.count()
+    toks.unpersist()
+    return n
 
 
 def bench_llr_itemsim_lineitem(spark, sf_dir):

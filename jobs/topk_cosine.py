@@ -82,10 +82,11 @@ def main(argv=None):
         return now
 
     t0 = time.time()
-    toks = explode_tokens(pages.select("url", args.group, "text"),
-                          "url", "text", token_col="token") \
-        .join(pages.select("url", args.group), "url")
-    toks = toks.persist()
+    from mahout_spark.functions.text import tokens_array
+
+    toks = pages.select(
+        "url", args.group,
+        F.explode(tokens_array(F.col("text"))).alias("token")).persist()
     n_docs = pages.count()
     t = mark("tokenize_count", t0)
 

@@ -113,6 +113,69 @@ def signs_expr(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id: str = "query_id",
+             max_iter: int = 10) -> DataFrame:
+    """IVF: k-means coarse quantizer → probe the n_probe nearest cells →
+
+    exact cosine re-rank inside them. The quantizer trains on the corpus
+    (Spark MLlib KMeans, seeded); at 10^12 rows train on a deterministic
+    sample and persist the cell assignment as a partition column so probes
+    prune at the source. Recall grows with n_probe (n_probe = n_cells →
+    brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
+    model = km.fit(train)
+    centers = np.stack([c.toArray() for c in model.clusterCenters()])
+
+    def cell_expr(vec: Column) -> Column:
+        # nearest centroid by squared L2, as literal expressions
+        best_d, best_i = None, None
+        for i, c in enumerate(centers):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(vec.cast("array<double>"), carr,
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            if best_d is None:
+                best_d, best_i = d, F.lit(i)
+            else:
+                best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
+                best_d = F.least(d, best_d)
+        return best_i
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      cell_expr(F.col(vec_col)).alias("__cell"))
+
+    # queries probe their n_probe nearest cells (driver-side tiny math)
+    qpd = queries.toPandas()
+    qrows = []
+    for r in qpd.itertuples():
+        qv = np.asarray(getattr(r, vec_col), dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            qrows.append((getattr(r, query_id), list(map(float, qv)),
+                          int(cell)))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        qrows, f"{query_id} long, __qv array<double>, __cell int")
+
+    cand = c.join(F.broadcast(q), "__cell")
+    scored = cand.select(
+        query_id, "neighbor_id",
+        cosine_expr(F.col("__qv"), F.col("__cv")).alias("score")).distinct()
+    return topk_per_group(scored, [query_id], "score", k,
+                          tiebreak_cols=["neighbor_id"])
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, seed: int = 7, probe_bits: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",

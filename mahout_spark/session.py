@@ -29,6 +29,12 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
     if master.startswith("local["):
         inner = master[6:-1]
         cores = os.cpu_count() if inner == "*" else int(inner)
+    # one python worker per task slot already saturates the cores — a
+    # 32-thread BLAS/OMP pool PER WORKER (the numpy default on this host)
+    # oversubscribes cores*32 threads during matmul-heavy kernels
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -52,6 +58,14 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
                 os.environ.get("SPARK_GRAFT_LOCAL_DIR",
                                "/dev/shm/spark-local"
                                if os.path.isdir("/dev/shm") else "/tmp"))
+        # tell the JVM how many cores this local[N] session actually owns:
+        # otherwise GC/JIT/ForkJoin pools are sized for ALL host vCPUs and
+        # allocation-heavy (string/tokenize) stages anti-scale (measured
+        # 13.9s -> 9.8s at local[16] on a 32-vCPU host). On a real cluster
+        # the resource manager pins executor cores, so this is implicit.
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cores} "
+                + os.environ.get("SPARK_GRAFT_JVM_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
