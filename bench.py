@@ -45,7 +45,7 @@ def bench_cms_build_topk_cosine(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     toks = docs.select(
         "doc_id", "lang",
-        F.explode(tokens_array(F.col("text"))).alias("token")).persist()
+        F.explode(tokens_array(F.col("text"))).alias("token"))
     sk = sketch_by_key(toks, ["lang"], cms_spec(eps=0.001, delta=0.01),
                        key_col="token", n_salt=4)
     _noop_consume(cms_pairwise(sk, "lang", kind="cosine"))

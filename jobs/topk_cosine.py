@@ -84,9 +84,13 @@ def main(argv=None):
     t0 = time.time()
     from mahout_spark.functions.text import tokens_array
 
+    # NOT persisted: caching a deserialized token stream convoys on the
+    # memory store at high thread counts (measured 13s -> 78-143s), and at
+    # corpus scale you can't cache exploded tokens anyway — recomputing the
+    # narrow scan+split pipeline per consumer is the production pattern.
     toks = pages.select(
         "url", args.group,
-        F.explode(tokens_array(F.col("text"))).alias("token")).persist()
+        F.explode(tokens_array(F.col("text"))).alias("token"))
     n_docs = pages.count()
     t = mark("tokenize_count", t0)
 

@@ -45,12 +45,14 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode = ONE JVM for all executor threads: size the heap for
-        # the core count or 32 threads thrash GC inside 8 GB. On a real
-        # cluster this maps to per-executor memory instead.
+        # Keep the local-mode heap MODEST. Measured on this sandbox
+        # (Firecracker VM, ~5 GB/s memory): a 48g heap triggers kernel-time
+        # storms (lazy heap growth page-zeroing) with intermittent
+        # 40-250s whole-JVM stalls at local[16]; 12g is stable and faster
+        # ([33,30,35]s vs [40,78,247]s on the flagship). On a real cluster
+        # this maps to per-executor memory, which is likewise modest.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                               f"{max(8, cores * 2)}g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         # shuffle/spill files on tmpfs when available — the sandbox's
         # virtio disk serializes concurrent shuffle writers (cluster
         # equivalent: executor-local NVMe)

@@ -41,9 +41,10 @@ def generate_input(docs: int, path: str, seed: int = 42) -> None:
 
 def run_at(cpus: int, input_path: str, out: str, k: int,
            max_prefs: int) -> dict:
-    # equal memory-per-core at both sizes (as a real N->4N scale-out would)
+    # same modest heap at both sizes (mirrors per-executor memory on a
+    # real cluster; oversized heaps stall this VM — see session.py)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_DRIVER_MEM=f"{cpus * 3}g")
+               SPARK_GRAFT_DRIVER_MEM="12g")
     cmd = [sys.executable, os.path.join(REPO, "jobs", "topk_cosine.py"),
            "--input", input_path, "--output", out, "--cpus", str(cpus),
            "--k", str(k), "--max-prefs", str(max_prefs)]
