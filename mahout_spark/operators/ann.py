@@ -133,7 +133,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(vec_col).cast("array<double>")).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
     model = km.fit(train)
-    centers = np.stack([c.toArray() for c in model.clusterCenters()])
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
     def cell_expr(vec: Column) -> Column:
         # nearest centroid by squared L2, as literal expressions

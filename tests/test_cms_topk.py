@@ -44,8 +44,10 @@ def test_topk_matches_pairwise(spark, profiles):
     for r in ref.itertuples():
         sym[(r.a, r.b)] = r.cms_cosine
         sym[(r.b, r.a)] = r.cms_cosine
+    n_items = len({r.a for r in ref.itertuples()} |
+                  {r.b for r in ref.itertuples()})
     items = sorted({r.item for r in fast.itertuples()})
-    assert len(items) == 40
+    assert len(items) == n_items > 10
     for item in items:
         got = fast[fast["item"] == item]
         assert len(got) == k
