@@ -214,6 +214,64 @@ def _q_rowsim_cosine(spark, sf_dir) -> DataFrame:
                           measure="cosine", k=TOPK)
 
 
+def _q_rowsim_euclidean(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.rowsim import row_similarity
+
+    return row_similarity(_order_part_triples(spark, sf_dir),
+                          measure="euclidean", k=TOPK)
+
+
+def _q_rowsim_cityblock(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.rowsim import row_similarity
+
+    return row_similarity(_order_part_triples(spark, sf_dir),
+                          measure="cityblock", k=TOPK)
+
+
+def _q_cross_similarity_llr(spark, sf_dir) -> DataFrame:
+    """A'B cross-occurrence: parts vs suppliers sharing orders (the
+
+    purchase-vs-view shape of ItemSimilarityDriver's two inputs)."""
+    from mahout_spark.operators.cooccurrence import llr_cross_similarity
+
+    li = _read(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("row_id"),
+                  F.col("l_partkey").alias("col_id"))
+    b = li.select(F.col("l_orderkey").alias("row_id"),
+                  F.col("l_suppkey").alias("col_id"))
+    out = llr_cross_similarity(a, b, k=TOPK, max_interactions=10 ** 9)
+    return out.withColumn("llr", F.round("llr", 6))
+
+
+def _q_ata_gramian(spark, sf_dir) -> DataFrame:
+    """A'A Gramian in long form over the order×part quantity matrix."""
+    from mahout_spark.operators.drm import ata
+
+    li = _read(spark, sf_dir, "lineitem")
+    triples = (li.groupBy(F.col("l_orderkey").alias("row_id"),
+                          F.col("l_partkey").alias("col_id"))
+               .agg(F.sum("l_quantity").alias("value")))
+    g = ata(triples)
+    return g.select(F.col("row_id").alias("part_a"),
+                    F.col("col_id").alias("part_b"),
+                    F.col("value").alias("gram"))
+
+
+def _q_feature_hashing(spark, sf_dir) -> DataFrame:
+    """Hash-trick vectors with the SQL-replayable md5 bucket (the
+
+    EncodedVectors operator; production path uses xxhash64)."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.functions.text import explode_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = explode_tokens(docs, "doc_id", "text")
+    return (toks.withColumn("bucket", F.pmod(md5_long60(F.col("token")),
+                                             F.lit(256)))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("weight")))
+
+
 def _q_recommend_cooc(spark, sf_dir) -> DataFrame:
     """User-based recommend with cooccurrence-count similarity (integer
 
@@ -347,8 +405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_token_filter": _q_bloom_token_filter,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "llr_item_similarity": _q_llr_item_similarity,
+        "cross_similarity_llr": _q_cross_similarity_llr,
         "rowsim_tanimoto": _q_rowsim_tanimoto,
         "rowsim_cosine": _q_rowsim_cosine,
+        "rowsim_euclidean": _q_rowsim_euclidean,
+        "rowsim_cityblock": _q_rowsim_cityblock,
+        "ata_gramian": _q_ata_gramian,
+        "feature_hashing": _q_feature_hashing,
         "recommend_cooc": _q_recommend_cooc,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
@@ -437,6 +500,71 @@ ranked AS (SELECT *, row_number() OVER (
 SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
 """
 
+    cross_llr_sql = f"""
+WITH a AS (SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+b AS (SELECT DISTINCT l_orderkey AS r, l_suppkey AS c FROM lineitem),
+nu AS (SELECT count(DISTINCT r) AS n_users FROM a),
+ca AS (SELECT c, count(*) AS n_a FROM a GROUP BY c),
+cb AS (SELECT c, count(*) AS n_b FROM b GROUP BY c),
+pairs AS (SELECT a.c AS item_a, b.c AS item_b, count(*) AS n_ab
+          FROM a JOIN b ON a.r = b.r GROUP BY 1, 2),
+scored AS (
+  SELECT item_a, item_b, n_ab, ca.n_a, cb.n_b,
+         (SELECT n_users FROM nu) AS n_users
+  FROM pairs JOIN ca ON ca.c = item_a JOIN cb ON cb.c = item_b),
+vals AS (SELECT item_a, item_b, n_ab, {llr} AS llr FROM scored),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY item_a ORDER BY llr DESC, item_b) AS rn FROM vals)
+SELECT item_a, item_b, n_ab, round(llr, 6) AS llr
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+    rowsim_euclid_sql = f"""
+WITH t AS (SELECT l_orderkey AS r, l_partkey AS c, (l_quantity)::DOUBLE AS v
+           FROM lineitem),
+norms AS (SELECT r, sum(v * v) AS nn FROM t GROUP BY r),
+dots AS (SELECT a.r AS row_a, b.r AS row_b, sum(a.v * b.v) AS d
+         FROM t a JOIN t b ON a.c = b.c AND a.r <> b.r GROUP BY 1, 2),
+scored AS (SELECT row_a, row_b,
+                  1.0 / (1.0 + sqrt(greatest(0.0, na.nn - 2.0*d + nb.nn)))
+                  AS sim
+           FROM dots JOIN norms na ON na.r = row_a
+                     JOIN norms nb ON nb.r = row_b),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY row_a ORDER BY sim DESC, row_b) AS rn FROM scored)
+SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+    rowsim_cityblock_sql = f"""
+WITH t AS (SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+sizes AS (SELECT r, count(*)::DOUBLE AS nz FROM t GROUP BY r),
+dots AS (SELECT a.r AS row_a, b.r AS row_b, count(*)::DOUBLE AS d
+         FROM t a JOIN t b ON a.c = b.c AND a.r <> b.r GROUP BY 1, 2),
+scored AS (SELECT row_a, row_b,
+                  1.0 / (1.0 + sa.nz + sb.nz - 2.0*d) AS sim
+           FROM dots JOIN sizes sa ON sa.r = row_a
+                     JOIN sizes sb ON sb.r = row_b),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY row_a ORDER BY sim DESC, row_b) AS rn FROM scored)
+SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+    ata_sql = """
+WITH t AS (SELECT l_orderkey AS r, l_partkey AS c, sum(l_quantity) AS v
+           FROM lineitem GROUP BY 1, 2)
+SELECT a.c AS part_a, b.c AS part_b, sum(a.v * b.v) AS gram
+FROM t a JOIN t b ON a.r = b.r GROUP BY 1, 2
+"""
+
+    from mahout_spark.functions.hashutil import md5_long60_sql as _md5sql
+
+    feature_hashing_sql = f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_array_sql('text')}) AS token
+             FROM documents)
+SELECT doc_id, ({_md5sql('token')}) % 256 AS bucket, count(*) AS weight
+FROM tok GROUP BY 1, 2
+"""
+
     recommend_sql = """
 WITH prefs AS (
   SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
@@ -488,8 +616,13 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.3
             kind="inner"),
         "cooccurrence_topk": cooc_sql,
         "llr_item_similarity": llr_sql,
+        "cross_similarity_llr": cross_llr_sql,
         "rowsim_tanimoto": rowsim_tanimoto_sql,
         "rowsim_cosine": rowsim_cosine_sql,
+        "rowsim_euclidean": rowsim_euclid_sql,
+        "rowsim_cityblock": rowsim_cityblock_sql,
+        "ata_gramian": ata_sql,
+        "feature_hashing": feature_hashing_sql,
         "recommend_cooc": recommend_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
