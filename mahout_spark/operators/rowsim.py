@@ -57,8 +57,11 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
     """
     m = MEASURES[measure]
     df = _preprocess(triples, m, row, col, val)
-    if n_cols is None:
+    if n_cols is None and measure == "loglikelihood":
+        # only the LLR contingency needs the column count — don't pay a
+        # distinct-count action for the other measures
         n_cols = df.select("col_id").distinct().count()
+    n_cols = n_cols or 0
     df = df.persist()
 
     # row norms: L0 (nnz) for count-based measures, sum(v^2) otherwise —

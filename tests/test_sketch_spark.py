@@ -145,6 +145,20 @@ class TestOtherSketches:
                                   args=(q,)).collect()[0]["qv"]
                 assert abs(got - want) / span < 0.02, (spec.kind, q, got, want)
 
+    def test_hll_tracks_spark_builtin(self, spark, tokens):
+        # cross-check vs approx_count_distinct (Spark's own HLL++):
+        # both within 5% of exact, hence within ~10% of each other
+        sk = sketch_by_key(tokens, ["lang"], hll_spec(p=14, seed=1),
+                           key_col="token")
+        ours = {r["lang"]: r["est"] for r in
+                sketch_eval(sk, hll_spec(p=14, seed=1), "count",
+                            "est").collect()}
+        spark_est = {r["lang"]: r["e"] for r in tokens.groupBy("lang").agg(
+            F.approx_count_distinct("token", 0.02).alias("e")).collect()}
+        for lang in ours:
+            rel = abs(ours[lang] - spark_est[lang]) / spark_est[lang]
+            assert rel < 0.10, (lang, ours[lang], spark_est[lang])
+
     def test_bloom_no_false_negatives(self, spark, tokens):
         spec = bloom_spec(capacity=20_000, fp_rate=0.01, seed=2)
         blob = sketch_global(tokens, spec, key_col="token")
