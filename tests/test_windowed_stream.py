@@ -1,0 +1,58 @@
+"""Stateful windowed sketch stream: closed windows match batch builds."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.core.tdigest import TDigest
+from mahout_spark.sketch.agg import tdigest_spec
+from mahout_spark.streaming.windowed import windowed_sketch_stream
+
+
+@pytest.mark.slow
+def test_windowed_tdigest_matches_batch(spark):
+    # events across 3 hourly windows, 2 groups
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rng_vals = [float(v) for v in range(600)]
+    for i, v in enumerate(rng_vals):
+        rows.append((base + pd.Timedelta(minutes=(i % 170)),
+                     "a" if i % 2 == 0 else "b", v))
+    pdf = pd.DataFrame(rows, columns=["ts", "etype", "value"])
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "ts timestamp, etype string, value double").parquet(src)
+        spec = tdigest_spec(100.0)
+        out = windowed_sketch_stream(stream, spec, "ts", "etype",
+                                     value_col="value", window="1 hour",
+                                     watermark="0 seconds")
+        q = (out.writeStream.format("parquet")
+             .option("path", os.path.join(tmp, "out"))
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(tmp, "out")).collect()
+
+    # watermark 0s + availableNow: windows before max-event-time close.
+    # Windows 0 and 1 must have emitted; compare medians to batch t-digests.
+    closed = {(r["w_start"].hour, r["grp"]): TDigest.deserialize(
+        bytes(r["sketch"])) for r in got}
+    assert len(closed) >= 2
+    for (hour, grp), digest in closed.items():
+        want_vals = pdf[(pdf["ts"].dt.hour == hour)
+                        & (pdf["etype"] == grp)]["value"]
+        batch = TDigest(100.0)
+        import numpy as np
+
+        batch.update_batch(want_vals.to_numpy())
+        assert digest.count == batch.count
+        if digest.count > 0:
+            assert abs(digest.quantile(0.5) - batch.quantile(0.5)) <= \
+                (want_vals.max() - want_vals.min() + 1) * 0.05
