@@ -365,6 +365,20 @@ def _q_ngram_jaccard(spark, sf_dir) -> DataFrame:
                                "doc_id", "text", threshold=0.2)
 
 
+def _q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """Banded LSH candidates scored by signature agreement — the full
+
+    minhash dedup path (8 bands x 2 rows so the sf0.01 corpus yields
+    candidates; bucket cap disabled so the oracle is exact)."""
+    from mahout_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_read(spark, sf_dir, "documents"),
+                               "doc_id", "text", num_perm=MINHASH_PERM,
+                               bands=8, seed=MINHASH_SEED,
+                               threshold=0.125, max_bucket=10 ** 9,
+                               family="parity")
+
+
 def _q_ann_topk(spark, sf_dir) -> DataFrame:
     from mahout_spark.operators.ann import brute_force_topk
 
@@ -418,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_collocations": _q_bigram_collocations,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -603,6 +618,32 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
+    sigs_sql = minhash_signatures_sql("documents", "doc_id", "text",
+                                      num_perm=MINHASH_PERM,
+                                      seed=MINHASH_SEED)
+    n_bands, rows_pb = 8, MINHASH_PERM // 8
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS b, md5(concat_ws(',', {cols})) AS bh "
+        "FROM sigs".format(
+            b=b, cols=", ".join(
+                f"sig_{b * rows_pb + r}::VARCHAR" for r in range(rows_pb)))
+        for b in range(n_bands))
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_PERM))
+    minhash_lsh_sql = f"""
+WITH sigs AS ({sigs_sql}),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM bands a JOIN bands b2
+           ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+eq AS (SELECT id_a, id_b, ({eq_terms}) AS n_eq
+       FROM cand JOIN sigs sa ON sa.doc_id = cand.id_a
+                 JOIN sigs sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, n_eq / {float(MINHASH_PERM)} AS est_jaccard
+FROM eq WHERE n_eq / {float(MINHASH_PERM)} >= 0.125
+"""
+
     ann_queries = ("SELECT vec_id AS query_id, embedding FROM embeddings "
                    "WHERE vec_id < 5")
 
@@ -633,6 +674,7 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.3
         "minhash_signatures": minhash_signatures_sql(
             "documents", "doc_id", "text", num_perm=MINHASH_PERM,
             seed=MINHASH_SEED),
+        "minhash_lsh_pairs": minhash_lsh_sql,
         "simhash": simhash_sql("documents", "doc_id", "text"),
         "ngram_jaccard": ngram_jaccard_pairs_sql(
             "documents", "doc_id", "text", threshold=0.2),
