@@ -163,18 +163,29 @@ def content_fingerprint_sql(text: str) -> str:
     return (f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))")
 
 
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """array of word n-gram shingles from an ALREADY MATERIALIZED token
+
+    array column (project `tokens_array(text)` first — expressions that
+    reference a raw tokenizer expr inline and re-evaluate it per element).
+    Per-position element_at lookups, JVM-side, no UDF.
+    """
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    ).otherwise(F.array())
+
+
 def shingles_array(text: Column, n: int = 3) -> Column:
     """array of word n-gram shingles ('a b c') — MinHash/Jaccard input.
 
-    Built with zip-shift over the token array: JVM-side, no UDF.
+    Convenience form over raw text; hot paths should project
+    ``tokens_array(text)`` once and use ``shingles_from_tokens``.
     """
-    toks = tokens_array(text)
-    if n == 1:
-        return toks
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(F.size(toks) >= n, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    ).otherwise(F.array())
+    return shingles_from_tokens(tokens_array(text), n)
 
 
 def shingles_array_sql(text: str, n: int = 3) -> str:

@@ -32,7 +32,8 @@ from mahout_spark.functions.hashutil import (MERSENNE61, affine_minhash,
 from mahout_spark.functions.text import (content_fingerprint,
                                          content_fingerprint_sql,
                                          shingles_array, shingles_array_sql,
-                                         tokens_array, tokens_array_sql)
+                                         shingles_from_tokens, tokens_array,
+                                         tokens_array_sql)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -82,8 +83,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Docs with no shingles are dropped (nothing to hash).
     """
     sh = (df.select(F.col(id_col).alias("__id"),
-                    F.explode(shingles_array(F.col(text_col), shingle_n))
-                    .alias("__s"))
+                    tokens_array(F.col(text_col)).alias("__toks"))
+          .select("__id", F.explode(
+              shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__s"))
           .distinct())
     if family == "fast":
         aggs = [F.min(F.xxhash64(F.col("__s"), F.lit(seed * 1_000_003 + i)))
@@ -187,9 +189,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     minhash_dedup_pairs and reserve this as the verifier on candidates.
     """
     sh = (df.select(F.col(id_col).alias("__id"),
-                    F.explode(F.array_distinct(
-                        shingles_array(F.col(text_col), shingle_n)))
-                    .alias("__s")))
+                    tokens_array(F.col(text_col)).alias("__toks"))
+          .select("__id", F.explode(F.array_distinct(
+              shingles_from_tokens(F.col("__toks"), shingle_n)))
+              .alias("__s")))
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("__id").alias("id_a"), "__s")
     b = sh.select(F.col("__id").alias("id_b"), "__s")
