@@ -148,6 +148,8 @@ def main():
         out = fn(spark, SF_DIR)
         dt = time.time() - t0
         times[name] = round(dt, 3)
+        spark.catalog.clearCache()  # persists from one bench must not
+        # occupy memory / skew the next entry
         if name == "cms_build_topk_cosine":
             n_docs = out or 0
             flagship_sec = dt
