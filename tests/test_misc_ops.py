@@ -80,3 +80,30 @@ def test_encoded_vectors_hash_trick(spark):
     a = pdf.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     b = pdf2.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
     assert (a["weight"] == b["weight"]).all()
+
+
+def test_normalize_rows_and_dictionary(spark):
+    import numpy as np
+
+    from mahout_spark.operators.vectorize import (build_dictionary,
+                                                  normalize_rows,
+                                                  term_counts, tfidf)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(40)
+    w = tfidf(docs, variant="mahout")
+    norm = normalize_rows(w, p=2.0, val_col="weight").toPandas()
+    sums = norm.groupby("doc_id")["weight"].apply(
+        lambda s: float((s ** 2).sum()))
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-9)
+
+    tc = term_counts(docs)
+    d = build_dictionary(tc).toPandas().sort_values("token_id")
+    assert list(d["token_id"]) == list(range(len(d)))
+    # ordered by (df desc, token)
+    dfs = list(d["df"])
+    assert dfs == sorted(dfs, reverse=True)
+
+    # mllib + tf variants compute
+    for v in ("mllib", "tf"):
+        assert tfidf(docs, variant=v).count() > 0

@@ -104,3 +104,22 @@ def test_tokenizer_stays_jvm(spark):
     docs = spark.read.parquet(DOCS)
     plan = plan_of(tfidf(docs))
     assert "Python" not in plan
+
+
+def test_sketch_preagg_happens_before_python(spark):
+    """Linear sketches must compress JVM-side (groupBy key) BEFORE the
+    Arrow/Python boundary — the 100TB lever."""
+    from mahout_spark.functions.text import explode_tokens
+    from mahout_spark.sketch.agg import cms_spec, sketch_by_key
+
+    docs = spark.read.parquet(DOCS)
+    toks = explode_tokens(docs, "doc_id", "text")
+    sk = sketch_by_key(toks.withColumn("g", F.lit(0)), ["g"],
+                       cms_spec(0.01, 0.05), key_col="token")
+    plan = plan_of(sk)
+    # the partial/final HashAggregate pair (JVM pre-agg) must appear
+    # below (= printed after) MapInPandas in the tree
+    assert "MapInPandas" in plan and "HashAggregate" in plan
+    first_python = plan.index("MapInPandas")
+    assert "HashAggregate" in plan[first_python:], \
+        "JVM pre-aggregation missing under the Python stage"
