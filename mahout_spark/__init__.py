@@ -13,7 +13,8 @@ idiomatic PySpark DataFrame + Arrow engine:
 - ``mahout_spark.functions``  column-expression builders (text, vectors,
                               similarity measures, hashing)
 - ``mahout_spark.sources``    web-page table generator + catalog IO
-- ``mahout_spark.streaming``  checkpoint/lineage + streaming sketch builds
+- ``mahout_spark.plans``      checkpoint/lineage/resume + CMS auto-config
+- ``mahout_spark.streaming``  incremental + windowed streaming sketches
 
 Design stance (SURVEY.md §7): DataFrame-first, Catalyst does the planning;
 Python only in vectorized Arrow batches; sketches are binary columns merged

@@ -107,3 +107,45 @@ def test_normalize_rows_and_dictionary(spark):
     # mllib + tf variants compute
     for v in ("mllib", "tf"):
         assert tfidf(docs, variant=v).count() > 0
+
+
+def test_privacy_config_to_sketch_flow(spark):
+    """The CosineCM privacy flow end-to-end: per-group (delta,eps) from the
+    F-measure search -> per-group CMS at that geometry -> point estimates
+    within each group's own eps*N bound (the north star's 'estimates
+    within eps*N @ 1-delta')."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mahout_spark.functions.text import explode_tokens
+    from mahout_spark.plans.cmsconfig import configure_groups
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_per_group
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = explode_tokens(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id").persist()
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = configure_groups(spark, toks, "lang", "token", "docs", q=0.5,
+                               table_path=f"{tmp}/cfg",
+                               max_width=2048).toPandas()
+    for r in cfg.itertuples():
+        grp = toks.filter(F.col("lang") == r.group_key)
+        sk = sketch_per_group(grp.withColumn("g", F.lit(0)), ["g"],
+                              cms_spec_shape(r.depth, r.width, seed=3),
+                              key_col="token")
+        exact = {x["token"]: x["count"] for x in
+                 grp.groupBy("token").count().collect()}
+        n_total = sum(exact.values())
+        probe = grp.groupBy("token").count().orderBy(
+            F.desc("count"), "token").limit(50).select("token")
+        est = cms_point_lookup(sk.drop("g"), probe,
+                               F.xxhash64(F.col("token"))).collect()
+        eps = r.eps
+        over = sum(1 for e in est
+                   if e["cms_estimate"] > exact[e["token"]] + eps * n_total)
+        under = sum(1 for e in est if e["cms_estimate"] < exact[e["token"]])
+        assert under == 0
+        # overestimates beyond eps*N allowed at rate < delta (plus slack)
+        assert over <= max(1, int((r.delta + 0.05) * len(est))), \
+            (r.group_key, over, len(est), r.delta)
