@@ -157,6 +157,23 @@ def _q_kll_event_quantiles(spark, sf_dir) -> DataFrame:
     return out
 
 
+def _q_windowed_tdigest_events(spark, sf_dir) -> DataFrame:
+    """Event-time daily windows × event_type → t-digest median of value —
+
+    the batch shape of streaming/windowed.py's stateful operator."""
+    from mahout_spark.sketch.agg import sketch_by_key, tdigest_spec
+    from mahout_spark.sketch.queries import sketch_eval
+
+    ev = _read(spark, sf_dir, "events")
+    spec = tdigest_spec(100.0)
+    w = ev.withColumn("w_start",
+                      F.window(F.col("ts"), "1 day").getField("start"))
+    sk = sketch_by_key(w, ["w_start", "event_type"], spec, value_col="value")
+    return (sketch_eval(sk, spec, "quantile", "median", args=(0.5,))
+            .select("w_start", "event_type", F.round("median", 4)
+                    .alias("median")))
+
+
 def _q_bloom_token_filter(spark, sf_dir) -> DataFrame:
     """BloomTokenFilter analog: keep only tokens in the head-1000 allowlist
 
@@ -417,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_quantiles": _q_kll_event_quantiles,
         "bloom_token_filter": _q_bloom_token_filter,
+        "windowed_tdigest_events": _q_windowed_tdigest_events,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "llr_item_similarity": _q_llr_item_similarity,
         "cross_similarity_llr": _q_cross_similarity_llr,
