@@ -318,6 +318,31 @@ def _q_recommend_cooc(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_recommend_cms(spark, sf_dir) -> DataFrame:
+    """The fork's flagship end-to-end: per-user CMS profiles → CMS-cosine
+
+    user similarity → top-N recommendations whose preference estimates
+    are CMS point queries (no oracle — sketch estimates; bounds covered
+    in pytest)."""
+    from mahout_spark.operators.recommender import (cms_user_similarity,
+                                                    nearest_n_neighborhood,
+                                                    recommend_cms,
+                                                    user_cms_profiles)
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 100)
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").alias("pref")))
+    profiles = user_cms_profiles(prefs, depth=5, width=1024, seed=7)
+    sims = cms_user_similarity(profiles)
+    nb = nearest_n_neighborhood(sims, 10)
+    return recommend_cms(prefs, profiles, nb, top_n=5, min_evidence=2,
+                         cap_range=(0.0, 200.0))
+
+
 def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
     from mahout_spark.functions.text import (content_fingerprint, detect_lang,
                                              quality_score, token_count,
@@ -445,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ata_gramian": _q_ata_gramian,
         "feature_hashing": _q_feature_hashing,
         "recommend_cooc": _q_recommend_cooc,
+        "recommend_cms": _q_recommend_cms,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,

@@ -132,6 +132,47 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
     return out
 
 
+def recommend_cms(prefs: DataFrame, profiles: DataFrame,
+                  neighborhood: DataFrame, top_n: int = 10,
+                  min_evidence: int = 2, user: str = "user_id",
+                  item: str = "item_id",
+                  cap_range: tuple[float, float] | None = None) -> DataFrame:
+    """The fork's CMS branch of doEstimatePreference
+
+    (GenericUserBasedRecommender.java:139-159): candidate items come from
+    neighbors' interaction lists, but the neighbor's preference VALUE is
+    the CMS point query ``cm.get(itemID)`` against the neighbor's sketch
+    (0 ⇒ treated as missing, :156-158). Distributed shape: neighborhood ×
+    neighbor-items join → per-(neighbor, item) CMS lookup (Arrow batch,
+    sketch deserialized once per neighbor) → similarity-weighted average.
+    """
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    nb = neighborhood.select(F.col("user_a").alias("__u"),
+                             F.col("user_b").alias(user), "sim")
+    items = prefs.select(F.col(user), F.col(item).alias("__it")).distinct()
+    cand = nb.join(items, user)  # (target __u, neighbor user, item, sim)
+    seen = prefs.select(F.col(user).alias("__u"),
+                        F.col(item).alias("__it")).distinct()
+    cand = cand.join(seen, ["__u", "__it"], "left_anti")
+    est = cms_point_lookup(profiles, cand, F.col("__it").cast("long"),
+                           join_cols=[user], out_col="__pref")
+    est = est.filter(F.col("__pref") > 0)  # 0 ⇒ missing, reference :158
+    scored = (est.groupBy("__u", "__it")
+              .agg((F.sum(F.col("sim") * F.col("__pref"))
+                    / F.sum(F.abs(F.col("sim")))).alias("score"),
+                   F.count("*").alias("__n"))
+              .filter(F.col("__n") >= min_evidence))
+    if cap_range is not None:
+        lo, hi = cap_range
+        scored = scored.withColumn("score", F.least(
+            F.lit(float(hi)), F.greatest(F.lit(float(lo)), F.col("score"))))
+    return topk_per_group(
+        scored.select(F.col("__u").alias("user_id"),
+                      F.col("__it").alias("item_id"), "score"),
+        ["user_id"], "score", top_n, tiebreak_cols=["item_id"])
+
+
 def most_similar_users(sims: DataFrame, n: int) -> DataFrame:
     """Top-N users by similarity per user (mostSimilarUserIDs,
 

@@ -83,3 +83,28 @@ def test_kfold_evaluation_runs(prefs):
     row = evaluate_fold(train, test, n_neighbors=15).collect()[0]
     assert row["n_scored"] > 0
     assert row["mae"] > 0 and row["rmse"] >= row["mae"]
+
+
+def test_recommend_cms_tracks_exact(spark, prefs):
+    """The CMS branch (preference = cm.get(item)) reproduces exact
+    recommend when the sketch is wide (few collisions)."""
+    from mahout_spark.operators.recommender import (recommend_cms,
+                                                    user_cms_profiles)
+
+    small = prefs.filter(F.col("user_id") < 60)
+    sims = exact_user_similarity(small).filter(F.col("n") >= 1)
+    nb = nearest_n_neighborhood(sims, 8)
+
+    exact = recommend(small, nb, top_n=5, min_evidence=1).toPandas()
+    profiles = user_cms_profiles(small, depth=5, width=4096, seed=7)
+    approx = recommend_cms(small, profiles, nb, top_n=5,
+                           min_evidence=1).toPandas()
+
+    e = {(r.user_id, r.item_id): r.score for r in exact.itertuples()}
+    a = {(r.user_id, r.item_id): r.score for r in approx.itertuples()}
+    common = set(e) & set(a)
+    assert len(common) >= 0.8 * len(e)
+    for k in common:
+        # CMS estimates can only inflate preferences
+        assert a[k] >= e[k] - 1e-9
+        assert a[k] <= e[k] * 1.5 + 1e-9  # wide CMS -> few collisions
