@@ -562,7 +562,8 @@ SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
     cross_llr_sql = f"""
 WITH a AS (SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
 b AS (SELECT DISTINCT l_orderkey AS r, l_suppkey AS c FROM lineitem),
-nu AS (SELECT count(DISTINCT r) AS n_users FROM a),
+nu AS (SELECT count(*) AS n_users
+       FROM (SELECT r FROM a UNION SELECT r FROM b)),
 ca AS (SELECT c, count(*) AS n_a FROM a GROUP BY c),
 cb AS (SELECT c, count(*) AS n_b FROM b GROUP BY c),
 pairs AS (SELECT a.c AS item_a, b.c AS item_b, count(*) AS n_ab
@@ -637,7 +638,7 @@ cand AS (
   FROM nb JOIN prefs pr ON pr.u = nb.ub
   WHERE nb.rn <= 10
     AND NOT EXISTS (SELECT 1 FROM prefs s WHERE s.u = nb.ua AND s.i = pr.i)),
-est AS (SELECT u, it, sum(sim * p) / sum(abs(sim)) AS score,
+est AS (SELECT u, it, sum(sim * p) / sum(sim) AS score,
                count(*) AS n FROM cand GROUP BY 1, 2),
 ranked AS (SELECT u, it, score, row_number() OVER (
     PARTITION BY u ORDER BY score DESC, it) AS rn

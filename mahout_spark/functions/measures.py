@@ -60,8 +60,15 @@ def llr_cooc_expr(n_a: Column, n_b: Column, n_ab: Column,
     k12 = n_a - n_ab
     k21 = n_b - n_ab
     k22 = n_total - n_a - n_b + n_ab
-    return llr_expr(k11.cast("double"), k12.cast("double"),
-                    k21.cast("double"), k22.cast("double"))
+    # a negative cell means the caller's n_total is not a true universe
+    # size (e.g. N from A only while B has extra rows) — surface it as an
+    # error instead of letting xlogx clamp it into a silently-wrong LLR
+    guard = F.when(k22 < 0, F.raise_error(F.concat(
+        F.lit("llr_cooc_expr: k22 < 0 (n_total smaller than "
+              "|rows(A) ∪ rows(B)|): "), k22.cast("string"))))
+    return F.coalesce(guard.cast("double"),
+                      llr_expr(k11.cast("double"), k12.cast("double"),
+                               k21.cast("double"), k22.cast("double")))
 
 
 LLR_COOC_SQL = """

@@ -55,7 +55,8 @@ def sample_down_and_binarize(triples: DataFrame, seed: int = 0xDEADBEEF,
 
 def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
                         col: str = "col_id",
-                        include_self: bool = False) -> DataFrame:
+                        include_self: bool = False,
+                        exact_row_join: bool = False) -> DataFrame:
     """A'A in long form: (item_a, item_b, n_ab) for items sharing a row.
 
     One ordered pair per direction (a != b unless include_self) so per-item
@@ -63,10 +64,17 @@ def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
 
     The self-join key is pre-hashed to a long when rows are string-keyed
     (urls): the row id never reaches the output, and a 64-bit join key cuts
-    sort/probe cost ~1.5x at web scale (measured).
+    sort/probe cost ~1.5x at web scale (measured). This is an accepted
+    approximation: two distinct rows colliding in xxhash64 merge their
+    item sets, inflating n_ab for their items' pairs. By birthday bound the
+    probability of ANY collision among n rows is ~n^2/2^65 — at n = 10^9
+    rows that is ~3%, at the gate's <10^6 rows it is <3e-8. Pass
+    ``exact_row_join=True`` to keep the exact string join (the
+    oracle-checked gate paths use integer keys, which are always exact).
     """
     rtype = interactions.schema[row].dataType.simpleString()
-    rkey = (F.xxhash64(F.col(row)) if rtype in ("string", "binary")
+    rkey = (F.xxhash64(F.col(row))
+            if rtype in ("string", "binary") and not exact_row_join
             else F.col(row))
     a = interactions.select(rkey.alias("__r"), F.col(col).alias("item_a"))
     b = interactions.select(rkey.alias("__r"), F.col(col).alias("item_b"))
@@ -119,14 +127,20 @@ def llr_cross_similarity(triples_a: DataFrame, triples_b: DataFrame,
                          max_interactions: int = 500) -> DataFrame:
     """A'B cross-cooccurrence (e.g. purchase vs view): for each item_a of A,
 
-    top-K items of B by LLR. numUsers comes from A's rows (the reference
-    uses drmA.nrow for both, SimilarityAnalysis.scala:80-112).
+    top-K items of B by LLR. numUsers is the distinct row count over the
+    UNION of A's and B's rows: the reference uses drmA.nrow for both
+    (SimilarityAnalysis.scala:80-112) because its inputs share one row
+    space, but when B carries rows absent from A (possible via
+    --filter2 on separately filtered text input) drmA.nrow makes
+    k22 = N - n_a - n_b + n_ab negative and the xlogx clamp silently
+    yields a wrong LLR. Union-N guarantees k22 >= 0 and equals the
+    reference exactly whenever rows(B) ⊆ rows(A).
     """
     a = sample_down_and_binarize(triples_a, seed, max_interactions,
                                  max_interactions, row, col).persist()
     b = sample_down_and_binarize(triples_b, seed, max_interactions,
                                  max_interactions, row, col).persist()
-    n_users = a.select(row).distinct().count()
+    n_users = (a.select(row).union(b.select(row)).distinct().count())
     counts_a = a.groupBy(col).agg(F.count("*").alias("n_a"))
     counts_b = b.groupBy(col).agg(F.count("*").alias("n_b"))
     rtype = a.schema[row].dataType.simpleString()

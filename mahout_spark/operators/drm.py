@@ -367,7 +367,7 @@ def sample_k_rows(a: DataFrame, k: int, seed: int = 42) -> DataFrame:
 
 
 def map_block(a: DataFrame, ncol: int, block_fn, out_ncol: int | None = None,
-              rows_per_block: int = 1024) -> DataFrame:
+              rows_per_block: int = 1024, nrow: int | None = None) -> DataFrame:
     """mapBlock(ncol){(keys, block) => (keys, block)} — the reference's UDF
 
     workhorse (OpMapBlock, DrmLikeOps.scala:68-75) as Arrow batches.
@@ -376,9 +376,19 @@ def map_block(a: DataFrame, ncol: int, block_fn, out_ncol: int | None = None,
     receives a dense (rows x ncol) NumPy block per row-group and returns
     the transformed block (out_ncol columns). Rows are grouped into blocks
     by a hash bucket of row_id so block membership is deterministic.
+
+    ``rows_per_block`` bounds the EXPECTED rows per dense block: the hash
+    bucket count is ``ceil(nrow / rows_per_block)`` so executor memory per
+    block stays ~rows_per_block x ncol doubles regardless of matrix height.
+    Pass ``nrow`` when known; otherwise it is estimated with a cheap
+    approx_count_distinct scan (±5% is fine — it only sizes buckets).
     """
     out_ncol = out_ncol or ncol
-    bucket = F.pmod(F.xxhash64(F.col("row_id")), F.lit(rows_per_block))
+    if nrow is None:
+        nrow = a.agg(F.approx_count_distinct("row_id").alias("n")) \
+                .first()["n"]
+    n_blocks = max(1, -(-int(nrow) // rows_per_block))
+    bucket = F.pmod(F.xxhash64(F.col("row_id")), F.lit(n_blocks))
     src = a.withColumn("__blk", bucket)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -116,8 +116,12 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
     seen = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__it"),
                         F.lit(1).alias("__seen"))
     cand = (cand.join(seen, ["__u", "__it"], "left_anti"))
+    # denominator is sum(sim), NOT sum(|sim|) — the reference's
+    # doEstimatePreference divides totalSimilarity through unmodified
+    # (GenericUserBasedRecommender.java:164-178), so estimates with
+    # negative-similarity neighborhoods (Pearson) match bit-for-bit.
     est = cand.groupBy("__u", "__it").agg(
-        (F.sum(F.col("sim") * F.col("__p")) / F.sum(F.abs(F.col("sim"))))
+        (F.sum(F.col("sim") * F.col("__p")) / F.sum(F.col("sim")))
         .alias("score"),
         F.count("*").alias("__n"))
     est = est.filter(F.col("__n") >= min_evidence)
@@ -160,7 +164,7 @@ def recommend_cms(prefs: DataFrame, profiles: DataFrame,
     est = est.filter(F.col("__pref") > 0)  # 0 ⇒ missing, reference :158
     scored = (est.groupBy("__u", "__it")
               .agg((F.sum(F.col("sim") * F.col("__pref"))
-                    / F.sum(F.abs(F.col("sim")))).alias("score"),
+                    / F.sum(F.col("sim"))).alias("score"),
                    F.count("*").alias("__n"))
               .filter(F.col("__n") >= min_evidence))
     if cap_range is not None:
@@ -234,7 +238,7 @@ def evaluate_fold(train: DataFrame, test: DataFrame, n_neighbors: int = 20,
            .join(np_, "__nb")
            .groupBy("__u", "__it")
            .agg((F.sum(F.col("sim") * F.col("__p"))
-                 / F.sum(F.abs(F.col("sim")))).alias("__est"),
+                 / F.sum(F.col("sim"))).alias("__est"),
                 F.count("*").alias("__n"))
            .filter(F.col("__n") >= 2))
     t = test.select(F.col(user).alias("__u"), F.col(item).alias("__it"),

@@ -50,8 +50,10 @@ def windowed_sketch_stream(events: DataFrame, spec: SketchSpec,
 
     def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        w_start = key[0][0] if isinstance(key[0], (tuple, list)) \
-            else key[0]["start"]
+        if isinstance(key[0], (tuple, list)):
+            w_start, w_end = key[0][0], key[0][1]
+        else:
+            w_start, w_end = key[0]["start"], key[0]["end"]
         if state.hasTimedOut:
             (blob,) = state.get
             state.remove()
@@ -71,7 +73,14 @@ def windowed_sketch_stream(events: DataFrame, spec: SketchSpec,
                     if "__val" in pdf else None)
             spec.update(s, keys, vals)
         state.update((s.serialize(),))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        # Emit exactly once, when the watermark passes the window's END —
+        # timing out at the current watermark would evict a still-open
+        # window whenever its group idles for one micro-batch, and late
+        # events inside the watermark would then re-create the state and
+        # emit a second partial row for the same (w_start, grp).
+        end_ms = int(pd.Timestamp(w_end).value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(end_ms + 1, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"w_start": pd.Series([], dtype="datetime64[ns]"),
                             "grp": pd.Series([], dtype=object),
                             "sketch": pd.Series([], dtype=object)})

@@ -56,3 +56,59 @@ def test_windowed_tdigest_matches_batch(spark):
         if digest.count > 0:
             assert abs(digest.quantile(0.5) - batch.quantile(0.5)) <= \
                 (want_vals.max() - want_vals.min() + 1) * 0.05
+
+
+@pytest.mark.slow
+def test_window_emits_once_across_micro_batches(spark):
+    """A group idle for one micro-batch must NOT emit a partial row.
+
+    Regression: timing out at watermark+1 evicted still-open windows when
+    their group idled for a batch; later in-watermark events re-created
+    the state and a second (w_start, grp) row appeared.
+    """
+    import time
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=10),
+               base + pd.Timedelta(minutes=20)],
+        "etype": ["a", "b"],
+        "value": [1.0, 100.0]})
+    # batch 2: group "a" again inside window 0 (watermark from batch 1 is
+    # 00:20 — with the bug, "a" state was already scheduled to evict);
+    # plus a 02:30 event to push the watermark past window 0's end.
+    b2 = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=30),
+               base + pd.Timedelta(hours=2, minutes=30)],
+        "etype": ["a", "b"],
+        "value": [3.0, 200.0]})
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        spark.createDataFrame(b1).coalesce(1).write.mode("append") \
+            .parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        spark.createDataFrame(b2).coalesce(1).write.mode("append") \
+            .parquet(src)
+
+        stream = (spark.readStream.schema(
+            "ts timestamp, etype string, value double")
+            .option("maxFilesPerTrigger", 1).parquet(src))
+        spec = tdigest_spec(100.0)
+        out = windowed_sketch_stream(stream, spec, "ts", "etype",
+                                     value_col="value", window="1 hour",
+                                     watermark="0 seconds")
+        q = (out.writeStream.format("parquet")
+             .option("path", os.path.join(tmp, "out"))
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(tmp, "out")).collect()
+
+    keys = [(r["w_start"], r["grp"]) for r in got]
+    assert len(keys) == len(set(keys)), f"duplicate window emissions: {keys}"
+    by_key = {(r["w_start"].hour, r["grp"]): TDigest.deserialize(
+        bytes(r["sketch"])) for r in got}
+    # window 0 / group a must contain BOTH events (count 2), not a partial
+    assert by_key[(0, "a")].count == 2
