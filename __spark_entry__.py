@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 CMS_DEPTH, CMS_WIDTH, CMS_SEED = 4, 509, 12345
 MINHASH_PERM, MINHASH_SEED, MINHASH_BANDS = 16, 1, 4
 TOPK = 10
+# parity-HLL register bits; parity-Bloom geometry; quantile rank-error bound
+HLL_P = 7
+BLOOM_HEAD, BLOOM_CAP, BLOOM_FP, BLOOM_SEED = 1000, 2000, 0.001, 2
+QEPS = 0.03
+# recommend_cms parity-CMS profile geometry
+RCMS_DEPTH, RCMS_WIDTH, RCMS_SEED = 5, 1024, 7
+# driver testdata embeddings dimension (fixed across SFs) + LSH geometry
+EMB_DIM, LSH_BANDS, LSH_BAND_PLANES, LSH_SEED = 64, 4, 4, 11
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -116,78 +124,87 @@ def _q_cms_inner_lang(spark, sf_dir) -> DataFrame:
 
 
 def _q_hll_distinct_tokens(spark, sf_dir) -> DataFrame:
+    """Parity-HLL (md5-60-bit hash domain, dense registers) so the DuckDB
+
+    oracle replays the estimate bit-for-bit — the production path is the
+    splitmix64 family (hll_spec defaults), same machinery."""
+    from mahout_spark.functions.hashutil import md5_long60
     from mahout_spark.sketch.agg import hll_spec, sketch_by_key
     from mahout_spark.sketch.queries import sketch_eval
 
     toks = _doc_tokens(spark, sf_dir)
-    spec = hll_spec(p=14, seed=1)
-    sk = sketch_by_key(toks, ["lang"], spec, key_col="token")
+    spec = hll_spec(p=HLL_P, seed=1, sparse_limit=0, parity=True)
+    sk = sketch_by_key(toks, ["lang"], spec,
+                       key_expr=md5_long60(F.col("token")))
     return (sketch_eval(sk, spec, "count", "distinct_est")
             .select("lang", F.round("distinct_est", 2).alias("distinct_est")))
 
 
 def _q_tdigest_price_quantiles(spark, sf_dir) -> DataFrame:
+    """t-digest quantiles gate-checked against exact rank windows: output
+
+    is (group, q, lo_val, hi_val, within) where [lo_val, hi_val] is the
+    SQL-exact value window at ranks (q ± QEPS)·n and ``within`` asserts
+    the sketch estimate landed inside its published rank-error bound."""
     from mahout_spark.sketch.agg import sketch_by_key, tdigest_spec
-    from mahout_spark.sketch.queries import sketch_eval
+    from mahout_spark.sketch.queries import quantile_bound_check
 
     li = _read(spark, sf_dir, "lineitem")
     spec = tdigest_spec(100.0)
     sk = sketch_by_key(li, ["l_returnflag"], spec,
                        value_col="l_extendedprice")
-    out = None
-    for q in (0.25, 0.5, 0.75):
-        o = sketch_eval(sk, spec, "quantile", "qv", args=(q,)) \
-            .select("l_returnflag", F.lit(q).alias("q"), "qv")
-        out = o if out is None else out.unionByName(o)
-    return out
+    return quantile_bound_check(sk, spec, li, ["l_returnflag"],
+                                "l_extendedprice", [0.25, 0.5, 0.75],
+                                eps=QEPS)
 
 
 def _q_kll_event_quantiles(spark, sf_dir) -> DataFrame:
     from mahout_spark.sketch.agg import kll_spec, sketch_by_key
-    from mahout_spark.sketch.queries import sketch_eval
+    from mahout_spark.sketch.queries import quantile_bound_check
 
     ev = _read(spark, sf_dir, "events")
     spec = kll_spec(200, seed=5)
     sk = sketch_by_key(ev, ["event_type"], spec, value_col="value")
-    out = None
-    for q in (0.1, 0.5, 0.9):
-        o = sketch_eval(sk, spec, "quantile", "qv", args=(q,)) \
-            .select("event_type", F.lit(q).alias("q"), "qv")
-        out = o if out is None else out.unionByName(o)
-    return out
+    return quantile_bound_check(sk, spec, ev, ["event_type"], "value",
+                                [0.1, 0.5, 0.9], eps=QEPS)
 
 
 def _q_windowed_tdigest_events(spark, sf_dir) -> DataFrame:
     """Event-time daily windows × event_type → t-digest median of value —
 
-    the batch shape of streaming/windowed.py's stateful operator."""
+    the batch shape of streaming/windowed.py's stateful operator, gate-
+    checked against exact rank windows (see _q_tdigest_price_quantiles)."""
     from mahout_spark.sketch.agg import sketch_by_key, tdigest_spec
-    from mahout_spark.sketch.queries import sketch_eval
+    from mahout_spark.sketch.queries import quantile_bound_check
 
     ev = _read(spark, sf_dir, "events")
     spec = tdigest_spec(100.0)
     w = ev.withColumn("w_start",
                       F.window(F.col("ts"), "1 day").getField("start"))
     sk = sketch_by_key(w, ["w_start", "event_type"], spec, value_col="value")
-    return (sketch_eval(sk, spec, "quantile", "median", args=(0.5,))
-            .select("w_start", "event_type", F.round("median", 4)
-                    .alias("median")))
+    return quantile_bound_check(sk, spec, w, ["w_start", "event_type"],
+                                "value", [0.5], eps=QEPS)
 
 
 def _q_bloom_token_filter(spark, sf_dir) -> DataFrame:
     """BloomTokenFilter analog: keep only tokens in the head-1000 allowlist
 
-    (built as a Bloom sketch), count survivors per lang."""
+    (built as a parity-Bloom sketch so the DuckDB oracle replays the bit
+    set and every membership decision), count survivors per lang."""
+    from mahout_spark.functions.hashutil import md5_long60
     from mahout_spark.sketch.agg import bloom_spec, sketch_global
     from mahout_spark.sketch.queries import bloom_contains_lookup
 
     toks = _doc_tokens(spark, sf_dir).persist()
     head = (toks.groupBy("token").count()
-            .orderBy(F.desc("count"), "token").limit(1000).select("token"))
-    blob = sketch_global(head, bloom_spec(capacity=2000, fp_rate=0.001,
-                                          seed=2), key_col="token")
+            .orderBy(F.desc("count"), "token").limit(BLOOM_HEAD)
+            .select("token"))
+    blob = sketch_global(head, bloom_spec(capacity=BLOOM_CAP,
+                                          fp_rate=BLOOM_FP, seed=BLOOM_SEED,
+                                          parity=True),
+                         key_expr=md5_long60(F.col("token")))
     sk = spark.createDataFrame([(bytearray(blob),)], "sketch binary")
-    filtered = bloom_contains_lookup(sk, toks, F.xxhash64(F.col("token")))
+    filtered = bloom_contains_lookup(sk, toks, md5_long60(F.col("token")))
     return (filtered.filter(F.col("maybe_contains"))
             .groupBy("lang").agg(F.count("*").alias("n_kept")))
 
@@ -322,8 +339,9 @@ def _q_recommend_cms(spark, sf_dir) -> DataFrame:
     """The fork's flagship end-to-end: per-user CMS profiles → CMS-cosine
 
     user similarity → top-N recommendations whose preference estimates
-    are CMS point queries (no oracle — sketch estimates; bounds covered
-    in pytest)."""
+    are CMS point queries. Parity hash family → the DuckDB oracle replays
+    the ENTIRE pipeline (profile build, cosine neighborhoods, CMS point
+    estimates, weighted averages) numerically."""
     from mahout_spark.operators.recommender import (cms_user_similarity,
                                                     nearest_n_neighborhood,
                                                     recommend_cms,
@@ -336,11 +354,13 @@ def _q_recommend_cms(spark, sf_dir) -> DataFrame:
              .groupBy(F.col("o_custkey").alias("user_id"),
                       F.col("l_partkey").alias("item_id"))
              .agg(F.sum("l_quantity").alias("pref")))
-    profiles = user_cms_profiles(prefs, depth=5, width=1024, seed=7)
+    profiles = user_cms_profiles(prefs, depth=RCMS_DEPTH, width=RCMS_WIDTH,
+                                 seed=RCMS_SEED, parity=True)
     sims = cms_user_similarity(profiles)
     nb = nearest_n_neighborhood(sims, 10)
-    return recommend_cms(prefs, profiles, nb, top_n=5, min_evidence=2,
-                         cap_range=(0.0, 200.0))
+    out = recommend_cms(prefs, profiles, nb, top_n=5, min_evidence=2,
+                        cap_range=(0.0, 200.0))
+    return out.withColumn("score", F.round("score", 6))
 
 
 def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
@@ -380,10 +400,17 @@ def _q_bigram_collocations(spark, sf_dir) -> DataFrame:
 
 
 def _q_exact_dedup(spark, sf_dir) -> DataFrame:
+    """Exact dedup over the corpus SEEDED with known duplicates (every
+
+    37th doc re-inserted under doc_id + 10^9) so the gate row is
+    non-vacuous at every SF — the oracle applies the identical seeding."""
     from mahout_spark.operators.dedup import exact_dedup_groups
 
-    return exact_dedup_groups(_read(spark, sf_dir, "documents"),
-                              "doc_id", "text")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (docs.filter(F.col("doc_id") % 37 == 0)
+           .select((F.col("doc_id") + F.lit(10 ** 9)).alias("doc_id"),
+                   "text"))
+    return exact_dedup_groups(docs.unionByName(dup), "doc_id", "text")
 
 
 def _q_minhash_signatures(spark, sf_dir) -> DataFrame:
@@ -445,6 +472,19 @@ def _q_embedding_neardup(spark, sf_dir) -> DataFrame:
             .filter(F.col("cos") >= 0.3))
 
 
+def _q_embedding_neardup_lsh(spark, sf_dir) -> DataFrame:
+    """Production near-dup shape: banded sign-LSH candidates → exact
+
+    cosine verify (the all-pairs embedding_neardup stays as the recall
+    oracle; this is the plan that survives 10^12 rows)."""
+    from mahout_spark.operators.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_read(spark, sf_dir, "embeddings"),
+                                 "vec_id", "embedding", threshold=0.3,
+                                 n_bands=LSH_BANDS,
+                                 band_planes=LSH_BAND_PLANES, seed=LSH_SEED)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -481,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     }
 
 
@@ -492,14 +533,19 @@ def oracle_sql() -> dict[str, str]:
                                              token_count_sql,
                                              tokens_array_sql)
     from mahout_spark.operators.ann import brute_force_topk_sql, cosine_sql
-    from mahout_spark.operators.dedup import (exact_dedup_groups_sql,
+    from mahout_spark.operators.dedup import (embedding_neardup_lsh_sql,
+                                              exact_dedup_groups_sql,
                                               minhash_signatures_sql,
                                               ngram_jaccard_pairs_sql,
                                               simhash_sql)
     from mahout_spark.operators.vectorize import (bigram_collocations_sql,
                                                   tfidf_sql)
-    from mahout_spark.sketch.queries import (cms_pairwise_oracle_sql,
-                                             cms_point_oracle_sql)
+    from mahout_spark.core.hashing import BIG_PRIME, affine_params
+    from mahout_spark.sketch.queries import (bloom_filter_count_oracle_sql,
+                                             cms_pairwise_oracle_sql,
+                                             cms_point_oracle_sql,
+                                             hll_distinct_oracle_sql,
+                                             quantile_bound_oracle_sql)
 
     toksrc = _toksrc_sql()
     probe = (f"SELECT token FROM ({toksrc}) GROUP BY token "
@@ -692,6 +738,67 @@ FROM eq WHERE n_eq / {float(MINHASH_PERM)} >= 0.125
     ann_queries = ("SELECT vec_id AS query_id, embedding FROM embeddings "
                    "WHERE vec_id < 5")
 
+    rcms_hashes = ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+        for i, (a, b) in enumerate(affine_params(RCMS_SEED, RCMS_DEPTH)))
+    # Replays the ENTIRE recommend_cms pipeline under the parity hash
+    # family: per-user CMS bucket sums (integral -> exact float64), CMS
+    # cosine = min over depth rows of dots/(sqrt(na)*sqrt(nb)) (single
+    # IEEE roundings of exact integers -> bit-equal to the NumPy kernel),
+    # top-10 neighborhoods, CMS point estimates (min over rows, integral),
+    # similarity-weighted averages, cap, top-5.
+    recommend_cms_sql = f"""
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 100 GROUP BY 1, 2),
+hashes(hi, a, b) AS (SELECT * FROM (VALUES {rcms_hashes}) v(hi, a, b)),
+bucketed AS (SELECT u, h.hi,
+                    ((h.a * prefs.i + h.b) % {BIG_PRIME}) % {RCMS_WIDTH}
+                    AS bucket,
+                    sum(p) AS bc
+             FROM prefs CROSS JOIN hashes h GROUP BY ALL),
+rownorm AS (SELECT u, hi, sum(bc * bc) AS nn FROM bucketed GROUP BY 1, 2),
+users AS (SELECT DISTINCT u FROM prefs),
+pairs AS (SELECT x.u AS ua, y.u AS ub FROM users x JOIN users y
+          ON x.u <> y.u),
+rowdots AS (SELECT x.u AS ua, y.u AS ub, x.hi, sum(x.bc * y.bc) AS dots
+            FROM bucketed x JOIN bucketed y
+              ON x.hi = y.hi AND x.bucket = y.bucket AND x.u <> y.u
+            GROUP BY ALL),
+simrows AS (
+  SELECT p.ua, p.ub, h.hi,
+         coalesce(d.dots, 0.0) / (sqrt(na.nn) * sqrt(nb.nn)) AS rc
+  FROM pairs p CROSS JOIN hashes h
+  LEFT JOIN rowdots d ON d.ua = p.ua AND d.ub = p.ub AND d.hi = h.hi
+  JOIN rownorm na ON na.u = p.ua AND na.hi = h.hi
+  JOIN rownorm nb ON nb.u = p.ub AND nb.hi = h.hi),
+sims AS (SELECT ua, ub, min(rc) AS sim FROM simrows GROUP BY 1, 2),
+nb AS (SELECT *, row_number() OVER (
+    PARTITION BY ua ORDER BY sim DESC, ub) AS rn FROM sims),
+items AS (SELECT DISTINCT u, i FROM prefs),
+cand AS (SELECT nb.ua AS u, it.i AS it, nb.ub, nb.sim
+         FROM nb JOIN items it ON it.u = nb.ub
+         WHERE nb.rn <= 10
+           AND NOT EXISTS (SELECT 1 FROM prefs s
+                           WHERE s.u = nb.ua AND s.i = it.i)),
+ptest AS (SELECT c.u, c.it, c.ub, c.sim,
+                 min(coalesce(b.bc, 0.0)) AS pref_est
+          FROM cand c CROSS JOIN hashes h
+          LEFT JOIN bucketed b ON b.u = c.ub AND b.hi = h.hi
+             AND b.bucket = ((h.a * c.it + h.b) % {BIG_PRIME}) % {RCMS_WIDTH}
+          GROUP BY 1, 2, 3, 4),
+est AS (SELECT u, it, sum(sim * pref_est) / sum(sim) AS score,
+               count(*) AS n
+        FROM ptest WHERE pref_est > 0 GROUP BY 1, 2),
+capped AS (SELECT u, it, least(200.0, greatest(0.0, score)) AS score
+           FROM est WHERE n >= 2),
+ranked AS (SELECT u, it, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, it) AS rn FROM capped)
+SELECT u AS user_id, it AS item_id, round(score, 6) AS score
+FROM ranked WHERE rn <= 5
+"""
+
     return {
         "cms_point_frequency": cms_point_oracle_sql(
             toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
@@ -700,6 +807,22 @@ FROM eq WHERE n_eq / {float(MINHASH_PERM)} >= 0.125
         "cms_inner_lang": cms_pairwise_oracle_sql(
             toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="lang",
             kind="inner"),
+        "hll_distinct_tokens": hll_distinct_oracle_sql(
+            toksrc, HLL_P, group_col="lang"),
+        "bloom_token_filter": bloom_filter_count_oracle_sql(
+            toksrc, BLOOM_HEAD, BLOOM_CAP, BLOOM_FP, BLOOM_SEED,
+            group_col="lang"),
+        "tdigest_price_quantiles": quantile_bound_oracle_sql(
+            "SELECT l_returnflag, l_extendedprice FROM lineitem",
+            ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75], QEPS),
+        "kll_event_quantiles": quantile_bound_oracle_sql(
+            "SELECT event_type, value FROM events",
+            ["event_type"], "value", [0.1, 0.5, 0.9], QEPS),
+        "windowed_tdigest_events": quantile_bound_oracle_sql(
+            "SELECT date_trunc('day', ts) AS w_start, event_type, value "
+            "FROM events",
+            ["w_start", "event_type"], "value", [0.5], QEPS),
+        "recommend_cms": recommend_cms_sql,
         "cooccurrence_topk": cooc_sql,
         "llr_item_similarity": llr_sql,
         "cross_similarity_llr": cross_llr_sql,
@@ -715,7 +838,11 @@ FROM eq WHERE n_eq / {float(MINHASH_PERM)} >= 0.125
                            variant="mahout"),
         "bigram_collocations": bigram_collocations_sql(
             "documents", min_llr=1.0, min_count=3),
-        "exact_dedup": exact_dedup_groups_sql("documents", "doc_id", "text"),
+        "exact_dedup": exact_dedup_groups_sql(
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 37 = 0) seeded",
+            "doc_id", "text"),
         "minhash_signatures": minhash_signatures_sql(
             "documents", "doc_id", "text", num_perm=MINHASH_PERM,
             seed=MINHASH_SEED),
@@ -725,4 +852,7 @@ FROM eq WHERE n_eq / {float(MINHASH_PERM)} >= 0.125
             "documents", "doc_id", "text", threshold=0.2),
         "ann_topk": brute_force_topk_sql("embeddings", ann_queries, TOPK),
         "embedding_neardup": neardup_sql,
+        "embedding_neardup_lsh": embedding_neardup_lsh_sql(
+            "embeddings", EMB_DIM, "vec_id", "embedding", threshold=0.3,
+            n_bands=LSH_BANDS, band_planes=LSH_BAND_PLANES, seed=LSH_SEED),
     }

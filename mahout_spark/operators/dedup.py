@@ -304,3 +304,91 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
                  F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
              .filter(F.col("hamming") <= max_hamming))
     return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: banded sign-LSH candidates -> exact cosine verify
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.3, n_bands: int = 4,
+                          band_planes: int = 4,
+                          seed: int = 11) -> DataFrame:
+    """(id_a, id_b, cos) — near-duplicate embedding pairs at scale.
+
+    Production shape of the all-pairs embedding near-dup: banded
+    sign-random-projection LSH (Charikar) generates candidates via
+    per-band equi-joins on (band, bucket) — no cartesian pair scan — and
+    an exact cosine re-check keeps only pairs >= ``threshold``. Per-band
+    collision probability is (1 - theta/pi)^band_planes; bands are OR-ed,
+    so recall rises with ``n_bands`` and the all-pairs variant remains
+    the pytest oracle for recall. Hyperplanes are seeded literals, so the
+    DuckDB gate oracle replays every bucket decision exactly.
+    """
+    from mahout_spark.operators.ann import _planes, cosine_expr, signs_expr
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, n_bands * band_planes, seed)
+    keyed = df.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).alias("__v"))
+    banded = None
+    for b in range(n_bands):
+        band = keyed.select(
+            "__id", F.lit(b).alias("__band"),
+            signs_expr(F.col("__v"),
+                       planes[b * band_planes:(b + 1) * band_planes])
+            .alias("__bucket"))
+        banded = band if banded is None else banded.unionByName(band)
+    a = banded.select(F.col("__id").alias("id_a"), "__band", "__bucket")
+    bb = banded.select(F.col("__id").alias("id_b"), "__band", "__bucket")
+    cand = (a.join(bb, ["__band", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = keyed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    eb = keyed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    verified = (cand.join(ea, "id_a").join(eb, "id_b")
+                .select("id_a", "id_b",
+                        cosine_expr(F.col("__va"), F.col("__vb"))
+                        .alias("cos"))
+                .filter(F.col("cos") >= threshold))
+    return verified
+
+
+def embedding_neardup_lsh_sql(table: str, dim: int, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.3, n_bands: int = 4,
+                              band_planes: int = 4, seed: int = 11) -> str:
+    """DuckDB twin of embedding_neardup_lsh: same literal hyperplanes, same
+
+    sequential-fold dot products (list_dot_product matches zip_with/
+    aggregate bit-for-bit), same band/bucket decisions, same verify."""
+    from mahout_spark.operators.ann import _planes, cosine_sql
+
+    planes = _planes(dim, n_bands * band_planes, seed)
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for j in range(band_planes):
+            p = planes[b * band_planes + j]
+            arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(({vec_col})::DOUBLE[], {arr})"
+                f" > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT {id_col} AS id, {b} AS band, {bucket_expr(b)} AS bucket "
+        f"FROM {table}" for b in range(n_bands))
+    cos = cosine_sql(f"ea.{vec_col}", f"eb.{vec_col}")
+    return f"""
+WITH banded AS ({band_selects}),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+SELECT id_a, id_b, {cos} AS cos
+FROM cand JOIN {table} ea ON ea.{id_col} = id_a
+          JOIN {table} eb ON eb.{id_col} = id_b
+WHERE {cos} >= {threshold}
+"""

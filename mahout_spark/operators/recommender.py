@@ -36,13 +36,16 @@ from mahout_spark.sketch.queries import cms_pairwise
 
 def user_cms_profiles(prefs: DataFrame, depth: int = 5, width: int = 272,
                       seed: int = 1, user: str = "user_id",
-                      item: str = "item_id", pref: str = "pref") -> DataFrame:
+                      item: str = "item_id", pref: str = "pref",
+                      parity: bool = False) -> DataFrame:
     """(user_id, sketch) — one CMS per user, updated with (item, pref).
 
     Equal (depth, width, seed) across users so cosine is defined
     (CosineCM builds cm1 with cm2's config, CosineCM.java:69-82).
+    ``parity=True`` uses the reference's affine hash family so the whole
+    recommend pipeline is DuckDB-replayable (gate oracle).
     """
-    spec = cms_spec_shape(depth, width, seed)
+    spec = cms_spec_shape(depth, width, seed, parity=parity)
     return (sketch_by_key(prefs, [user], spec, key_col=item, value_col=pref)
             .withColumnRenamed(user, "user_id"))
 

@@ -96,17 +96,25 @@ def cms_spec_shape(depth: int, width: int, seed: int = 1,
         needs_key=True, needs_value=False, preagg="sum")
 
 
-def hll_spec(p: int = 14, seed: int = 1, sparse_limit: int = 4096) -> SketchSpec:
+def hll_spec(p: int = 14, seed: int = 1, sparse_limit: int = 4096,
+             parity: bool = False) -> SketchSpec:
+    """``parity=True``: keys must be md5_long60 hashes; the whole sketch is
+
+    then DuckDB-replayable (see core/hll.py). Pair with ``sparse_limit=0``
+    so the dense-register path (the thing worth verifying) is exercised."""
     return SketchSpec(
-        "hll", make=lambda: HyperLogLog(p=p, seed=seed, sparse_limit=sparse_limit),
+        "hll", make=lambda: HyperLogLog(p=p, seed=seed,
+                                        sparse_limit=sparse_limit,
+                                        parity=parity),
         update=lambda s, k, v: s.update_batch(k),
         needs_key=True, needs_value=False, preagg="distinct")
 
 
 def bloom_spec(capacity: int = 100_000, fp_rate: float = 0.01,
-               seed: int = 1) -> SketchSpec:
+               seed: int = 1, parity: bool = False) -> SketchSpec:
     return SketchSpec(
-        "bloom", make=lambda: BloomFilter.from_capacity(capacity, fp_rate, seed),
+        "bloom", make=lambda: BloomFilter.from_capacity(capacity, fp_rate,
+                                                        seed, parity=parity),
         update=lambda s, k, v: s.add_batch(k),
         needs_key=True, needs_value=False, preagg="distinct")
 
@@ -281,12 +289,13 @@ def sketch_per_group(df: DataFrame, group_cols: list[str], spec: SketchSpec,
 
 
 def sketch_global(df: DataFrame, spec: SketchSpec, key_col: str | None = None,
-                  value_col: str | None = None, n_salt: int = 8) -> bytes:
+                  value_col: str | None = None, n_salt: int = 8,
+                  key_expr: F.Column | None = None) -> bytes:
     """One sketch over the whole DataFrame (driver-side result) via the
 
     salted two-level merge — never funnels raw rows to the driver.
     """
     with_g = df.withColumn("__g", F.lit(0))
     out = sketch_by_key(with_g, ["__g"], spec, key_col, value_col,
-                        n_salt=n_salt)
+                        n_salt=n_salt, key_expr=key_expr)
     return bytes(out.collect()[0]["sketch"])

@@ -172,77 +172,109 @@ def cms_pairwise(sketch_df: DataFrame, group_col: str,
 
 
 def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    block_rows: int = 2048) -> DataFrame:
     """(item, neighbor, cms_cosine) — top-K CMS-cosine neighbors per item.
 
-    The CosineCM flagship (CosineCM.java:84-96 scaled out): every item's
-    CMS profile is compared against all others. The full profile matrix
-    (n_items × depth·width float32) is broadcast to executors once; each
-    task computes its partition's rows against the matrix with one BLAS
-    matmul per depth row and takes per-item top-K with argpartition —
-    vectorized, embarrassingly parallel, no pair shuffle at all.
+    The CosineCM flagship (CosineCM.java:84-96 scaled out) as an
+    **ABt-style blocked pair join** (reference shape:
+    spark/.../blas/ABt.scala:46-170) — fully distributed, nothing ever
+    funnels through the driver:
 
-    Broadcast budget: n_items · depth · width · 4 bytes (e.g. 10k items ×
-    4×512 → 80 MB). Beyond that, block both sides (ABt-style block join);
-    this implementation covers the head-item regime the recommender
-    actually queries.
+    1. each profile is assigned a deterministic hash block of
+       ~``block_rows`` items; one ``applyInPandas`` per block packs the
+       normalized (depth, width) float32 matrices into a single binary
+       payload (~block_rows x depth x width x 4 bytes, bounded);
+    2. block x block pair join; each pair computes its cosine tile with
+       one BLAS matmul per depth row (min over depths) and keeps only the
+       per-item top-K WITHIN the pair — the shuffle after the tile
+       compute carries n_items x n_blocks x K candidate rows, never
+       full tiles;
+    3. a WindowGroupLimit top-K merges per-pair candidates.
+
+    With one block (head-item regime) this degenerates to a single
+    executor task — same BLAS, no pair shuffle, no driver collect. Pair-
+    join traffic is O(n_blocks x total_matrix_bytes); for corpora where
+    that bites, prefilter candidates with LSH (operators/ann.py) first.
     """
-    rows = sketch_df.select(group_col, "sketch").collect()
-    ids = [r[group_col] for r in rows]
-    mats = []
-    depth = None
-    for r in rows:
-        s = CountMinSketch.deserialize(bytes(r["sketch"]))
-        depth = s.depth
-        mats.append(s.counts.astype(np.float32).reshape(-1))
-    profile = np.stack(mats)  # (n, depth*width)
-    n, dw = profile.shape
-    width = dw // depth
-    # pre-normalize each depth row so cosine = plain dot
-    prof3 = profile.reshape(n, depth, width)
-    norms = np.linalg.norm(prof3, axis=2, keepdims=True)
-    norms[norms == 0] = 1.0
-    prof3n = prof3 / norms
-    spark = sketch_df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, prof3n))
+    from mahout_spark.operators.topk import topk_per_group
 
-    idx_df = spark.createDataFrame(
-        [(i,) for i in range(n)], "row_idx int").repartition(
-        max(2, spark.sparkContext.defaultParallelism))
+    spark = sketch_df.sparkSession
+    n_est = sketch_df.agg(
+        F.approx_count_distinct(group_col).alias("n")).first()["n"]
+    n_blocks = max(1, -(-int(n_est) // block_rows))
+    src = sketch_df.select(
+        F.col(group_col).alias("id"), "sketch",
+        F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_blocks)).alias("__blk"))
 
     gtype = sketch_df.schema[group_col].dataType.simpleString()
-    schema = f"item {gtype}, neighbor {gtype}, cms_cosine double"
+    pack_schema = (f"__blk long, ids array<{gtype}>, mat binary, "
+                   f"depth int, width int")
 
-    def topk_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, mat = bc.value  # (n, depth, width), unit rows
-        nn = mat.shape[0]
-        flat = mat.reshape(nn, -1)
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, mats = [], []
+        depth = width = None
+        for rid, blob in zip(pdf["id"], pdf["sketch"]):
+            s = CountMinSketch.deserialize(bytes(blob))
+            depth, width = s.depth, s.width
+            m = s.counts.astype(np.float32)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mats.append(m / norms)
+            ids.append(rid)
+        stacked = np.stack(mats)  # (b, depth, width), unit depth-rows
+        return pd.DataFrame({"__blk": [pdf["__blk"].iloc[0]], "ids": [ids],
+                             "mat": [stacked.tobytes()],
+                             "depth": [depth], "width": [width]})
+
+    packed = src.groupBy("__blk").applyInPandas(pack, schema=pack_schema)
+    pa = packed.select(F.col("__blk").alias("__ba"),
+                       F.col("ids").alias("__ia"), F.col("mat").alias("__ma"),
+                       "depth", "width")
+    pb = packed.select(F.col("__blk").alias("__bb"),
+                       F.col("ids").alias("__ib"), F.col("mat").alias("__mb"))
+    pairs = pa.crossJoin(pb)
+
+    cand_schema = f"item {gtype}, neighbor {gtype}, cms_cosine double"
+
+    def tile_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            idx = pdf["row_idx"].to_numpy()
-            block = mat[idx]  # (b, depth, width)
-            # per-depth cosines: (b, n) per depth; min over depths
-            sims = None
-            for d in range(depth):
-                s = block[:, d, :] @ mat[:, d, :].T
-                sims = s if sims is None else np.minimum(sims, s)
-            out_i, out_j, out_v = [], [], []
-            for bi, i in enumerate(idx):
-                row = sims[bi]
-                if exclude_self:
-                    row[i] = -np.inf
-                kk = min(k, nn - (1 if exclude_self else 0))
-                cand = np.argpartition(-row, kk - 1)[:kk]
-                order = cand[np.argsort(-row[cand], kind="stable")]
-                for j in order:
-                    out_i.append(all_ids[i])
-                    out_j.append(all_ids[int(j)])
-                    out_v.append(float(row[int(j)]))
-            yield pd.DataFrame({"item": out_i, "neighbor": out_j,
-                                "cms_cosine": out_v})
+            for ba, ia, ma, depth, width, bb, ib, mb in zip(
+                    pdf["__ba"], pdf["__ia"], pdf["__ma"], pdf["depth"],
+                    pdf["width"], pdf["__bb"], pdf["__ib"], pdf["__mb"]):
+                depth, width = int(depth), int(width)
+                ids_a, ids_b = list(ia), list(ib)
+                A = np.frombuffer(ma, dtype=np.float32).reshape(
+                    len(ids_a), depth, width)
+                B = np.frombuffer(mb, dtype=np.float32).reshape(
+                    len(ids_b), depth, width)
+                sims = None
+                for d in range(depth):
+                    s = A[:, d, :] @ B[:, d, :].T
+                    sims = s if sims is None else np.minimum(sims, s)
+                same = ba == bb
+                if exclude_self and same:
+                    np.fill_diagonal(sims, -np.inf)
+                nb = sims.shape[1]
+                kk = min(k, nb - (1 if (exclude_self and same) else 0))
+                if kk <= 0:
+                    continue
+                out_i, out_j, out_v = [], [], []
+                for ai in range(sims.shape[0]):
+                    row = sims[ai]
+                    top = np.argpartition(-row, kk - 1)[:kk]
+                    for j in top:
+                        v = row[int(j)]
+                        if np.isfinite(v):
+                            out_i.append(ids_a[ai])
+                            out_j.append(ids_b[int(j)])
+                            out_v.append(float(v))
+                yield pd.DataFrame({"item": out_i, "neighbor": out_j,
+                                    "cms_cosine": out_v})
 
-    return idx_df.mapInPandas(topk_block, schema=schema)
+    cand = pairs.mapInPandas(tile_topk, schema=cand_schema)
+    return topk_per_group(cand, ["item"], "cms_cosine", k,
+                          tiebreak_cols=["neighbor"])
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +332,173 @@ est AS (
     ON b.i = h.i AND b.bucket = {_bucket_expr('probe.k', width)}
   GROUP BY probe.tok)
 SELECT tok AS {token_col}, e AS {out_col} FROM est
+"""
+
+
+def quantile_bound_check(sketch_df: DataFrame, spec: SketchSpec,
+                         source_df: DataFrame, group_cols: list[str],
+                         value_col: str, qs: list[float],
+                         eps: float) -> DataFrame:
+    """Gate-verifiable quantile query: for each (group, q) emit the exact
+
+    rank-window values [lo_val, hi_val] (ranks floor((q-eps)*n) and
+    ceil((q+eps)*n), clamped to [1, n]) plus ``within`` = whether the
+    sketch's quantile estimate lands inside. The rank window is exact SQL
+    (so the DuckDB oracle verifies it value-for-value) and ``within``
+    verifies the sketch against its published rank-error bound — the
+    oracle side emits TRUE, so a sketch regression hash-mismatches.
+
+    The rank window sorts each group (full shuffle + per-group sort) — this
+    is a VERIFICATION query run at gate scale, not a production path; the
+    production quantile query is ``sketch_eval(..., 'quantile')`` alone.
+    """
+    from pyspark.sql import Window
+
+    est = None
+    for q in qs:
+        o = sketch_eval(sketch_df, spec, "quantile", "est", args=(q,)) \
+            .withColumn("q", F.lit(float(q)))
+        est = o if est is None else est.unionByName(o)
+
+    src = source_df.select(*group_cols,
+                           F.col(value_col).cast("double").alias("__v"))
+    n_df = src.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(*group_cols).orderBy("__v")
+    ranked = src.withColumn("__rn", F.row_number().over(w))
+    qs_df = est.sparkSession.createDataFrame([(float(q),) for q in qs],
+                                             "q double")
+    bounds = (n_df.crossJoin(qs_df)
+              .withColumn("__lo_r", F.greatest(
+                  F.lit(1).cast("long"),
+                  F.floor((F.col("q") - F.lit(float(eps))) * F.col("__n"))))
+              .withColumn("__hi_r", F.least(
+                  F.col("__n"),
+                  F.ceil((F.col("q") + F.lit(float(eps))) * F.col("__n")))))
+    lo = ranked.select(*group_cols, F.col("__rn").alias("__lo_r"),
+                       F.col("__v").alias("lo_val"))
+    hi = ranked.select(*group_cols, F.col("__rn").alias("__hi_r"),
+                       F.col("__v").alias("hi_val"))
+    out = (bounds.join(lo, [*group_cols, "__lo_r"])
+           .join(hi, [*group_cols, "__hi_r"])
+           .join(est, [*group_cols, "q"]))
+    return out.select(
+        *group_cols, "q", "lo_val", "hi_val",
+        ((F.col("est") >= F.col("lo_val"))
+         & (F.col("est") <= F.col("hi_val"))).alias("within"))
+
+
+def quantile_bound_oracle_sql(source_sql: str, group_cols: list[str],
+                              value_expr: str, qs: list[float],
+                              eps: float) -> str:
+    """DuckDB twin of ``quantile_bound_check``: exact rank-window values and
+
+    ``TRUE`` for ``within`` (the sketch must land inside its bound)."""
+    gsel = ", ".join(group_cols)
+    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    on_lo = " AND ".join(f"lo.{g} = b.{g}" for g in group_cols)
+    on_hi = " AND ".join(f"hi.{g} = b.{g}" for g in group_cols)
+    b_g = ", ".join(f"b.{g}" for g in group_cols)
+    return f"""
+WITH src AS (SELECT {gsel}, ({value_expr})::DOUBLE AS v
+             FROM ({source_sql})),
+n AS (SELECT {gsel}, count(*) AS n FROM src GROUP BY {gsel}),
+ranked AS (SELECT {gsel}, v,
+                  row_number() OVER (PARTITION BY {gsel} ORDER BY v) AS rn
+           FROM src),
+qs(q) AS (SELECT * FROM (VALUES {q_rows}) t(q)),
+b AS (SELECT {gsel}, q,
+             greatest(1, floor((q - {float(eps)!r}) * n)::BIGINT) AS lo_r,
+             least(n, ceil((q + {float(eps)!r}) * n)::BIGINT) AS hi_r
+      FROM n CROSS JOIN qs)
+SELECT {b_g}, b.q, lo.v AS lo_val, hi.v AS hi_val, TRUE AS within
+FROM b JOIN ranked lo ON {on_lo} AND lo.rn = b.lo_r
+       JOIN ranked hi ON {on_hi} AND hi.rn = b.hi_r
+"""
+
+
+def hll_distinct_oracle_sql(token_source_sql: str, p: int,
+                            group_col: str = "lang",
+                            token_col: str = "token",
+                            out_col: str = "distinct_est",
+                            round_dp: int = 2) -> str:
+    """DuckDB query replaying the parity-HLL estimate per group.
+
+    Mirrors HyperLogLog(parity=True) exactly: 60-bit md5 keys, index = top
+    ``p`` bits, rank = leading zeros of the low ``60-p`` bits + 1,
+    sum(2^-M) as an exact HUGEINT sum scaled once to DOUBLE, then the
+    alpha_m*m^2/sum estimate with the linear-counting branch. Bit-identical
+    to the kernel because every float op is a single deterministic IEEE
+    rounding of exact integer inputs (ln() is the one libm call, shared).
+    """
+    from mahout_spark.core.hll import _alpha
+
+    bits = 60
+    m = 1 << p
+    rmax = bits - p + 1
+    rest_mod = 1 << (bits - p)
+    am2 = _alpha(m) * float(m) * float(m)
+    pow2_rows = ", ".join(f"({v}, {1 << v}::HUGEINT)" for v in range(rmax + 1))
+    return f"""
+WITH keyed AS (SELECT DISTINCT {group_col} AS g,
+                      {md5_long60_sql(token_col)} AS k
+               FROM ({token_source_sql})),
+pow2(v, w) AS (SELECT * FROM (VALUES {pow2_rows}) t(v, w)),
+regs AS (SELECT g, k // {rest_mod} AS idx,
+                max(CASE WHEN (k % {rest_mod}) = 0 THEN {bits - p + 1}
+                    ELSE {bits - p} - length(bin(k % {rest_mod})) + 1
+                    END) AS reg
+         FROM keyed GROUP BY 1, 2),
+agg AS (SELECT g, count(*) AS nreg, sum(pow2.w) AS s_present
+        FROM regs JOIN pow2 ON pow2.v = {rmax} - regs.reg GROUP BY g),
+summed AS (SELECT g, ({m} - nreg) AS zeros,
+                  (s_present
+                   + ({m} - nreg)::HUGEINT * {1 << rmax}::HUGEINT)::DOUBLE
+                  / {float(1 << rmax)!r} AS sumexp
+           FROM agg),
+vals AS (SELECT g, zeros, {am2!r} / sumexp AS e FROM summed)
+SELECT g AS {group_col},
+       round(CASE WHEN e <= {2.5 * m!r} AND zeros > 0
+             THEN {m} * ln({m} / zeros::DOUBLE) ELSE e END,
+             {round_dp}) AS {out_col}
+FROM vals
+"""
+
+
+def bloom_filter_count_oracle_sql(token_source_sql: str, head_n: int,
+                                  capacity: int, fp_rate: float, seed: int,
+                                  group_col: str = "lang",
+                                  token_col: str = "token") -> str:
+    """DuckDB query replaying the parity-Bloom token filter: build the bit
+
+    set from the head-``head_n`` allowlist under the affine probe family,
+    then count surviving token OCCURRENCES per group (false positives and
+    all — the oracle reproduces the sketch's decisions, not ground truth).
+    """
+    from mahout_spark.core.bloom import bloom_geometry
+
+    m, k = bloom_geometry(capacity, fp_rate)
+    params = affine_params(seed, k)
+    hashes_rows = ", ".join(f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+                            for i, (a, b) in enumerate(params))
+    return f"""
+WITH tok AS (SELECT {group_col} AS g, {token_col} AS t
+             FROM ({token_source_sql})),
+head AS (SELECT t FROM tok GROUP BY t
+         ORDER BY count(*) DESC, t LIMIT {head_n}),
+hashes(i, a, b) AS (SELECT * FROM (VALUES {hashes_rows}) v(i, a, b)),
+bits AS (SELECT DISTINCT h.i,
+                ((h.a * {md5_long60_sql('head.t')} + h.b) % {BIG_PRIME})
+                % {m} AS pos
+         FROM head CROSS JOIN hashes h),
+toks AS (SELECT g, t, count(*) AS c, {md5_long60_sql('t')} AS k
+         FROM tok GROUP BY 1, 2),
+checks AS (SELECT toks.g, toks.t, toks.c, count(*) AS n_hit
+           FROM toks CROSS JOIN hashes h
+           JOIN bits b ON b.i = h.i
+            AND b.pos = ((h.a * toks.k + h.b) % {BIG_PRIME}) % {m}
+           GROUP BY 1, 2, 3)
+SELECT g AS {group_col}, sum(c)::BIGINT AS n_kept
+FROM checks WHERE n_hit = {k} GROUP BY g
 """
 
 

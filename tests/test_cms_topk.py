@@ -59,3 +59,28 @@ def test_topk_matches_pairwise(spark, profiles):
                              reverse=True)
         got_min = got["cms_cosine"].min()
         assert got_min >= true_sorted[k - 1] - 1e-4
+
+
+def test_multi_block_equals_single_block(spark, profiles):
+    """The blocked pair join (profile matrix split across many blocks —
+
+    the beyond-broadcast-budget regime) returns the same top-K as the
+    degenerate single-block path."""
+    k = 5
+    one = cms_topk_cosine(profiles, "token", k=k,
+                          block_rows=10 ** 6).toPandas()
+    many = cms_topk_cosine(profiles, "token", k=k, block_rows=7).toPandas()
+    key = ["item", "neighbor"]
+    a = one.sort_values(key).reset_index(drop=True)
+    b = many.sort_values(key).reset_index(drop=True)
+    # neighbor sets may differ only on exact cosine ties; values must agree
+    ma = {(r.item, r.neighbor): r.cms_cosine for r in a.itertuples()}
+    mb = {(r.item, r.neighbor): r.cms_cosine for r in b.itertuples()}
+    assert len(ma) == len(mb)
+    for kk in ma:
+        if kk in mb:
+            assert abs(ma[kk] - mb[kk]) < 1e-6
+    # per-item k-th best cosine identical across blockings
+    ka = one.groupby("item")["cms_cosine"].min()
+    kb = many.groupby("item")["cms_cosine"].min()
+    assert np.allclose(ka.sort_index(), kb.sort_index(), atol=1e-6)
