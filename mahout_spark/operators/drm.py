@@ -330,16 +330,42 @@ def dsq_dist(a: DataFrame) -> DataFrame:
 # -- keys / sampling -----------------------------------------------------------
 
 
+def global_sorted_rank(df: DataFrame, sort_cols: list,
+                       out_col: str = "rank") -> DataFrame:
+    """df + 0-based global rank by ``sort_cols`` — WITHOUT the
+
+    single-partition window a naive ``row_number().over(Window.orderBy())``
+    plans. Shape mirrors the reference's rekeySeqInts
+    (SparkEngine.scala:221-243): range-partition on the sort key,
+    per-partition sort (parallel), then zipWithIndex = per-partition
+    counts -> cumulative offsets. The resulting rank is the global sorted
+    rank regardless of where the range boundaries fall, so the output is
+    deterministic even though boundary sampling is not.
+
+    The zipWithIndex hop crosses Python once for the ranked table — use
+    only on key-dictionary-sized inputs (distinct keys/tokens), never on
+    the fact stream.
+    """
+    from pyspark.sql.types import LongType
+
+    spark = df.sparkSession
+    n = max(2, spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+    arranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    schema = arranged.schema.add(out_col, LongType(), False)
+    rdd = arranged.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return spark.createDataFrame(rdd, schema)
+
+
 def rekey_seq_ints(a: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Re-key arbitrary row ids to dense 0..n-1 ints (drm2IntKeyed,
 
     SparkEngine.scala:221-243). Returns (rekeyed DRM, keymap DataFrame
-    [row_id, new_id]). Window-free would need zipWithIndex; dense_rank on
-    a sorted window is the DataFrame analog and keeps determinism.
+    [row_id, new_id]) — keymap built with the per-partition-counts
+    zipWithIndex shape (global_sorted_rank), no single-partition exchange.
     """
-    keymap = (a.select("row_id").distinct()
-              .withColumn("new_id",
-                          F.row_number().over(Window.orderBy("row_id")) - 1))
+    keymap = global_sorted_rank(a.select("row_id").distinct(), ["row_id"],
+                                out_col="new_id")
     rekeyed = (a.join(keymap, "row_id")
                .select(F.col("new_id").alias("row_id"), "col_id", "value"))
     return rekeyed, keymap

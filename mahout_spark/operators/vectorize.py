@@ -38,13 +38,16 @@ def build_dictionary(tc: DataFrame) -> DataFrame:
     """(token, token_id) — deterministic ordinals by (df desc, token).
 
     The reference builds its dictionary by collect+broadcast
-    (IndexedDatasetSpark.scala:84-101); we keep it distributed.
+    (IndexedDatasetSpark.scala:84-101); we keep it distributed, and rank
+    with the per-partition-counts zipWithIndex shape (global_sorted_rank)
+    instead of a single-partition global window.
     """
+    from mahout_spark.operators.drm import global_sorted_rank
+
     dfreq = doc_freq(tc)
-    return dfreq.withColumn(
-        "token_id",
-        F.row_number().over(Window.orderBy(F.desc("df"), "token")) - 1
-    ).select("token", "token_id", "df")
+    ranked = global_sorted_rank(dfreq, [F.desc("df"), F.asc("token")],
+                                out_col="token_id")
+    return ranked.select("token", "token_id", "df")
 
 
 def tfidf(docs: DataFrame, variant: str = "mahout", id_col: str = "doc_id",

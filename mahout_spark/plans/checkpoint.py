@@ -89,23 +89,51 @@ class CheckpointedSketchJob:
         done = self.completed_shards()
         todo = [s for s in range(self.n_shards) if s not in done]
         budget = max_shards if max_shards is not None else len(todo)
+        batch = todo[:budget]
 
-        for shard in todo[:budget]:
+        if batch:
             t0 = time.time()
-            part = df.filter(shard_col == shard)
-            sk = sketch_by_key(part, group_cols, spec, key_col=key_col,
-                               value_col=value_col, key_expr=key_expr)
-            out_path = os.path.join(self.partials_path, f"shard={shard}")
-            sk.write.mode("overwrite").parquet(out_path)
-            # metrics read back from what actually landed (write-then-commit)
-            landed = self.spark.read.parquet(out_path)
-            blobs = sorted(bytes(r["sketch"]) for r in
-                           landed.select("sketch").collect())
-            md5 = hashlib.md5(b"".join(blobs)).hexdigest()
-            n_rows = part.count()
-            self._append_lineage(shard, n_rows, len(blobs), md5,
-                                 time.time() - t0)
-            self.shards_computed.append(shard)
+            # ONE pass over the input builds every missing shard's partials
+            # (partitionBy("shard") -> the same partials/shard=<k>/ layout),
+            # instead of one full filter-scan per shard. Dynamic partition
+            # overwrite leaves completed shards untouched.
+            part = (df.withColumn("shard", shard_col)
+                    .filter(F.col("shard").isin([int(s) for s in batch])))
+            sk = sketch_by_key(part, ["shard"] + group_cols, spec,
+                               key_col=key_col, value_col=value_col,
+                               key_expr=key_expr)
+            (sk.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(self.partials_path))
+
+            # metrics read back from what actually landed (write-then-
+            # commit): per-shard group counts + an order-insensitive blob
+            # digest, all JVM-side (sorted per-blob md5s re-hashed) — only
+            # #shards tiny rows ever reach the driver.
+            landed = (self.spark.read.parquet(self.partials_path)
+                      .filter(F.col("shard").isin([int(s) for s in batch])))
+            mets = {r["shard"]: r for r in
+                    (landed.groupBy("shard")
+                     .agg(F.count("*").alias("n_groups"),
+                          F.md5(F.concat_ws(",", F.sort_array(
+                              F.collect_list(F.md5("sketch"))))).alias("md5"))
+                     .collect())}
+            # row counts per shard: a second, shard-key-column-pruned scan
+            # (reads ONE column; the full-width scan above runs once)
+            cnt_src = df.select(shard_col.alias("shard"))
+            counts = {r["shard"]: r["n"] for r in
+                      (cnt_src.filter(F.col("shard").isin(
+                          [int(s) for s in batch]))
+                       .groupBy("shard").agg(F.count("*").alias("n"))
+                       .collect())}
+            wall = time.time() - t0
+            for shard in batch:
+                m = mets.get(shard)
+                self._append_lineage(
+                    shard, int(counts.get(shard, 0)),
+                    int(m["n_groups"]) if m else 0,
+                    m["md5"] if m else "", wall / max(1, len(batch)))
+                self.shards_computed.append(shard)
 
         if len(self.completed_shards()) < self.n_shards:
             return None  # preempted — next invocation resumes
