@@ -330,6 +330,46 @@ def _q_recommend_cooc(spark, sf_dir) -> DataFrame:
     return recommend(prefs, nb, top_n=5, min_evidence=2)
 
 
+def _q_user_similarity_tanimoto(spark, sf_dir) -> DataFrame:
+    """Taste TanimotoCoefficientSimilarity over item sets — integer-exact
+
+    (|X∩Y| / |X∪Y|), so the oracle verifies the full pairwise plan."""
+    from mahout_spark.operators.recommender import exact_user_similarity
+    from mahout_spark.operators.topk import topk_per_group
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 300)
+             .select(F.col("o_custkey").alias("user_id"),
+                     F.col("l_partkey").alias("item_id"))
+             .distinct().withColumn("pref", F.lit(1.0)))
+    sims = exact_user_similarity(prefs, measure="tanimoto")
+    return topk_per_group(sims, ["user_a"], "sim", TOPK,
+                          tiebreak_cols=["user_b"])
+
+
+def _q_recommend_itembased(spark, sf_dir) -> DataFrame:
+    """GenericItemBasedRecommender with cooccurrence-count item similarity
+
+    (integer weights → engine-exact weighted averages)."""
+    from mahout_spark.operators.cooccurrence import cooccurrence_counts
+    from mahout_spark.operators.recommender import recommend_item_based
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 200)
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").alias("pref")))
+    inter = prefs.select(F.col("user_id").alias("row_id"),
+                         F.col("item_id").alias("col_id")).distinct()
+    sims = cooccurrence_counts(inter).select(
+        "item_a", "item_b", F.col("n_ab").cast("double").alias("sim"))
+    return recommend_item_based(prefs, sims, top_n=5, min_evidence=2)
+
+
 # ---------------------------------------------------------------------------
 # text / vectorization
 # ---------------------------------------------------------------------------
@@ -511,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": _q_feature_hashing,
         "recommend_cooc": _q_recommend_cooc,
         "recommend_cms": _q_recommend_cms,
+        "recommend_itembased": _q_recommend_itembased,
+        "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,
@@ -692,6 +734,45 @@ ranked AS (SELECT u, it, score, row_number() OVER (
 SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
 """
 
+    user_tanimoto_sql = f"""
+WITH prefs AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_custkey < 300),
+sz AS (SELECT u, count(*) AS n FROM prefs GROUP BY u),
+pairs AS (SELECT a.u AS ua, b.u AS ub, count(*) AS n
+          FROM prefs a JOIN prefs b ON a.i = b.i AND a.u <> b.u
+          GROUP BY 1, 2),
+scored AS (SELECT ua AS user_a, ub AS user_b,
+                  pairs.n::DOUBLE / (sa.n + sb.n - pairs.n) AS sim,
+                  pairs.n AS n
+           FROM pairs JOIN sz sa ON sa.u = ua JOIN sz sb ON sb.u = ub),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY user_a ORDER BY sim DESC, user_b) AS rn FROM scored)
+SELECT user_a, user_b, sim, n FROM ranked WHERE rn <= {TOPK}
+"""
+
+    recommend_itembased_sql = """
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 200 GROUP BY 1, 2),
+inter AS (SELECT DISTINCT u, i FROM prefs),
+sims AS (SELECT a.i AS cand, b.i AS j, count(*)::DOUBLE AS s
+         FROM inter a JOIN inter b ON a.u = b.u AND a.i <> b.i
+         GROUP BY 1, 2),
+cand AS (
+  SELECT pr.u, sims.cand AS it, sims.s, pr.p
+  FROM prefs pr JOIN sims ON sims.j = pr.i
+  WHERE NOT EXISTS (SELECT 1 FROM prefs sn
+                    WHERE sn.u = pr.u AND sn.i = sims.cand)),
+est AS (SELECT u, it, sum(s * p) / sum(s) AS score, count(*) AS n
+        FROM cand GROUP BY 1, 2),
+ranked AS (SELECT u, it, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, it) AS rn
+  FROM est WHERE n >= 2)
+SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
+"""
+
     stats_sql = f"""
 SELECT doc_id,
        ({token_count_sql('text')})::BIGINT AS n_tokens,
@@ -833,6 +914,8 @@ FROM ranked WHERE rn <= 5
         "ata_gramian": ata_sql,
         "feature_hashing": feature_hashing_sql,
         "recommend_cooc": recommend_sql,
+        "recommend_itembased": recommend_itembased_sql,
+        "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
                            variant="mahout"),

@@ -26,7 +26,7 @@ plus the downsampling cap; profiles/sketches shuffle once on user_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mahout_spark.operators.topk import topk_per_group
@@ -63,28 +63,91 @@ def cms_user_similarity(profiles: DataFrame,
 def exact_user_similarity(prefs: DataFrame, measure: str = "cosine",
                           user: str = "user_id", item: str = "item_id",
                           pref: str = "pref") -> DataFrame:
-    """(user_a, user_b, sim) exact pairwise similarity over shared items —
+    """(user_a, user_b, sim, n) exact pairwise similarity over shared
 
-    the Taste AbstractSimilarity merge-join as a DataFrame plan; serves as
-    the oracle for the CMS approximation (reference keeps both for the
-    same reason). cosine here = uncentered Pearson over co-rated items.
+    items — the Taste AbstractSimilarity merge-join as a DataFrame plan;
+    serves as the oracle for the CMS approximation (reference keeps both
+    for the same reason). Measures (reference file / computeResult):
+
+    - 'cosine' — UncenteredCosineSimilarity.java:56-67: sxy/(√sxx·√syy);
+    - 'pearson' — PearsonCorrelationSimilarity.java:78-91 with the
+      AbstractSimilarity centering (AbstractSimilarity.java:203-212):
+      centered sums over co-rated items only;
+    - 'euclidean' — EuclideanDistanceSimilarity.java:63-65:
+      1/(1 + √Σ(x−y)²/√n);
+    - 'tanimoto' — TanimotoCoefficientSimilarity.java:61-86:
+      |X∩Y| / |X∪Y| over item SETS (values ignored);
+    - 'loglikelihood' — LogLikelihoodSimilarity.java:52-72:
+      1 − 1/(1 + LLR(n, |Y|−n, |X|−n, numItems−|X|−|Y|+n));
+    - 'spearman' — SpearmanCorrelationSimilarity.java:48-121: ranks over
+      the pair's common items (per side, by value; ties broken by item id
+      for determinism — the reference's tie order is array order),
+      1 − 6Σd²/(n(n²−1)), NaN when n ≤ 1.
+
+    Pairs sharing no item never appear (the reference returns NaN there).
     """
     a = prefs.select(F.col(item).alias("__i"), F.col(user).alias("user_a"),
                      F.col(pref).cast("double").alias("__pa"))
     b = prefs.select(F.col(item).alias("__i"), F.col(user).alias("user_b"),
                      F.col(pref).cast("double").alias("__pb"))
     joined = a.join(b, "__i").filter(F.col("user_a") != F.col("user_b"))
+
+    if measure == "spearman":
+        wa = Window.partitionBy("user_a", "user_b").orderBy("__pa", "__i")
+        wb = Window.partitionBy("user_a", "user_b").orderBy("__pb", "__i")
+        ranked = (joined
+                  .withColumn("__ra", F.row_number().over(wa).cast("double"))
+                  .withColumn("__rb", F.row_number().over(wb).cast("double")))
+        agg = ranked.groupBy("user_a", "user_b").agg(
+            F.sum(F.pow(F.col("__ra") - F.col("__rb"), 2)).alias("d2"),
+            F.count("*").alias("n"))
+        n = F.col("n").cast("double")
+        sim = F.when(F.col("n") <= 1, float("nan")).otherwise(
+            1.0 - 6.0 * F.col("d2") / (n * (n * n - 1.0)))
+        return agg.select("user_a", "user_b", sim.alias("sim"), "n")
+
     agg = joined.groupBy("user_a", "user_b").agg(
         F.sum(F.col("__pa") * F.col("__pb")).alias("sxy"),
         F.sum(F.col("__pa") * F.col("__pa")).alias("sxx"),
         F.sum(F.col("__pb") * F.col("__pb")).alias("syy"),
+        F.sum("__pa").alias("sx"), F.sum("__pb").alias("sy"),
+        F.sum(F.pow(F.col("__pa") - F.col("__pb"), 2)).alias("d2"),
         F.count("*").alias("n"))
+
     if measure == "cosine":
-        sim = F.col("sxy") / (F.sqrt(F.col("sxx")) * F.sqrt(F.col("syy")))
+        den = F.sqrt(F.col("sxx")) * F.sqrt(F.col("syy"))
+        sim = F.when(den == 0.0, float("nan")).otherwise(F.col("sxy") / den)
+    elif measure == "pearson":
+        n = F.col("n").cast("double")
+        mean_x, mean_y = F.col("sx") / n, F.col("sy") / n
+        cxy = F.col("sxy") - mean_y * F.col("sx")
+        cx2 = F.col("sxx") - mean_x * F.col("sx")
+        cy2 = F.col("syy") - mean_y * F.col("sy")
+        den = F.sqrt(cx2) * F.sqrt(cy2)
+        sim = F.when(den == 0.0, float("nan")).otherwise(cxy / den)
     elif measure == "euclidean":
-        dist2 = F.greatest(F.lit(0.0),
-                           F.col("sxx") - 2 * F.col("sxy") + F.col("syy"))
-        sim = 1.0 / (1.0 + F.sqrt(dist2))
+        n = F.col("n").cast("double")
+        sim = 1.0 / (1.0 + F.sqrt(F.col("d2")) / F.sqrt(n))
+    elif measure in ("tanimoto", "loglikelihood"):
+        sizes = prefs.groupBy(user).agg(F.count("*").alias("__sz"))
+        agg = (agg.join(sizes.select(F.col(user).alias("user_a"),
+                                     F.col("__sz").alias("__nx")), "user_a")
+               .join(sizes.select(F.col(user).alias("user_b"),
+                                  F.col("__sz").alias("__ny")), "user_b"))
+        if measure == "tanimoto":
+            sim = (F.col("n").cast("double")
+                   / (F.col("__nx") + F.col("__ny") - F.col("n")))
+        else:
+            from mahout_spark.functions.measures import llr_expr
+
+            n_items = prefs.select(item).distinct().count()
+            llr = llr_expr(
+                F.col("n").cast("double"),
+                (F.col("__ny") - F.col("n")).cast("double"),
+                (F.col("__nx") - F.col("n")).cast("double"),
+                (F.lit(n_items) - F.col("__nx") - F.col("__ny")
+                 + F.col("n")).cast("double"))
+            sim = 1.0 - 1.0 / (1.0 + llr)
     else:
         raise ValueError(measure)
     return agg.select("user_a", "user_b", sim.alias("sim"), "n")
@@ -178,6 +241,57 @@ def recommend_cms(prefs: DataFrame, profiles: DataFrame,
         scored.select(F.col("__u").alias("user_id"),
                       F.col("__it").alias("item_id"), "score"),
         ["user_id"], "score", top_n, tiebreak_cols=["item_id"])
+
+
+def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
+                         top_n: int = 10, min_evidence: int = 2,
+                         user: str = "user_id", item: str = "item_id",
+                         pref: str = "pref",
+                         cap_range: tuple[float, float] | None = None,
+                         exclude_seen: bool = True) -> DataFrame:
+    """(user_id, item_id, score) — GenericItemBasedRecommender.recommend
+
+    as a DataFrame plan (GenericItemBasedRecommender.java:118-258):
+    candidates are items similar to the user's preferred items
+    (PreferredItemsNeighborhoodCandidateItemsStrategy); the estimate is
+    Σ sim(cand, j)·pref(u, j) / Σ sim(cand, j) over the user's items j
+    with a defined similarity; estimates built on fewer than
+    ``min_evidence`` (reference: 2, :251-253) points are dropped; the
+    denominator is the raw (possibly negative) similarity sum, :241-254.
+
+    ``item_sims``: (item_a, item_b, sim) — item_a is the candidate side;
+    feed ``llr_item_similarity`` output or any measure's item pairs.
+    """
+    p = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__j"),
+                     F.col(pref).cast("double").alias("__p"))
+    s = item_sims.select(F.col("item_a").alias("__cand"),
+                         F.col("item_b").alias("__j"),
+                         F.col("sim").cast("double").alias("__s"))
+    cand = p.join(s, "__j")
+    if exclude_seen:
+        seen = prefs.select(F.col(user).alias("__u"),
+                            F.col(item).alias("__cand")).distinct()
+        cand = cand.join(seen, ["__u", "__cand"], "left_anti")
+    est = (cand.groupBy("__u", "__cand")
+           .agg((F.sum(F.col("__s") * F.col("__p")) / F.sum(F.col("__s")))
+                .alias("score"), F.count("*").alias("__n"))
+           .filter(F.col("__n") >= min_evidence))
+    if cap_range is not None:
+        lo, hi = cap_range
+        est = est.withColumn("score", F.least(F.lit(float(hi)), F.greatest(
+            F.lit(float(lo)), F.col("score"))))
+    return topk_per_group(
+        est.select(F.col("__u").alias("user_id"),
+                   F.col("__cand").alias("item_id"), "score"),
+        ["user_id"], "score", top_n, tiebreak_cols=["item_id"])
+
+
+def most_similar_items(item_sims: DataFrame, n: int) -> DataFrame:
+    """Top-N similar items per item (GenericItemBasedRecommender.
+
+    mostSimilarItems, :162-229 — TopItems over the similarity table)."""
+    return topk_per_group(item_sims, ["item_a"], "sim", n,
+                          tiebreak_cols=["item_b"])
 
 
 def most_similar_users(sims: DataFrame, n: int) -> DataFrame:

@@ -108,3 +108,107 @@ def test_recommend_cms_tracks_exact(spark, prefs):
         # CMS estimates can only inflate preferences
         assert a[k] >= e[k] - 1e-9
         assert a[k] <= e[k] * 1.5 + 1e-9  # wide CMS -> few collisions
+
+
+# ---------------------------------------------------------------------------
+# Taste user-similarity measures — reference test goldens
+# (mr/src/test/java/.../similarity/*SimilarityTest.java)
+# ---------------------------------------------------------------------------
+
+
+def _prefs(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, item_id long, pref double")
+
+
+def _sim(spark, rows, measure):
+    out = exact_user_similarity(_prefs(spark, rows), measure=measure)
+    return {(r["user_a"], r["user_b"]): r["sim"] for r in out.collect()}
+
+
+def test_pearson_user_similarity_goldens(spark):
+    # PearsonCorrelationSimilarityTest.testSimple: (1,2,3) vs (2,5,6)
+    rows = [(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0),
+            (2, 0, 2.0), (2, 1, 5.0), (2, 2, 6.0)]
+    s = _sim(spark, rows, "pearson")
+    assert abs(s[(1, 2)] - 0.9607689228305227) < 1e-12
+    # testFullCorrelation1: identical vectors -> 1.0
+    rows = [(1, 0, 3.0), (1, 1, -2.0), (2, 0, 3.0), (2, 1, -2.0)]
+    s = _sim(spark, rows, "pearson")
+    assert abs(s[(1, 2)] - 1.0) < 1e-12
+    # testNoCorrelation3 shape: constant vector -> zero variance -> NaN
+    rows = [(1, 0, 90.0), (1, 1, 90.0), (2, 0, 70.0), (2, 1, 80.0)]
+    s = _sim(spark, rows, "pearson")
+    import math
+
+    assert math.isnan(s[(1, 2)])
+
+
+def test_euclidean_user_similarity_golden(spark):
+    # EuclideanDistanceSimilarityTest.testNoCorrelation1:
+    # (3,-2) vs (-3,2) -> 1/(1+sqrt(52)/sqrt(2)) = 0.1639607805437114
+    rows = [(1, 0, 3.0), (1, 1, -2.0), (2, 0, -3.0), (2, 1, 2.0)]
+    s = _sim(spark, rows, "euclidean")
+    assert abs(s[(1, 2)] - 0.1639607805437114) < 1e-12
+
+
+def test_spearman_user_similarity_goldens(spark):
+    # SpearmanCorrelationSimilarityTest: full/anti/simple
+    base = [(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0)]
+    s = _sim(spark, base + [(2, 0, 4.0), (2, 1, 5.0), (2, 2, 6.0)],
+             "spearman")
+    assert abs(s[(1, 2)] - 1.0) < 1e-12
+    s = _sim(spark, base + [(2, 0, 3.0), (2, 1, 2.0), (2, 2, 1.0)],
+             "spearman")
+    assert abs(s[(1, 2)] - (-1.0)) < 1e-12
+    s = _sim(spark, base + [(2, 0, 2.0), (2, 1, 3.0), (2, 2, 1.0)],
+             "spearman")
+    assert abs(s[(1, 2)] - (-0.5)) < 1e-12
+
+
+def test_tanimoto_user_similarity_goldens(spark):
+    # TanimotoCoefficientSimilarityTest.testFullCorrelation2: same 3 items
+    rows = [(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0),
+            (2, 0, 1.0), (2, 1, 2.0), (2, 2, 3.0)]
+    s = _sim(spark, rows, "tanimoto")
+    assert abs(s[(1, 2)] - 1.0) < 1e-12
+    # overlap 1 of union 3 -> 1/3
+    rows = [(1, 0, 1.0), (1, 1, 1.0), (2, 1, 1.0), (2, 2, 1.0)]
+    s = _sim(spark, rows, "tanimoto")
+    assert abs(s[(1, 2)] - (1.0 / 3.0)) < 1e-12
+
+
+def test_loglikelihood_user_similarity_goldens(spark):
+    # LogLikelihoodSimilarityTest.testCorrelation itemSimilarity goldens,
+    # transposed (itemSimilarity == userSimilarity on the transposed
+    # matrix; numItems of the transpose = 5 original users).
+    # users 1..5 x items 0..4 (1.0 where rated):
+    m = {1: [0, 1], 2: [0, 2], 3: [2, 3, 4], 4: [0, 1, 2, 3, 4],
+         5: [1, 2, 3, 4]}
+    rows = [(i, u, 1.0) for u, items in m.items() for i in items]
+    s = _sim(spark, rows, "loglikelihood")
+    assert abs(s[(1, 0)] - 0.12160727029227925) < 1e-12
+    assert abs(s[(0, 1)] - 0.12160727029227925) < 1e-12
+    assert abs(s[(1, 2)] - 0.5423213660693732) < 1e-12
+    assert abs(s[(2, 3)] - 0.6905400104897509) < 1e-12
+    assert abs(s[(3, 4)] - 0.8706358464330881) < 1e-12
+
+
+def test_item_based_recommender(spark):
+    from mahout_spark.operators.recommender import (most_similar_items,
+                                                    recommend_item_based)
+
+    # user 1 rated items 0,1; item 2 similar to both -> estimate =
+    # (s20*p0 + s21*p1) / (s20 + s21)
+    prefs = _prefs(spark, [(1, 0, 4.0), (1, 1, 2.0)])
+    sims = spark.createDataFrame(
+        [(2, 0, 0.5), (2, 1, 0.25), (0, 1, 0.9), (1, 0, 0.9)],
+        "item_a long, item_b long, sim double")
+    recs = recommend_item_based(prefs, sims, top_n=5, min_evidence=2)
+    got = {(r["user_id"], r["item_id"]): r["score"] for r in recs.collect()}
+    want = (0.5 * 4.0 + 0.25 * 2.0) / (0.5 + 0.25)
+    assert set(got) == {(1, 2)}  # items 0,1 seen; only 2 has 2 evidences
+    assert abs(got[(1, 2)] - want) < 1e-12
+
+    top = most_similar_items(sims, 1).collect()
+    best = {r["item_a"]: r["item_b"] for r in top}
+    assert best[2] == 0  # 0.5 > 0.25
