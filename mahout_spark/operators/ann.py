@@ -113,67 +113,99 @@ def signs_expr(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             n_cells: int = 16, n_probe: int = 4, seed: int = 7,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id: str = "query_id",
-             max_iter: int = 10) -> DataFrame:
-    """IVF: k-means coarse quantizer → probe the n_probe nearest cells →
+class IVFIndex:
+    """Persisted IVF state: centroids + cell-assigned corpus.
 
-    exact cosine re-rank inside them. The quantizer trains on the corpus
-    (Spark MLlib KMeans, seeded); at 10^12 rows train on a deterministic
-    sample and persist the cell assignment as a partition column so probes
-    prune at the source. Recall grows with n_probe (n_probe = n_cells →
-    brute force).
+    Build once with ``ivf_build`` (sample-trained quantizer, cell
+    assignment cached/persistable), search many times with ``search`` —
+    repeated query workloads never retrain or rescan. At 10^12 rows
+    write ``assigned`` out partitioned by ``__cell`` so probes prune at
+    the parquet source.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    train = corpus.select(array_to_vector(
-        F.col(vec_col).cast("array<double>")).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter)
-    model = km.fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    def __init__(self, centers: np.ndarray, assigned: DataFrame,
+                 id_col: str, vec_col: str):
+        self.centers = centers
+        self.assigned = assigned
+        self.id_col = id_col
+        self.vec_col = vec_col
 
-    def cell_expr(vec: Column) -> Column:
-        # nearest centroid by squared L2, as literal expressions
-        best_d, best_i = None, None
-        for i, c in enumerate(centers):
+    def probe_cells_expr(self, vec: Column, n_probe: int) -> Column:
+        """array<int> of the n_probe nearest cell ids — pure Catalyst
+
+        (literal centroids, array_sort on (distance, cell) structs), so
+        query probing is a JVM expression + join, no driver loop."""
+        entries = []
+        for i, c in enumerate(self.centers):
             carr = F.array(*[F.lit(float(x)) for x in c])
             d = F.aggregate(
                 F.zip_with(vec.cast("array<double>"), carr,
                            lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0), lambda acc, v: acc + v)
-            if best_d is None:
-                best_d, best_i = d, F.lit(i)
-            else:
-                best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
-                best_d = F.least(d, best_d)
-        return best_i
+            entries.append(F.struct(d.alias("d"), F.lit(i).alias("c")))
+        ordered = F.array_sort(F.array(*entries))
+        return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["c"])
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"),
-                      cell_expr(F.col(vec_col)).alias("__cell"))
+    def search(self, queries: DataFrame, k: int = 10, n_probe: int = 4,
+               query_id: str = "query_id") -> DataFrame:
+        q = queries.select(
+            F.col(query_id), F.col(self.vec_col).alias("__qv"),
+            F.explode(self.probe_cells_expr(F.col(self.vec_col), n_probe))
+            .alias("__cell"))
+        cand = self.assigned.join(F.broadcast(q), "__cell")
+        scored = cand.select(
+            query_id, "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("score"))
+        return topk_per_group(scored, [query_id], "score", k,
+                              tiebreak_cols=["neighbor_id"])
 
-    # queries probe their n_probe nearest cells (driver-side tiny math)
-    qpd = queries.toPandas()
-    qrows = []
-    for r in qpd.itertuples():
-        qv = np.asarray(getattr(r, vec_col), dtype=np.float64)
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            qrows.append((getattr(r, query_id), list(map(float, qv)),
-                          int(cell)))
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(
-        qrows, f"{query_id} long, __qv array<double>, __cell int")
 
-    cand = c.join(F.broadcast(q), "__cell")
-    scored = cand.select(
-        query_id, "neighbor_id",
-        cosine_expr(F.col("__qv"), F.col("__cv")).alias("score")).distinct()
-    return topk_per_group(scored, [query_id], "score", k,
-                          tiebreak_cols=["neighbor_id"])
+def ivf_build(corpus: DataFrame, n_cells: int = 16, seed: int = 7,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              max_iter: int = 10, max_train: int = 100_000,
+              persist: bool = False) -> IVFIndex:
+    """Train the coarse quantizer on a deterministic hash sample of at
+
+    most ``max_train`` rows (KMeans needs no more to place n_cells
+    centroids), assign every corpus row to its nearest cell with a pure
+    Catalyst expression, and return a reusable IVFIndex.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_rows = corpus.count()
+    frac = min(1.0, max_train / max(1, n_rows))
+    sample = corpus
+    if frac < 1.0:
+        coin = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                       F.lit(1 << 24)).cast("double") / F.lit(float(1 << 24)))
+        sample = corpus.filter(coin < frac)
+    train = sample.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    idx = IVFIndex(centers, None, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        idx.probe_cells_expr(F.col(vec_col), 1)[0].alias("__cell"))
+    if persist:
+        assigned = assigned.persist()
+    idx.assigned = assigned
+    return idx
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id: str = "query_id",
+             max_iter: int = 10) -> DataFrame:
+    """One-shot IVF search (build + search); for repeated query workloads
+
+    build the index once with ``ivf_build`` and call ``.search()``."""
+    idx = ivf_build(corpus, n_cells=n_cells, seed=seed, id_col=id_col,
+                    vec_col=vec_col, max_iter=max_iter)
+    return idx.search(queries, k=k, n_probe=n_probe, query_id=query_id)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -28,3 +28,33 @@ def test_ivf_recall_and_fullprobe(spark):
                     seed=7).toPandas()
     f = {(r.query_id, r.neighbor_id) for r in full.itertuples()}
     assert f == e
+
+
+def test_ivf_index_reuse(spark):
+    """ivf_build trains ONCE; repeated .search() calls reuse the quantizer
+
+    and cell assignment (no retrain, no driver-side query loop)."""
+    from mahout_spark.operators.ann import ivf_build
+
+    emb = spark.read.parquet(EMB)
+    idx = ivf_build(emb, n_cells=8, seed=7, persist=True)
+    try:
+        q1 = (emb.filter(F.col("vec_id") < 4)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        q2 = (emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        r1 = idx.search(q1, k=5, n_probe=8).toPandas()
+        r2 = idx.search(q2, k=5, n_probe=8).toPandas()
+        exact = brute_force_topk(
+            emb, q1.unionByName(q2), k=5).toPandas()
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        got = {(r.query_id, r.neighbor_id) for r in r1.itertuples()} | \
+              {(r.query_id, r.neighbor_id) for r in r2.itertuples()}
+        assert got == e  # full probe == brute force, across two searches
+        # one-shot plan must not contain a Python-side query loop: probing
+        # is a join against the assigned corpus
+        plan = idx.search(q1, k=5, n_probe=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Join" in plan
+    finally:
+        idx.assigned.unpersist()
