@@ -233,22 +233,21 @@ def atx(a: DataFrame, x: np.ndarray) -> DataFrame:
 def times_incore(a: DataFrame, b: np.ndarray) -> DataFrame:
     """A %*% inCoreB — broadcast matrix multiply (OpTimesRightMatrix).
 
-    B enters as one literal 2-D array lookup; output (row, j) sums over
-    A's nonzero cols. Shuffle: the single groupBy.
+    B enters as one literal 2-D array-of-arrays; each nonzero (i, j, v)
+    fans out to B's row j via posexplode (JVM-side), then ONE partial-agg
+    groupBy sums per (row, out-col). Single pass, single shuffle —
+    replaces the previous per-output-column aggregation union.
     """
-    ncol_b = b.shape[1]
-    rows = []
-    for j in range(ncol_b):
-        col = F.array(*[F.lit(float(v)) for v in b[:, j]])
-        rows.append(
-            a.withColumn("__b", F.element_at(col, F.col("col_id").cast("int") + 1))
-            .groupBy("row_id")
-            .agg(F.sum(F.col("value") * F.col("__b")).alias("value"))
-            .withColumn("col_id", F.lit(j).cast(a.schema["col_id"].dataType)))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.select(*TRIPLE_COLS).filter(F.col("value") != 0.0)
+    blit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in b])
+    row_arr = F.element_at(blit, F.col("col_id").cast("int") + 1)
+    exploded = a.select("row_id", F.col("value").alias("__v"),
+                        F.posexplode(row_arr).alias("__j", "__b"))
+    ctype = a.schema["col_id"].dataType
+    return (exploded.groupBy("row_id", "__j")
+            .agg(F.sum(F.col("__v") * F.col("__b")).alias("value"))
+            .select("row_id", F.col("__j").cast(ctype).alias("col_id"),
+                    "value")
+            .filter(F.col("value") != 0.0))
 
 
 # -- aggregates ---------------------------------------------------------------
