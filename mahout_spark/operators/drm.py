@@ -306,6 +306,62 @@ def col_mean_vars(a: DataFrame, nrow: int) -> DataFrame:
          - (F.sum("value") / n) ** 2).alias("var"))
 
 
+def diagv(spark, v: np.ndarray, n_partitions: int = 2) -> DataFrame:
+    """diag(v) as a DRM (scalabindings/package.scala:125 DiagonalMatrix).
+
+    Triples (i, i, v_i); zero entries stay absent (sparse form).
+    """
+    rows = [(int(i), int(i), float(x)) for i, x in enumerate(v)
+            if float(x) != 0.0]
+    return spark.createDataFrame(rows, "row_id long, col_id long, "
+                                 "value double").repartition(n_partitions)
+
+
+def diag_of(a: DataFrame) -> DataFrame:
+    """The main diagonal of A as (col_id, value) — m.viewDiagonal()
+
+    (MatrixOps.scala:303). Pure filter; no shuffle."""
+    return (a.filter(F.col("row_id") == F.col("col_id"))
+            .select("col_id", "value"))
+
+
+def dcol_mean_cov(a: DataFrame, nrow: int) -> tuple[DataFrame, DataFrame]:
+    """dcolMeanCov (drm/package.scala:259-285): COV(X) = E(XX') - mu mu'
+
+    with E(XX') = (A'A)/nrow. Returns (mu DataFrame [col_id, value],
+    cov DRM triples). The mu-cross-mu subtraction is distributed (the
+    reference redistributes it via mapBlock for the same reason): the
+    dense ncol x ncol cell grid comes from a crossJoin of the (small)
+    col-means vector with itself, left-joined with the sparse Gramian.
+    """
+    mu = col_means(a, nrow)
+    gram = ata(a)
+    n = F.lit(float(nrow))
+    mi = mu.select(F.col("col_id").alias("row_id"),
+                   F.col("value").alias("__mi"))
+    mj = mu.select("col_id", F.col("value").alias("__mj"))
+    cells = mi.crossJoin(F.broadcast(mj))
+    cov = (cells.join(gram, ["row_id", "col_id"], "left")
+           .withColumn("value",
+                       F.coalesce(F.col("value"), F.lit(0.0)) / n
+                       - F.col("__mi") * F.col("__mj"))
+           .select(*TRIPLE_COLS))
+    return mu, cov
+
+
+def dcol_mean_cov_thin(a: DataFrame, ncol: int,
+                       nrow: int) -> tuple[np.ndarray, np.ndarray]:
+    """dcolMeanCovThin (drm/package.scala:241-249) — thin/tall inputs:
+
+    Gramian reduced in driver memory (ata_slim), then cov finalized
+    in-core exactly as the reference: (A'A)/n - mu cross mu."""
+    mu = np.zeros(ncol)
+    for r in col_means(a, nrow).collect():
+        mu[int(r["col_id"])] = r["value"]
+    cov = ata_slim(a, ncol) / float(nrow) - np.outer(mu, mu)
+    return mu, cov
+
+
 def dsq_dist(a: DataFrame) -> DataFrame:
     """Pairwise squared Euclidean distances between rows (dsqDist):
 

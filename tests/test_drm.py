@@ -124,6 +124,30 @@ def test_col_mean_vars(mats):
     close(np.array([r["var"] for r in rows]), a.var(axis=0), tol=1e-9)
 
 
+def test_diagv_roundtrip(spark, mats):
+    v = np.array([3.0, 0.0, 2.5, -1.0, 4.0])
+    d = D.diagv(spark, v, 2)
+    close(D.drm_collect(d, 5, 5), np.diag(v))
+    back = np.zeros(5)
+    for r in D.diag_of(d).collect():
+        back[int(r["col_id"])] = r["value"]
+    close(back, v)
+
+
+def test_dcol_mean_cov(mats):
+    a = mats["a"]
+    mu_df, cov_drm = D.dcol_mean_cov(mats["da"], 12)
+    mu = np.zeros(7)
+    for r in mu_df.collect():
+        mu[int(r["col_id"])] = r["value"]
+    close(mu, a.mean(axis=0))
+    want = (a.T @ a) / 12.0 - np.outer(a.mean(axis=0), a.mean(axis=0))
+    close(D.drm_collect(cov_drm, 7, 7), want, tol=1e-9)
+    mu2, cov2 = D.dcol_mean_cov_thin(mats["da"], 7, 12)
+    close(mu2, a.mean(axis=0))
+    close(cov2, want, tol=1e-9)
+
+
 def test_dsq_dist(mats):
     a = mats["a"]
     present = (a != 0).any(axis=1)
