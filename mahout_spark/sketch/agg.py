@@ -288,6 +288,31 @@ def sketch_per_group(df: DataFrame, group_cols: list[str], spec: SketchSpec,
     return slim.groupBy(*gnames).applyInPandas(build, schema=schema)
 
 
+def merge_sketch_rows(sketch_df: DataFrame, spec: SketchSpec,
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Merge ALREADY-BUILT sketch rows into coarser groups (or one row).
+
+    The mergeability dividend: a global sketch is the associative merge of
+    per-group sketches — no second pass over raw data. ``group_cols=None``
+    merges everything to a single-row [sketch] DataFrame.
+    """
+    gnames = group_cols or []
+    src = sketch_df.select(*gnames, "sketch") if gnames \
+        else sketch_df.select(F.lit(0).alias("__g"), "sketch")
+    keys = gnames or ["__g"]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = _merge_blobs(spec, pdf["sketch"])
+        head = pdf.iloc[[0]][keys].copy()
+        head["sketch"] = [blob]
+        return head
+
+    schema = StructType([src.schema[c] for c in keys]
+                        + [StructField("sketch", BinaryType())])
+    out = src.groupBy(*keys).applyInPandas(merge, schema=schema)
+    return out if gnames else out.drop("__g")
+
+
 def sketch_global(df: DataFrame, spec: SketchSpec, key_col: str | None = None,
                   value_col: str | None = None, n_salt: int = 8,
                   key_expr: F.Column | None = None) -> bytes:

@@ -173,7 +173,7 @@ def cms_pairwise(sketch_df: DataFrame, group_col: str,
 
 def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
                     exclude_self: bool = True,
-                    block_rows: int = 2048) -> DataFrame:
+                    block_rows: int | None = None) -> DataFrame:
     """(item, neighbor, cms_cosine) — top-K CMS-cosine neighbors per item.
 
     The CosineCM flagship (CosineCM.java:84-96 scaled out) as an
@@ -202,6 +202,16 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
     spark = sketch_df.sparkSession
     n_est = sketch_df.agg(
         F.approx_count_distinct(group_col).alias("n")).first()["n"]
+    if block_rows is None:
+        # parallelism-aware default: enough blocks that the n_blocks^2
+        # tile tasks cover the cluster (~2 tasks/slot), but blocks never
+        # thinner than 128 items (BLAS efficiency) nor fatter than 2048
+        # (pair-join payload & per-tile memory). A fixed block size would
+        # leave small-n inputs as ONE serial pack+tile task — an Amdahl
+        # serial fraction that caps whole-job scaling.
+        par = spark.sparkContext.defaultParallelism
+        want_blocks = max(1, int(round((2.0 * par) ** 0.5)))
+        block_rows = min(2048, max(128, -(-int(n_est) // want_blocks)))
     n_blocks = max(1, -(-int(n_est) // block_rows))
     src = sketch_df.select(
         F.col(group_col).alias("id"), "sketch",
@@ -259,18 +269,17 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
                 kk = min(k, nb - (1 if (exclude_self and same) else 0))
                 if kk <= 0:
                     continue
-                out_i, out_j, out_v = [], [], []
-                for ai in range(sims.shape[0]):
-                    row = sims[ai]
-                    top = np.argpartition(-row, kk - 1)[:kk]
-                    for j in top:
-                        v = row[int(j)]
-                        if np.isfinite(v):
-                            out_i.append(ids_a[ai])
-                            out_j.append(ids_b[int(j)])
-                            out_v.append(float(v))
-                yield pd.DataFrame({"item": out_i, "neighbor": out_j,
-                                    "cms_cosine": out_v})
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                vals = np.take_along_axis(sims, top, axis=1)
+                keep = np.isfinite(vals)
+                rows = np.broadcast_to(
+                    np.arange(sims.shape[0])[:, None], top.shape)[keep]
+                cols = top[keep]
+                arr_a = np.asarray(ids_a, dtype=object)
+                arr_b = np.asarray(ids_b, dtype=object)
+                yield pd.DataFrame({"item": arr_a[rows],
+                                    "neighbor": arr_b[cols],
+                                    "cms_cosine": vals[keep].astype(float)})
 
     cand = pairs.mapInPandas(tile_topk, schema=cand_schema)
     return topk_per_group(cand, ["item"], "cms_cosine", k,

@@ -113,6 +113,20 @@ class TestFastCMS:
                 over += 1
         assert over <= max(1, int(0.01 * len(est)) + 2)
 
+    def test_merge_sketch_rows_equals_global_rebuild(self, spark, tokens):
+        # the mergeability dividend the flagship job relies on: merging the
+        # per-lang sketches IS the global sketch, byte-identical — no
+        # second build pass over raw tokens needed
+        from mahout_spark.sketch.agg import merge_sketch_rows
+
+        spec = cms_spec(eps=0.005, delta=0.01, seed=3)
+        per_lang = sketch_by_key(tokens, ["lang"], spec, key_col="token",
+                                 n_salt=4)
+        merged = bytes(merge_sketch_rows(per_lang, spec)
+                       .collect()[0]["sketch"])
+        rebuilt = sketch_global(tokens, spec, key_col="token")
+        assert merged == rebuilt
+
 
 class TestOtherSketches:
     def test_hll_per_lang_counts(self, spark, tokens):
