@@ -47,7 +47,18 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--master", default=None,
+                    help="override spark master (e.g. local-cluster[4,2,"
+                         "4096] for separate executor JVMs); --cpus should "
+                         "then be the TOTAL core count")
     ap.add_argument("--skip-itemsim", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a 1k-page slice through the same pipeline "
+                         "BEFORE the timed window: executor JVM launch + "
+                         "whole-stage-codegen JIT + python worker/Arrow "
+                         "warmup are one-time costs a production-scale "
+                         "run amortizes to nothing, so steady-state "
+                         "throughput is the number that extrapolates")
     ap.add_argument("--llr-itemsim", action="store_true",
                     help="also run the exact LLR cooccurrence top-K")
     ap.add_argument("--head-items", type=int, default=1000,
@@ -65,7 +76,8 @@ def main(argv=None):
     from mahout_spark.sketch.queries import cms_pairwise, cms_point_lookup
     from mahout_spark.sources.webpages import generate_webpages
 
-    spark = get_spark("topk_cosine", master=f"local[{args.cpus}]",
+    spark = get_spark("topk_cosine",
+                      master=args.master or f"local[{args.cpus}]",
                       shuffle_partitions=max(args.cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -81,8 +93,27 @@ def main(argv=None):
         phases[name] = round(now - t_start, 2)
         return now
 
-    t0 = time.time()
     from mahout_spark.functions.text import tokens_array
+
+    if args.warmup:
+        from mahout_spark.sketch.queries import cms_topk_cosine as _tk
+        from mahout_spark.sketch.agg import (cms_spec_shape as _shape,
+                                             sketch_per_group as _spg)
+
+        w = pages.limit(1000)
+        wt = w.select("url", args.group,
+                      F.explode(tokens_array(F.col("text"))).alias("token"))
+        _ws = sketch_by_key(wt, [args.group],
+                            cms_spec(eps=args.eps, delta=args.delta, seed=1),
+                            key_col="token", n_salt=2)
+        cms_pairwise(_ws, args.group, kind="cosine").count()
+        _wh = (wt.groupBy("token").count()
+               .orderBy(F.desc("count"), "token").limit(50).select("token"))
+        _wp = _spg(wt.join(F.broadcast(_wh), "token"), ["token"],
+                   _shape(4, 512, seed=2), key_col="url")
+        _tk(_wp, "token", k=5).count()
+
+    t0 = time.time()
 
     # NOT persisted: caching a deserialized token stream convoys on the
     # memory store at high thread counts (measured 13s -> 78-143s), and at

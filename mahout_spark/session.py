@@ -26,9 +26,20 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     cores = 32
+    exec_mem_mb = None
     if master.startswith("local["):
         inner = master[6:-1]
         cores = os.cpu_count() if inner == "*" else int(inner)
+    exec_cores = None
+    if master.startswith("local-cluster["):
+        # local-cluster[numWorkers,coresPerWorker,memPerWorkerMB]:
+        # separate executor JVMs on one box — the closest sandbox analogue
+        # of an N-executor cluster (per-executor GC/heap/python workers,
+        # netty shuffle between processes)
+        n_w, c_w, m_w = (int(x) for x in master[14:-1].split(","))
+        cores = n_w * c_w
+        exec_mem_mb = int(m_w * 0.85)
+        exec_cores = c_w
     # one python worker per task slot already saturates the cores — a
     # 32-thread BLAS/OMP pool PER WORKER (the numpy default on this host)
     # oversubscribes cores*32 threads during matmul-heavy kernels
@@ -71,9 +82,35 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if exec_mem_mb:
+        builder = (builder
+                   .config("spark.executor.memory", f"{exec_mem_mb}m")
+                   # each executor JVM must size GC/JIT pools for ITS core
+                   # slice, not the host's 32 vCPUs (same lesson as the
+                   # driver ActiveProcessorCount above), and worker env
+                   # must pin BLAS pools like the driver env does
+                   .config("spark.executor.extraJavaOptions",
+                           f"-XX:ActiveProcessorCount={exec_cores}")
+                   .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+                   .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+                   .config("spark.executorEnv.MKL_NUM_THREADS", "1"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if exec_mem_mb:
+        # separate executor JVMs don't share the driver's sys.path: ship
+        # the package zip exactly as spark-submit --py-files would on a
+        # real cluster (bin/package.sh builds it; fall back to building
+        # one on the fly)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_path = os.path.join(repo, "dist", "mahout_spark.zip")
+        if not os.path.exists(zip_path):
+            import subprocess
+
+            subprocess.run(["sh", os.path.join(repo, "bin", "package.sh")],
+                           check=True, capture_output=True)
+        spark.sparkContext.addPyFile(zip_path)
+    return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict:

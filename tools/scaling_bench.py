@@ -65,14 +65,21 @@ def triad_probe(procs: int, n: int = 30_000_000) -> float:
 
 
 def run_at(cpus: int, input_path: str, out: str, k: int,
-           max_prefs: int) -> dict:
+           max_prefs: int, executors: int | None = None,
+           cores_per_exec: int = 2) -> dict:
     # same modest heap at both sizes (mirrors per-executor memory on a
     # real cluster; oversized heaps stall this VM — see session.py)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_DRIVER_MEM="12g")
     cmd = [sys.executable, os.path.join(REPO, "jobs", "topk_cosine.py"),
            "--input", input_path, "--output", out, "--cpus", str(cpus),
-           "--k", str(k), "--max-prefs", str(max_prefs)]
+           "--k", str(k), "--max-prefs", str(max_prefs), "--warmup"]
+    if executors is not None:
+        # separate executor JVMs: the literal "N executors -> 4N
+        # executors" protocol (own heap/GC/python workers per executor,
+        # netty shuffle between processes)
+        cmd += ["--master",
+                f"local-cluster[{executors},{cores_per_exec},4096]"]
     t0 = time.time()
     subprocess.run(cmd, check=True, env=env,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -99,21 +106,30 @@ def main():
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     n_big = n_small * 4
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # SPARK_GRAFT_SCALE_MODE=executors: N vs 4N separate executor JVMs
+    # (local-cluster), 2 cores each — the north rule's literal protocol
+    exec_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "") == "executors"
+    cores_per_exec = int(os.environ.get("SPARK_GRAFT_CORES_PER_EXEC", "2"))
 
     # The sandbox hypervisor introduces up to 2x run-to-run variance
     # (measured); interleave the two sizes and take medians so noise hits
     # both symmetrically.
     samples: dict[int, list[dict]] = {n_small: [], n_big: []}
     for rep in range(repeats):
-        for cpus in (n_small, n_big):
+        for n in (n_small, n_big):
+            cpus = n * cores_per_exec if exec_mode else n
             bw = triad_probe(cpus)
-            print(f"[rep {rep}] flagship at local[{cpus}] "
+            label = (f"local-cluster[{n},{cores_per_exec},4096]"
+                     if exec_mode else f"local[{n}]")
+            print(f"[rep {rep}] flagship at {label} "
                   f"(triad@{cpus}p={bw} GB/s) ...", flush=True)
-            r = run_at(cpus, args.input, f"/tmp/scaling_out_{cpus}",
-                       args.k, args.max_prefs)
+            r = run_at(cpus, args.input, f"/tmp/scaling_out_{n}",
+                       args.k, args.max_prefs,
+                       executors=n if exec_mode else None,
+                       cores_per_exec=cores_per_exec)
             r["triad_gbps_at_start"] = bw
-            print(f"  local[{cpus}]: {r}", flush=True)
-            samples[cpus].append(r)
+            print(f"  {label}: {r}", flush=True)
+            samples[n].append(r)
 
     def median_run(rs: list[dict]) -> dict:
         walls = sorted(r["wall_s"] for r in rs)
@@ -135,6 +151,8 @@ def main():
         "n_docs": runs[n_small]["n_docs"],
         "n_small": n_small, "n_big": n_big,
         f"local{n_small}": runs[n_small], f"local{n_big}": runs[n_big],
+        "mode": (f"executors x{cores_per_exec}cores (local-cluster)"
+                 if exec_mode else "local[N] cores"),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_min_based": round(eff_min, 3),
         "min_wall_s": mins,
