@@ -93,6 +93,11 @@ def main(argv=None):
         phases[name] = round(now - t_start, 2)
         return now
 
+    def group(name: str) -> None:
+        # label stages per phase so event-log accounting
+        # (tools/stage_accounting.py) can roll bytes/CPU into phases
+        spark.sparkContext.setJobGroup(name, name)
+
     from mahout_spark.functions.text import tokens_array
 
     if args.warmup:
@@ -114,6 +119,7 @@ def main(argv=None):
         _tk(_wp, "token", k=5).count()
 
     t0 = time.time()
+    group("tokenize_count")
 
     # NOT persisted: caching a deserialized token stream convoys on the
     # memory store at high thread counts (measured 13s -> 78-143s), and at
@@ -125,6 +131,7 @@ def main(argv=None):
     n_docs = pages.count()
     t = mark("tokenize_count", t0)
 
+    group("cms_build_cosine")
     spec = cms_spec(eps=args.eps, delta=args.delta, seed=1)
     if args.checkpoint_dir:
         from mahout_spark.plans.checkpoint import CheckpointedSketchJob
@@ -145,6 +152,7 @@ def main(argv=None):
     # ONE token-count pass feeds both head lists (tiny vocab-sized table);
     # the global sketch is the associative MERGE of the per-group sketches
     # — mergeability means no second build pass over the raw tokens.
+    group("cms_points")
     from mahout_spark.sketch.agg import merge_sketch_rows
 
     head_items = (toks.groupBy("token").count()
@@ -160,6 +168,7 @@ def main(argv=None):
     if not args.skip_itemsim:
         # the CosineCM flagship: CMS context profile per head token
         # (token/url co-occurrence vectors) -> top-K CMS-cosine pairs
+        group("topk_pairs")
         from mahout_spark.sketch.agg import cms_spec_shape, sketch_per_group
         from mahout_spark.sketch.queries import cms_topk_cosine
 
@@ -172,6 +181,7 @@ def main(argv=None):
         t = mark("topk_pairs", t)
 
     if args.llr_itemsim:
+        group("llr_pairs")
         triples = toks.select(F.col("url").alias("row_id"),
                               F.col("token").alias("col_id"))
         sims = llr_item_similarity(triples, k=args.k,

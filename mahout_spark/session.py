@@ -82,6 +82,12 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.dir", f"file://{evdir}"))
     if exec_mem_mb:
         builder = (builder
                    .config("spark.executor.memory", f"{exec_mem_mb}m")
