@@ -291,6 +291,24 @@ def _q_ata_gramian(spark, sf_dir) -> DataFrame:
                     F.col("value").alias("gram"))
 
 
+def _q_dcol_mean_cov(spark, sf_dir) -> DataFrame:
+    """Distributed column covariance (dcolMeanCov, drm/package.scala:259)
+
+    of the order×linenumber quantity matrix — exact dense COV(X) =
+    (A'A)/n − μμ' in long form, SQL-replayable."""
+    from mahout_spark.operators.drm import dcol_mean_cov
+
+    li = _read(spark, sf_dir, "lineitem")
+    triples = (li.groupBy(F.col("l_orderkey").alias("row_id"),
+                          (F.col("l_linenumber") - 1).alias("col_id"))
+               .agg(F.sum("l_quantity").alias("value")))
+    nrow = triples.select("row_id").distinct().count()
+    _, cov = dcol_mean_cov(triples, nrow)
+    return cov.select(F.col("row_id").alias("col_i"),
+                      F.col("col_id").alias("col_j"),
+                      F.round(F.col("value"), 9).alias("cov"))
+
+
 def _q_feature_hashing(spark, sf_dir) -> DataFrame:
     """Hash-trick vectors with the SQL-replayable md5 bucket (the
 
@@ -548,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowsim_euclidean": _q_rowsim_euclidean,
         "rowsim_cityblock": _q_rowsim_cityblock,
         "ata_gramian": _q_ata_gramian,
+        "dcol_mean_cov": _q_dcol_mean_cov,
         "feature_hashing": _q_feature_hashing,
         "recommend_cooc": _q_recommend_cooc,
         "recommend_cms": _q_recommend_cms,
@@ -702,6 +721,21 @@ WITH t AS (SELECT l_orderkey AS r, l_partkey AS c, sum(l_quantity) AS v
            FROM lineitem GROUP BY 1, 2)
 SELECT a.c AS part_a, b.c AS part_b, sum(a.v * b.v) AS gram
 FROM t a JOIN t b ON a.r = b.r GROUP BY 1, 2
+"""
+
+    dcol_cov_sql = """
+WITH t AS (SELECT l_orderkey AS r, l_linenumber - 1 AS c,
+                  sum(l_quantity)::DOUBLE AS v
+           FROM lineitem GROUP BY 1, 2),
+nn AS (SELECT count(DISTINCT r)::DOUBLE AS n FROM t),
+mu AS (SELECT c, sum(v) / (SELECT n FROM nn) AS m FROM t GROUP BY c),
+gram AS (SELECT a.c AS ci, b.c AS cj, sum(a.v * b.v) AS g
+         FROM t a JOIN t b ON a.r = b.r GROUP BY 1, 2),
+cells AS (SELECT mi.c AS col_i, mj.c AS col_j, mi.m AS mi, mj.m AS mj
+          FROM mu mi CROSS JOIN mu mj)
+SELECT col_i, col_j,
+       round(coalesce(g, 0) / (SELECT n FROM nn) - mi * mj, 9) AS cov
+FROM cells LEFT JOIN gram ON ci = col_i AND cj = col_j
 """
 
     from mahout_spark.functions.hashutil import md5_long60_sql as _md5sql
@@ -912,6 +946,7 @@ FROM ranked WHERE rn <= 5
         "rowsim_euclidean": rowsim_euclid_sql,
         "rowsim_cityblock": rowsim_cityblock_sql,
         "ata_gramian": ata_sql,
+        "dcol_mean_cov": dcol_cov_sql,
         "feature_hashing": feature_hashing_sql,
         "recommend_cooc": recommend_sql,
         "recommend_itembased": recommend_itembased_sql,

@@ -46,17 +46,21 @@ def bench_cms_build_topk_cosine(spark, sf_dir):
     toks = docs.select(
         "doc_id", "lang",
         F.explode(tokens_array(F.col("text"))).alias("token"))
-    sk = sketch_by_key(toks, ["lang"], cms_spec(eps=0.001, delta=0.01),
-                       key_col="token", n_salt=4)
+    # single-pass shape (mirrors jobs/topk_cosine.py): one explode feeds
+    # both the weighted CMS build and the head-token list
+    tl = (toks.groupBy("lang", "token")
+          .agg(F.count("*").cast("double").alias("cnt")).persist())
+    sk = sketch_by_key(tl, ["lang"], cms_spec(eps=0.001, delta=0.01),
+                       key_col="token", value_col="cnt", n_salt=4)
     _noop_consume(cms_pairwise(sk, "lang", kind="cosine"))
-    head = (toks.groupBy("token").count()
+    head = (tl.groupBy("token").agg(F.sum("cnt").alias("count"))
             .orderBy(F.desc("count"), "token").limit(1000).select("token"))
     profiles = sketch_per_group(
         toks.join(F.broadcast(head), "token"), ["token"],
         cms_spec_shape(4, 512, seed=2), key_col="doc_id")
     _noop_consume(cms_topk_cosine(profiles, "token", k=10))
     n = docs.count()
-    toks.unpersist()
+    tl.unpersist()
     return n
 
 

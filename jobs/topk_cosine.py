@@ -133,6 +133,7 @@ def main(argv=None):
 
     group("cms_build_cosine")
     spec = cms_spec(eps=args.eps, delta=args.delta, seed=1)
+    tl_counts = None
     if args.checkpoint_dir:
         from mahout_spark.plans.checkpoint import CheckpointedSketchJob
 
@@ -141,8 +142,15 @@ def main(argv=None):
         sketches = job.run(toks, [args.group], spec, key_col="token",
                            shard_key="url")
     else:
-        sketches = sketch_by_key(toks, [args.group], spec, key_col="token",
-                                 n_salt=8)
+        # ONE explode pass: the (group, token, count) table feeds the CMS
+        # build as weights (counts sum associatively — identical sketches
+        # to a raw-stream build) AND the head-token lists below. It is
+        # vocab x groups rows — tiny next to the token stream.
+        tl_counts = (toks.groupBy(args.group, "token")
+                     .agg(F.count("*").cast("double").alias("cnt"))
+                     .persist())
+        sketches = sketch_by_key(tl_counts, [args.group], spec,
+                                 key_col="token", value_col="cnt", n_salt=8)
     sketches = sketches.persist()
 
     cms_pairwise(sketches, args.group, kind="cosine") \
@@ -155,7 +163,11 @@ def main(argv=None):
     group("cms_points")
     from mahout_spark.sketch.agg import merge_sketch_rows
 
-    head_items = (toks.groupBy("token").count()
+    tok_counts = (tl_counts.groupBy("token")
+                  .agg(F.sum("cnt").cast("long").alias("count"))
+                  if tl_counts is not None
+                  else toks.groupBy("token").count())
+    head_items = (tok_counts
                   .orderBy(F.desc("count"), "token")
                   .limit(args.head_items).select("token", "count").persist())
     head = head_items.orderBy(F.desc("count"), "token").limit(100) \

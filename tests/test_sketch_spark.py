@@ -113,6 +113,21 @@ class TestFastCMS:
                 over += 1
         assert over <= max(1, int(0.01 * len(est)) + 2)
 
+    def test_counts_fed_build_equals_raw_build(self, spark, tokens):
+        # the flagship's single-pass shape: a (group, token, count) table
+        # feeds the CMS as weights; counts sum associatively so the
+        # sketches are byte-identical to the raw-stream build
+        spec = cms_spec(eps=0.005, delta=0.01, seed=3)
+        raw = {r["lang"]: bytes(r["sketch"]) for r in
+               sketch_by_key(tokens, ["lang"], spec, key_col="token",
+                             n_salt=8).collect()}
+        tl = tokens.groupBy("lang", "token").agg(
+            F.count("*").cast("double").alias("cnt"))
+        cnt = {r["lang"]: bytes(r["sketch"]) for r in
+               sketch_by_key(tl, ["lang"], spec, key_col="token",
+                             value_col="cnt", n_salt=8).collect()}
+        assert raw == cnt
+
     def test_merge_sketch_rows_equals_global_rebuild(self, spark, tokens):
         # the mergeability dividend the flagship job relies on: merging the
         # per-lang sketches IS the global sketch, byte-identical — no
