@@ -179,7 +179,11 @@ def main(argv=None):
 
     if not args.skip_itemsim:
         # the CosineCM flagship: CMS context profile per head token
-        # (token/url co-occurrence vectors) -> top-K CMS-cosine pairs
+        # (token/url co-occurrence vectors) -> top-K CMS-cosine pairs.
+        # Generic build (pairs -> Arrow -> NumPy): measured faster up to
+        # ~10^6 docs. Past the point where distinct (token,url) pairs
+        # dwarf head_items x depth x width, switch to the all-JVM
+        # cms_per_group_bucketed (byte-identical, Arrow volume capped).
         group("topk_pairs")
         from mahout_spark.sketch.agg import cms_spec_shape, sketch_per_group
         from mahout_spark.sketch.queries import cms_topk_cosine

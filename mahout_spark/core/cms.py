@@ -30,7 +30,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from mahout_spark.core.hashing import affine_hash, affine_params, fast_rows
+from mahout_spark.core.hashing import (affine_hash, affine_params, fast_rows,
+                                       xxh_rows)
 
 _MAGIC = b"CMS1"
 _E = math.e
@@ -55,8 +56,12 @@ class CountMinSketch:
     parity: bool = False  # exact affine-hash family replication (slow; tests)
     counts: np.ndarray = field(default=None, repr=False)  # (depth, width) f64
     _params: list = field(default=None, repr=False)
+    family: str = None  # "fast" | "parity" | "xxh" (None -> from parity flag)
 
     def __post_init__(self):
+        if self.family is None:
+            self.family = "parity" if self.parity else "fast"
+        self.parity = self.family == "parity"
         if self.counts is None:
             self.counts = np.zeros((self.depth, self.width), dtype=np.float64)
         if self.parity:
@@ -83,6 +88,8 @@ class CountMinSketch:
             return np.stack([
                 affine_hash(keys, a, b, self.width) for (a, b) in self._params
             ])
+        if self.family == "xxh":
+            return xxh_rows(keys, self.seed, self.depth, self.width)
         return fast_rows(keys, self.seed, self.depth, self.width)
 
     # -- updates ---------------------------------------------------------
@@ -142,31 +149,37 @@ class CountMinSketch:
 
     # -- merge -----------------------------------------------------------
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        if (self.depth, self.width, self.seed, self.parity) != (
-                other.depth, other.width, other.seed, other.parity):
+        if (self.depth, self.width, self.seed, self.family) != (
+                other.depth, other.width, other.seed, other.family):
             raise ValueError("merge requires identical CMS config")
-        return CountMinSketch(self.depth, self.width, self.seed, self.parity,
-                              counts=self.counts + other.counts)
+        return CountMinSketch(self.depth, self.width, self.seed,
+                              counts=self.counts + other.counts,
+                              family=self.family)
 
     # -- serialization ---------------------------------------------------
+    _FAMILY_CODE = {"fast": 0, "parity": 1, "xxh": 2}
+
     def serialize(self) -> bytes:
         header = struct.pack("<4sIIqB", _MAGIC, self.depth, self.width,
-                             self.seed, 1 if self.parity else 0)
+                             self.seed, self._FAMILY_CODE[self.family])
         return header + self.counts.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "CountMinSketch":
         try:
-            magic, depth, width, seed, parity = struct.unpack_from("<4sIIqB", data)
+            magic, depth, width, seed, fam = struct.unpack_from("<4sIIqB", data)
         except struct.error as e:
             raise ValueError("not a CMS blob") from e
         if magic != _MAGIC:
             raise ValueError("not a CMS blob")
+        families = {v: k for k, v in cls._FAMILY_CODE.items()}
+        if fam not in families:
+            raise ValueError(f"unknown CMS family code {fam}")
         off = struct.calcsize("<4sIIqB")
         counts = np.frombuffer(data, dtype=np.float64, offset=off).reshape(
             depth, width).copy()
-        return cls(depth=depth, width=width, seed=seed, parity=bool(parity),
-                   counts=counts)
+        return cls(depth=depth, width=width, seed=seed,
+                   counts=counts, family=families[fam])
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,57 @@ def fast_rows(keys: np.ndarray, seed: int, depth: int, width: int) -> np.ndarray
             h = splitmix64(base + _U64(0x9E3779B97F4A7C15) * _U64(i + 1))
             out[i] = (h % _U64(width)).astype(np.int64)
     return out
+
+
+# -- XXH64 family (bit-parity with Spark's built-in xxhash64 on longs) --------
+
+_XP1 = _U64(0x9E3779B185EBCA87)
+_XP2 = _U64(0xC2B2AE3D27D4EB4F)
+_XP3 = _U64(0x165667B19E3779F9)
+_XP4 = _U64(0x85EBCA77C2B2AE63)
+_XP5 = _U64(0x27D4EB2F165667C5)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def xxh64_long(v, seed) -> np.ndarray:
+    """XXH64 of an int64 (8-byte little-endian block), vectorized —
+
+    bit-identical to Spark SQL's ``xxhash64`` on a LongType column
+    (XxHash64.hashLong). ``seed`` may be a scalar or an int64 array
+    (chaining: Spark's multi-column xxhash64 feeds each column's hash as
+    the next seed). Returns int64."""
+    with np.errstate(over="ignore"):
+        vv = np.asarray(v).astype(np.int64, copy=False).view(_U64)
+        sd = (np.asarray(seed).astype(np.int64, copy=False).view(_U64)
+              if not np.isscalar(seed) else _U64(seed & 0xFFFFFFFFFFFFFFFF))
+        acc = sd + _XP5 + _U64(8)
+        k1 = _rotl(vv * _XP2, 31) * _XP1
+        acc = acc ^ k1
+        acc = _rotl(acc, 27) * _XP1 + _XP4
+        acc ^= acc >> _U64(33)
+        acc *= _XP2
+        acc ^= acc >> _U64(29)
+        acc *= _XP3
+        acc ^= acc >> _U64(32)
+        return acc.view(np.int64)
+
+
+def xxh_rows(keys: np.ndarray, seed: int, depth: int,
+             width: int) -> np.ndarray:
+    """(depth, n) bucket indices for the 'xxh' CMS family: row i is
+
+    ``pmod(xxhash64(key, seed, i), width)`` — the exact expression
+    Catalyst evaluates in the all-JVM bucketed profile build
+    (sketch/agg.cms_per_group_bucketed), so JVM-built and Python-built
+    sketches are byte-identical."""
+    k = np.asarray(keys, dtype=np.int64)
+    base = xxh64_long(np.full(len(k), seed, dtype=np.int64),
+                      xxh64_long(k, 42))
+    out = np.empty((depth, len(k)), dtype=np.int64)
+    for i in range(depth):
+        h = xxh64_long(np.full(len(k), i, dtype=np.int64), base)
+        out[i] = np.mod(h, width)  # numpy mod == Spark pmod for w > 0
+    return out

@@ -81,17 +81,20 @@ def cms_spec(eps: float = 0.001, delta: float = 0.01, seed: int = 1) -> SketchSp
 
 
 def cms_spec_shape(depth: int, width: int, seed: int = 1,
-                   parity: bool = False) -> SketchSpec:
+                   parity: bool = False,
+                   family: str | None = None) -> SketchSpec:
     """CMS with explicit geometry. ``parity=True`` uses the reference's
 
     affine hash family ((a*k+b) mod p) mod w — slower, but replayable in
     DuckDB SQL (HUGEINT) so the driver's oracle can verify the whole
-    distributed build+merge numerically.
+    distributed build+merge numerically. ``family="xxh"`` is the
+    Catalyst-expressible family (buckets = pmod(xxhash64(key, seed, i),
+    width)) shared with the all-JVM ``cms_per_group_bucketed`` builder.
     """
     return SketchSpec(
         "cms",
         make=lambda: CountMinSketch(depth=depth, width=width, seed=seed,
-                                    parity=parity),
+                                    parity=parity, family=family),
         update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
         needs_key=True, needs_value=False, preagg="sum")
 
@@ -286,6 +289,63 @@ def sketch_per_group(df: DataFrame, group_cols: list[str], spec: SketchSpec,
         return head
 
     return slim.groupBy(*gnames).applyInPandas(build, schema=schema)
+
+
+def cms_per_group_bucketed(df: DataFrame, group_cols: list[str], depth: int,
+                           width: int, seed: int,
+                           key_col: str,
+                           weight_col: str | None = None) -> DataFrame:
+    """-> [group_cols..., sketch] — CMS profile per group with the bucket
+
+    computation INSIDE Catalyst: per-depth bucket indices are
+    ``pmod(xxhash64(key, seed, i), width)`` (the 'xxh' kernel family, bit-
+    identical in NumPy — core/hashing.xxh_rows), aggregated JVM-side to
+    (group, depth, bucket, weight). At most ``groups x depth x width``
+    rows ever cross Arrow REGARDLESS of input size — vs the generic
+    ``sketch_per_group`` path that ships one row per distinct (group,
+    key). For token/url co-occurrence profiles at corpus scale this is
+    the difference between ~10^8 and ~10^6 Arrow rows.
+
+    Byte-identical to ``sketch_per_group(df, ..., cms_spec_shape(depth,
+    width, seed, family="xxh"), key_col=...)`` (pytest-pinned).
+    """
+    kc = df.schema[key_col].dataType.simpleString()
+    key = (F.xxhash64(F.col(key_col)) if kc in ("string", "binary")
+           else F.col(key_col).cast("long"))
+    gnames = list(group_cols)
+    # stage 1: collapse the raw stream to (group, key) weights FIRST
+    # (map-side combine does most of it before any shuffle) — the x depth
+    # bucket explode then runs on the collapsed pairs, not on every
+    # occurrence
+    w1 = (F.sum(F.col(weight_col).cast("double")) if weight_col else
+          F.count("*").cast("double")).alias("__w")
+    pairs = (df.select(*gnames, key.alias("__k"),
+                       *([F.col(weight_col)] if weight_col else []))
+             .groupBy(*gnames, "__k").agg(w1))
+    buckets = F.array(*[
+        F.pmod(F.xxhash64(F.col("__k"), F.lit(seed).cast("long"),
+                          F.lit(i).cast("long")), F.lit(width))
+        for i in range(depth)])
+    ex = pairs.select(*gnames, "__w",
+                      F.posexplode(buckets).alias("__d", "__b"))
+    cells = (ex.groupBy(*gnames, "__d", "__b")
+             .agg(F.sum("__w").alias("__w")))
+
+    out_fields = [cells.schema[g] for g in gnames]
+    schema = StructType(out_fields + [StructField("sketch", BinaryType())])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros((depth, width))
+        counts[pdf["__d"].to_numpy(dtype=np.int64),
+               pdf["__b"].to_numpy(dtype=np.int64)] = \
+            pdf["__w"].to_numpy(dtype=np.float64)
+        s = CountMinSketch(depth=depth, width=width, seed=seed,
+                           counts=counts, family="xxh")
+        head = pdf.iloc[[0]][gnames].copy()
+        head["sketch"] = [s.serialize()]
+        return head
+
+    return cells.groupBy(*gnames).applyInPandas(build, schema=schema)
 
 
 def merge_sketch_rows(sketch_df: DataFrame, spec: SketchSpec,

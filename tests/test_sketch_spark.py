@@ -113,6 +113,53 @@ class TestFastCMS:
                 over += 1
         assert over <= max(1, int(0.01 * len(est)) + 2)
 
+    def test_jvm_bucketed_profiles_equal_python_xxh_build(self, spark,
+                                                          docs):
+        # cms_per_group_bucketed computes CMS buckets in Catalyst
+        # (pmod(xxhash64(key, seed, i), width)); the NumPy 'xxh' family
+        # replays the exact same function -> byte-identical sketches
+        from mahout_spark.sketch.agg import (cms_per_group_bucketed,
+                                             cms_spec_shape,
+                                             sketch_per_group)
+
+        toks = explode_tokens(docs, "doc_id", "text")
+        head = (toks.groupBy("token").count()
+                .orderBy(F.desc("count"), "token").limit(50)
+                .select("token"))
+        j = toks.join(F.broadcast(head), "token")
+        py = {r["token"]: bytes(r["sketch"]) for r in sketch_per_group(
+            j, ["token"], cms_spec_shape(4, 64, seed=9, family="xxh"),
+            key_col="doc_id").collect()}
+        jvm = {r["token"]: bytes(r["sketch"]) for r in
+               cms_per_group_bucketed(j, ["token"], 4, 64, 9,
+                                      key_col="doc_id").collect()}
+        assert py == jvm and len(py) >= 20
+
+    def test_xxh_family_point_estimates_and_serde(self, spark, tokens):
+        import numpy as np
+
+        from mahout_spark.core.cms import CountMinSketch
+
+        s = CountMinSketch(depth=5, width=2048, seed=4, family="xxh")
+        rng = np.random.default_rng(0)
+        keys = rng.integers(-2**62, 2**62, size=5000)
+        s.update_batch(keys, 1.0)
+        # never underestimates; over by at most eps*N for most keys
+        import collections
+        exact = collections.Counter(keys.tolist())
+        uk = np.fromiter(exact.keys(), dtype=np.int64)
+        est = s.point_batch(uk)
+        want = np.fromiter((exact[int(k)] for k in uk), dtype=float)
+        assert (est >= want - 1e-9).all()
+        assert (est <= want + (2.72 / 2048) * 5000 + 1e-9).mean() > 0.98
+        back = CountMinSketch.deserialize(s.serialize())
+        assert back.family == "xxh" and (back.counts == s.counts).all()
+        try:
+            s.merge(CountMinSketch(depth=5, width=2048, seed=4))
+            assert False, "family mismatch must not merge"
+        except ValueError:
+            pass
+
     def test_counts_fed_build_equals_raw_build(self, spark, tokens):
         # the flagship's single-pass shape: a (group, token, count) table
         # feeds the CMS as weights; counts sum associatively so the
