@@ -74,9 +74,11 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
                   F.col("value").alias("__va"))
     b = df.select(F.col("col_id").alias("__c"), F.col("row_id").alias("row_b"),
                   F.col("value").alias("__vb"))
-    pairs = a.join(b, "__c")
-    if exclude_self:
-        pairs = pairs.filter(F.col("row_a") != F.col("row_b"))
+    # every measure is symmetric in (a, b) (the LLR contingency swaps
+    # k12/k21), so compute each unordered pair ONCE (row_a < row_b) —
+    # halves the fan-out of the one big shuffle — and mirror the scored
+    # pairs afterwards for the per-row top-K
+    pairs = a.join(b, "__c").filter(F.col("row_a") < F.col("row_b"))
     dots = pairs.groupBy("row_a", "row_b").agg(
         F.sum(F.col("__va") * F.col("__vb")).alias("dots"))
 
@@ -90,6 +92,19 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
                   F.lit(float(n_cols)))))
     if threshold is not None:
         scored = scored.filter(F.col("sim") >= threshold)
-    return topk_per_group(scored, ["row_a"], "sim", k,
+    mirrored = scored.select("row_a", "row_b", "sim").unionByName(
+        scored.select(F.col("row_b").alias("row_a"),
+                      F.col("row_a").alias("row_b"), "sim"))
+    if not exclude_self:
+        # dot(i,i) == norm_i under every preprocessing here (nnz for
+        # count-based measures, sum v^2 otherwise)
+        diag = norms.select(
+            F.col("row_id").alias("row_a"), F.col("row_id").alias("row_b"),
+            m.similarity_expr(F.col("norm"), F.col("norm"), F.col("norm"),
+                              F.lit(float(n_cols))).alias("sim"))
+        if threshold is not None:
+            diag = diag.filter(F.col("sim") >= threshold)
+        mirrored = mirrored.unionByName(diag)
+    return topk_per_group(mirrored, ["row_a"], "sim", k,
                           tiebreak_cols=["row_b"]).select(
         "row_a", "row_b", "sim")
