@@ -56,7 +56,8 @@ def sample_down_and_binarize(triples: DataFrame, seed: int = 0xDEADBEEF,
 def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
                         col: str = "col_id",
                         include_self: bool = False,
-                        exact_row_join: bool = False) -> DataFrame:
+                        exact_row_join: bool = False,
+                        ordered: bool = True) -> DataFrame:
     """A'A in long form: (item_a, item_b, n_ab) for items sharing a row.
 
     One ordered pair per direction (a != b unless include_self) so per-item
@@ -78,10 +79,14 @@ def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
             else F.col(row))
     a = interactions.select(rkey.alias("__r"), F.col(col).alias("item_a"))
     b = interactions.select(rkey.alias("__r"), F.col(col).alias("item_b"))
-    cond = F.col("item_a") != F.col("item_b")
     pairs = a.join(b, "__r")
-    if not include_self:
-        pairs = pairs.filter(cond)
+    if not ordered:
+        # one row per UNORDERED pair — halves the fan-out of the big
+        # (item_a, item_b) aggregation; callers with symmetric scores
+        # mirror after scoring (n_ab and LLR are (a,b)-symmetric)
+        pairs = pairs.filter(F.col("item_a") < F.col("item_b"))
+    elif not include_self:
+        pairs = pairs.filter(F.col("item_a") != F.col("item_b"))
     return pairs.groupBy("item_a", "item_b").agg(
         F.count("*").alias("n_ab"))
 
@@ -104,7 +109,9 @@ def llr_item_similarity(triples: DataFrame, row: str = "row_id",
     inter = inter.persist()
     n_users = inter.select(row).distinct().count()
     item_counts = inter.groupBy(col).agg(F.count("*").alias("n"))
-    cooc = cooccurrence_counts(inter, row, col)
+    # n_ab and LLR are symmetric in (a, b): count/score each unordered
+    # pair once (half the big pair shuffle), mirror for the per-item top-K
+    cooc = cooccurrence_counts(inter, row, col, ordered=False)
     scored = (cooc
               .join(item_counts.select(F.col(col).alias("item_a"),
                                        F.col("n").alias("n_a")), "item_a")
@@ -115,7 +122,10 @@ def llr_item_similarity(triples: DataFrame, row: str = "row_id",
                   F.lit(n_users))))
     if min_llr is not None:
         scored = scored.filter(F.col("llr") >= min_llr)
-    out = topk_per_group(scored, ["item_a"], "llr", k,
+    mirrored = scored.select("item_a", "item_b", "n_ab", "llr").unionByName(
+        scored.select(F.col("item_b").alias("item_a"),
+                      F.col("item_a").alias("item_b"), "n_ab", "llr"))
+    out = topk_per_group(mirrored, ["item_a"], "llr", k,
                          tiebreak_cols=["item_b"])
     return out.select("item_a", "item_b", "n_ab", "llr")
 
