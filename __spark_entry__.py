@@ -99,6 +99,28 @@ def _q_cms_point_frequency(spark, sf_dir) -> DataFrame:
     return cms_point_lookup(sk, probe, md5_long60(F.col("token")))
 
 
+def _q_cms_point_merged(spark, sf_dir) -> DataFrame:
+    """Same point estimates as cms_point_frequency, but the global sketch
+
+    is the associative MERGE of per-lang sketches (merge_sketch_rows) —
+    the DuckDB oracle recomputes global bucket sums directly, so a
+    hash-match verifies distributed build + cross-group merge
+    numerically end-to-end (the mergeability contract in the gate)."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import (cms_spec_shape, merge_sketch_rows,
+                                         sketch_by_key)
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    per_lang = sketch_by_key(toks, ["lang"], spec,
+                             key_expr=md5_long60(F.col("token")), n_salt=4)
+    merged = merge_sketch_rows(per_lang, spec)
+    probe = (toks.groupBy("token").count()
+             .orderBy(F.desc("count"), "token").limit(25).select("token"))
+    return cms_point_lookup(merged, probe, md5_long60(F.col("token")))
+
+
 def _q_cms_cosine_lang(spark, sf_dir) -> DataFrame:
     from mahout_spark.functions.hashutil import md5_long60
     from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
@@ -551,6 +573,7 @@ def _q_embedding_neardup_lsh(spark, sf_dir) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cms_point_frequency": _q_cms_point_frequency,
+        "cms_point_merged": _q_cms_point_merged,
         "cms_cosine_lang": _q_cms_cosine_lang,
         "cms_inner_lang": _q_cms_inner_lang,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -916,6 +939,8 @@ FROM ranked WHERE rn <= 5
 
     return {
         "cms_point_frequency": cms_point_oracle_sql(
+            toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
+        "cms_point_merged": cms_point_oracle_sql(
             toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
         "cms_cosine_lang": cms_pairwise_oracle_sql(
             toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="lang"),
