@@ -64,6 +64,9 @@ class SketchSpec:
     needs_key: bool
     needs_value: bool
     preagg: str | None = None
+    # for preagg == 'value_sum': update_weighted(sketch, values, weights)
+    update_weighted: Callable[[object, np.ndarray, np.ndarray],
+                              None] | None = None
 
     def deserialize(self, blob: bytes):
         return {
@@ -122,11 +125,24 @@ def bloom_spec(capacity: int = 100_000, fp_rate: float = 0.01,
         needs_key=True, needs_value=False, preagg="distinct")
 
 
-def tdigest_spec(compression: float = 100.0) -> SketchSpec:
+def tdigest_spec(compression: float = 100.0,
+                 dedup_values: bool = False) -> SketchSpec:
+    """``dedup_values=True`` turns on the 'value_sum' JVM preagg:
+
+    groupBy(group, value).count() before Arrow, then weighted centroid
+    updates — bounds the Python-bound row count by the VALUE CARDINALITY
+    instead of the row count. The win for discrete-ish columns (prices,
+    durations, counts) mirrors the CMS count preagg; for continuous
+    values it only adds a shuffle, so it is opt-in. The resulting digest
+    differs from the raw-order build within the same rank-error bound
+    (t-digests are insertion-order-sensitive by definition).
+    """
     return SketchSpec(
         "tdigest", make=lambda: TDigest(compression),
         update=lambda s, k, v: s.update_batch(v),
-        needs_key=False, needs_value=True)
+        needs_key=False, needs_value=True,
+        preagg="value_sum" if dedup_values else None,
+        update_weighted=lambda s, v, w: s.update_batch(v, w))
 
 
 def kll_spec(k: int = 200, seed: int = 1) -> SketchSpec:
@@ -189,7 +205,13 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
         slim = slim.groupBy(*gnames, "__key").agg(agg)
     elif spec.preagg == "distinct" and key_col:
         slim = slim.select(*gnames, "__key").distinct()
+    elif spec.preagg == "value_sum" and value_col:
+        # value-sensitive but weight-mergeable (t-digest): collapse
+        # duplicate values JVM-side, feed weighted updates
+        slim = (slim.groupBy(*gnames, "__val")
+                .agg(F.count("*").cast("double").alias("__w")))
     has_val = "__val" in slim.columns
+    has_wt = "__w" in slim.columns
 
     out_fields = [slim.schema[g] for g in gnames]
     partial_schema = StructType(out_fields + [StructField("sketch", BinaryType())])
@@ -205,7 +227,11 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
                 s = spec.make()
                 keys = sub["__key"].to_numpy(dtype=np.int64) if key_col else None
                 vals = sub["__val"].to_numpy(dtype=np.float64) if has_val else None
-                spec.update(s, keys, vals)
+                if has_wt:
+                    spec.update_weighted(
+                        s, vals, sub["__w"].to_numpy(dtype=np.float64))
+                else:
+                    spec.update(s, keys, vals)
                 rows.append((*gkey, s.serialize()))
             yield pd.DataFrame(rows, columns=gnames + ["sketch"])
 

@@ -221,6 +221,28 @@ class TestOtherSketches:
                                   args=(q,)).collect()[0]["qv"]
                 assert abs(got - want) / span < 0.02, (spec.kind, q, got, want)
 
+    def test_tdigest_value_dedup_preagg_within_bound(self, spark):
+        # the 'value_sum' JVM preagg (duplicate values collapsed, weighted
+        # centroid updates) must stay inside the same rank-error envelope
+        # as the raw-order build
+        import numpy as np
+
+        from mahout_spark.sketch.agg import sketch_by_key, tdigest_spec
+        from mahout_spark.sketch.queries import sketch_eval
+
+        vals = np.concatenate([np.repeat(np.arange(100), 50),
+                               np.arange(1000)]).astype(float)
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double") \
+            .withColumn("g", F.lit(0))
+        spec = tdigest_spec(100.0, dedup_values=True)
+        sk = sketch_by_key(df, ["g"], spec, value_col="v")
+        for q in (0.1, 0.5, 0.9):
+            est = sketch_eval(sk, spec, "quantile", "qv",
+                              args=(q,)).collect()[0]["qv"]
+            exact = float(np.quantile(vals, q))
+            span = vals.max() - vals.min()
+            assert abs(est - exact) <= 0.02 * span + 1e-9
+
     def test_hll_tracks_spark_builtin(self, spark, tokens):
         # cross-check vs approx_count_distinct (Spark's own HLL++):
         # both within 5% of exact, hence within ~10% of each other
