@@ -61,6 +61,10 @@ class CountMinSketch:
     def __post_init__(self):
         if self.family is None:
             self.family = "parity" if self.parity else "fast"
+        elif self.parity and self.family != "parity":
+            raise ValueError(
+                f"conflicting arguments: parity=True but family="
+                f"{self.family!r}; pass family='parity' or drop parity")
         self.parity = self.family == "parity"
         if self.counts is None:
             self.counts = np.zeros((self.depth, self.width), dtype=np.float64)

@@ -41,13 +41,16 @@ class TDigest:
     def update_batch(self, values: np.ndarray,
                      weights: np.ndarray | None = None) -> None:
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        mask = ~np.isnan(values)
+        values = values[mask]
         if len(values) == 0:
             return
         self._min = min(self._min, float(values.min()))
         self._max = max(self._max, float(values.max()))
+        # NaN rows must drop their weights too, or _compress pairs the
+        # shortened value array with a full-length weight array.
         w = (np.ones(len(values)) if weights is None
-             else np.asarray(weights, dtype=np.float64))
+             else np.asarray(weights, dtype=np.float64)[mask])
         self._buf.append((values, w))
         if sum(len(v) for v, _ in self._buf) >= _BUFFER:
             self._compress()

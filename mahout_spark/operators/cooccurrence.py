@@ -73,6 +73,11 @@ def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
     ``exact_row_join=True`` to keep the exact string join (the
     oracle-checked gate paths use integer keys, which are always exact).
     """
+    if not ordered and include_self:
+        raise ValueError(
+            "ordered=False keeps one row per unordered pair (item_a < "
+            "item_b) and so cannot emit self-pairs; use ordered=True with "
+            "include_self=True")
     rtype = interactions.schema[row].dataType.simpleString()
     rkey = (F.xxhash64(F.col(row))
             if rtype in ("string", "binary") and not exact_row_join

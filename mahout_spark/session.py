@@ -110,7 +110,14 @@ def get_spark(app: str = "mahout_spark", master: str | None = None,
         # one on the fly)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         zip_path = os.path.join(repo, "dist", "mahout_spark.zip")
-        if not os.path.exists(zip_path):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        src_mtime = max((os.path.getmtime(os.path.join(r, f))
+                         for r, _, fs in os.walk(pkg_dir)
+                         for f in fs if f.endswith(".py")), default=0.0)
+        # a stale committed zip would run OLD code on executors while the
+        # driver runs new — rebuild whenever any source is newer
+        if (not os.path.exists(zip_path)
+                or os.path.getmtime(zip_path) < src_mtime):
             import subprocess
 
             subprocess.run(["sh", os.path.join(repo, "bin", "package.sh")],

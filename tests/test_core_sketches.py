@@ -251,6 +251,23 @@ class TestTDigest:
             lo, hi = np.quantile(vals, max(0, q - 0.02)), np.quantile(vals, min(1, q + 0.02))
             assert lo - 1e-9 <= got <= hi + 1e-9
 
+    def test_nan_values_drop_their_weights(self):
+        # regression: a NaN value must drop its weight too, or _compress
+        # pairs a shortened value array with full-length weights and
+        # silently mis-weights every centroid (value-dedup preagg path)
+        vals = np.array([1.0, np.nan, 2.0, 3.0, np.nan, 4.0])
+        wts = np.array([10.0, 999.0, 20.0, 30.0, 999.0, 40.0])
+        td = TDigest(100.0)
+        td.update_batch(vals, wts)
+        td._compress()
+        clean = TDigest(100.0)
+        clean.update_batch(np.array([1.0, 2.0, 3.0, 4.0]),
+                           np.array([10.0, 20.0, 30.0, 40.0]))
+        clean._compress()
+        assert td.weights.sum() == clean.weights.sum() == 100.0
+        for q in (0.1, 0.5, 0.9):
+            assert td.quantile(q) == clean.quantile(q)
+
     def test_centroid_budget(self):
         td = TDigest(100.0)
         td.update_batch(np.random.default_rng(8).normal(size=500_000))

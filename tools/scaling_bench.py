@@ -209,7 +209,12 @@ def main():
         "hw_cpu_ceiling_eff": round(hw_eff, 3) if hw_eff else None,
         "hw_normalized_efficiency": eff_norm,
         "target": 0.8,
-        "pass": eff >= 0.8 or eff_min >= 0.8,
+        # eff_min (min-of-reps per size) is the declared primary gate:
+        # host noise is additive, so the min is the best estimate of the
+        # noise-free wall time. The median-based eff is informational.
+        "primary_metric": "scaling_efficiency_min_based",
+        "pass": eff_min >= 0.8,
+        "pass_median_informational": eff >= 0.8,
         "git_sha": sha,
     }
     with open(os.path.join(args.out, "scaling.json"), "w") as f:
