@@ -474,6 +474,60 @@ def _q_bigram_collocations(spark, sf_dir) -> DataFrame:
     return bigram_collocations(docs, min_llr=1.0, min_count=3)
 
 
+def _nb_doc_triples(spark, sf_dir) -> DataFrame:
+    """(doc_id, label=lang, term, weight=tf) from the documents table."""
+    from mahout_spark.functions.text import explode_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return (explode_tokens(docs, "doc_id", "text")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("doc_id", "lang", "token").count()
+            .select("doc_id", F.col("lang").alias("label"),
+                    F.col("token").alias("term"),
+                    F.col("count").cast("double").alias("weight")))
+
+
+def _q_nb_model_standard(spark, sf_dir) -> DataFrame:
+    """Standard NB log weights per (label, term) — NaiveBayes.train +
+
+    StandardNBClassifier.computeWeight, trained on lang-labeled TF counts.
+    """
+    from mahout_spark.operators.naivebayes import nb_aggregate, nb_train
+
+    model = nb_train(nb_aggregate(_nb_doc_triples(spark, sf_dir)),
+                     complementary=False)
+    a, v = model.alpha, float(model.n_features)
+    lw = spark.createDataFrame(
+        [(l, model.label_weight(l)) for l in model.labels], ["label", "w_l"])
+    return (model.pairs.join(F.broadcast(lw), "label")
+            .select("label", "term",
+                    F.round(F.log((F.col("weight") + a)
+                                  / (F.col("w_l") + a * v)), 6)
+                    .alias("log_weight")))
+
+
+def _q_nb_classify_standard(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.naivebayes import (nb_aggregate, nb_predict,
+                                                   nb_train)
+
+    triples = _nb_doc_triples(spark, sf_dir)
+    model = nb_train(nb_aggregate(triples), complementary=False)
+    preds = nb_predict(model, triples.select("doc_id", "term", "weight"))
+    return preds.select("doc_id", "predicted",
+                        F.round("score", 6).alias("score"))
+
+
+def _q_nb_classify_complementary(spark, sf_dir) -> DataFrame:
+    from mahout_spark.operators.naivebayes import (nb_aggregate, nb_predict,
+                                                   nb_train)
+
+    triples = _nb_doc_triples(spark, sf_dir)
+    model = nb_train(nb_aggregate(triples), complementary=True)
+    preds = nb_predict(model, triples.select("doc_id", "term", "weight"))
+    return preds.select("doc_id", "predicted",
+                        F.round("score", 6).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # dedup / ANN
 # ---------------------------------------------------------------------------
@@ -598,6 +652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,
+        "nb_model_standard": _q_nb_model_standard,
+        "nb_classify_standard": _q_nb_classify_standard,
+        "nb_classify_complementary": _q_nb_classify_complementary,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -622,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
                                               minhash_signatures_sql,
                                               ngram_jaccard_pairs_sql,
                                               simhash_sql)
+    from mahout_spark.operators.naivebayes import (nb_classify_sql,
+                                                   nb_model_sql)
     from mahout_spark.operators.vectorize import (bigram_collocations_sql,
                                                   tfidf_sql)
     from mahout_spark.core.hashing import BIG_PRIME, affine_params
@@ -981,6 +1040,11 @@ FROM ranked WHERE rn <= 5
                            variant="mahout"),
         "bigram_collocations": bigram_collocations_sql(
             "documents", min_llr=1.0, min_count=3),
+        "nb_model_standard": nb_model_sql("documents"),
+        "nb_classify_standard": nb_classify_sql("documents",
+                                                complementary=False),
+        "nb_classify_complementary": nb_classify_sql("documents",
+                                                     complementary=True),
         "exact_dedup": exact_dedup_groups_sql(
             "(SELECT doc_id, text FROM documents UNION ALL "
             "SELECT doc_id + 1000000000 AS doc_id, text FROM documents "
