@@ -423,7 +423,6 @@ def _q_recommend_cms(spark, sf_dir) -> DataFrame:
     the ENTIRE pipeline (profile build, cosine neighborhoods, CMS point
     estimates, weighted averages) numerically."""
     from mahout_spark.operators.recommender import (cms_user_similarity,
-                                                    nearest_n_neighborhood,
                                                     recommend_cms,
                                                     user_cms_profiles)
 
@@ -436,8 +435,9 @@ def _q_recommend_cms(spark, sf_dir) -> DataFrame:
              .agg(F.sum("l_quantity").alias("pref")))
     profiles = user_cms_profiles(prefs, depth=RCMS_DEPTH, width=RCMS_WIDTH,
                                  seed=RCMS_SEED, parity=True)
-    sims = cms_user_similarity(profiles)
-    nb = nearest_n_neighborhood(sims, 10)
+    # top-N neighborhoods straight from the blocked tile kernel — no
+    # all-pairs crossJoin, no per-pair deserialization
+    nb = cms_user_similarity(profiles, top_n=10)
     out = recommend_cms(prefs, profiles, nb, top_n=5, min_evidence=2,
                         cap_range=(0.0, 200.0))
     return out.withColumn("score", F.round("score", 6))

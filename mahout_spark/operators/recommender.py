@@ -50,9 +50,30 @@ def user_cms_profiles(prefs: DataFrame, depth: int = 5, width: int = 272,
             .withColumnRenamed(user, "user_id"))
 
 
-def cms_user_similarity(profiles: DataFrame,
-                        user_col: str = "user_id") -> DataFrame:
-    """(a, b, sim) for all user pairs — CMS cosine, both directions."""
+def cms_user_similarity(profiles: DataFrame, user_col: str = "user_id",
+                        top_n: int | None = None) -> DataFrame:
+    """(user_a, user_b, sim) — CMS-cosine user similarity.
+
+    ``top_n=None`` computes ALL pairs via the crossJoin kernel — O(U^2)
+    pair fan-out with per-pair deserialization, correct only for COARSE
+    groupings (langs, cohorts; its documented contract). For per-USER
+    profiles pass ``top_n``: similarity routes through the blocked
+    BLAS tile kernel (cms_topk_cosine) that packs profiles into block
+    matrices, keeps top-N per user inside each tile pair, and never
+    funnels through the driver — neighborhoods are top-N anyway, so the
+    top-N kernel is semantically what every caller consumes. float64
+    tiles keep scores ulp-equal to DoubleCountMinSketch.cosine.
+    """
+    if top_n is not None:
+        import numpy as np
+
+        from mahout_spark.sketch.queries import cms_topk_cosine
+
+        nn = cms_topk_cosine(profiles, user_col, k=top_n,
+                             exclude_self=True, dtype=np.float64)
+        return nn.select(F.col("item").alias("user_a"),
+                         F.col("neighbor").alias("user_b"),
+                         F.col("cms_cosine").alias("sim"))
     pairs = cms_pairwise(profiles, user_col, kind="cosine", out_col="sim")
     sym = pairs.unionByName(pairs.select(F.col("b").alias("a"),
                                          F.col("a").alias("b"), "sim"))

@@ -173,7 +173,8 @@ def cms_pairwise(sketch_df: DataFrame, group_col: str,
 
 def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
                     exclude_self: bool = True,
-                    block_rows: int | None = None) -> DataFrame:
+                    block_rows: int | None = None,
+                    dtype=np.float32) -> DataFrame:
     """(item, neighbor, cms_cosine) — top-K CMS-cosine neighbors per item.
 
     The CosineCM flagship (CosineCM.java:84-96 scaled out) as an
@@ -196,6 +197,12 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
     executor task — same BLAS, no pair shuffle, no driver collect. Pair-
     join traffic is O(n_blocks x total_matrix_bytes); for corpora where
     that bites, prefilter candidates with LSH (operators/ann.py) first.
+
+    Ties (bit-equal cosines — common when narrow sketches coincide) break
+    deterministically toward the smallest neighbor id, matching
+    topk_per_group's tiebreak, so block count never changes the result.
+    ``dtype=np.float64`` doubles tile memory but makes the scores agree
+    with CountMinSketch.cosine to ulp — use it on oracle-replayed paths.
     """
     from mahout_spark.operators.topk import topk_per_group
 
@@ -227,7 +234,7 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
         for rid, blob in zip(pdf["id"], pdf["sketch"]):
             s = CountMinSketch.deserialize(bytes(blob))
             depth, width = s.depth, s.width
-            m = s.counts.astype(np.float32)
+            m = s.counts.astype(dtype)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mats.append(m / norms)
@@ -254,29 +261,37 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
                     pdf["width"], pdf["__bb"], pdf["__ib"], pdf["__mb"]):
                 depth, width = int(depth), int(width)
                 ids_a, ids_b = list(ia), list(ib)
-                A = np.frombuffer(ma, dtype=np.float32).reshape(
+                A = np.frombuffer(ma, dtype=dtype).reshape(
                     len(ids_a), depth, width)
-                B = np.frombuffer(mb, dtype=np.float32).reshape(
+                B = np.frombuffer(mb, dtype=dtype).reshape(
                     len(ids_b), depth, width)
+                arr_a = np.asarray(ids_a, dtype=object)
+                arr_b = np.asarray(ids_b, dtype=object)
+                # order tile columns by ascending neighbor id so a stable
+                # argsort breaks in-tile score ties the same way the
+                # global WindowGroupLimit merge does
+                colorder = np.argsort(arr_b, kind="stable")
+                arr_b = arr_b[colorder]
+                B = B[colorder]
                 sims = None
                 for d in range(depth):
                     s = A[:, d, :] @ B[:, d, :].T
                     sims = s if sims is None else np.minimum(sims, s)
                 same = ba == bb
                 if exclude_self and same:
-                    np.fill_diagonal(sims, -np.inf)
+                    row_pos = {rid: j for j, rid in enumerate(arr_b)}
+                    for i, rid in enumerate(arr_a):
+                        sims[i, row_pos[rid]] = -np.inf
                 nb = sims.shape[1]
                 kk = min(k, nb - (1 if (exclude_self and same) else 0))
                 if kk <= 0:
                     continue
-                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 vals = np.take_along_axis(sims, top, axis=1)
                 keep = np.isfinite(vals)
                 rows = np.broadcast_to(
                     np.arange(sims.shape[0])[:, None], top.shape)[keep]
                 cols = top[keep]
-                arr_a = np.asarray(ids_a, dtype=object)
-                arr_b = np.asarray(ids_b, dtype=object)
                 yield pd.DataFrame({"item": arr_a[rows],
                                     "neighbor": arr_b[cols],
                                     "cms_cosine": vals[keep].astype(float)})

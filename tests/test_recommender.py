@@ -61,6 +61,24 @@ def test_cms_similarity_tracks_exact(spark, prefs):
     assert np.mean(err) < 0.05, np.mean(err)
 
 
+def test_cms_user_similarity_topn_equals_allpairs_neighborhood(spark, prefs):
+    # the blocked tile route (top_n=) must reproduce the all-pairs
+    # crossJoin + nearest-N neighborhood exactly (float64 tiles)
+    from mahout_spark.operators.recommender import nearest_n_neighborhood
+
+    small = prefs.filter(F.col("user_id") < 40)
+    profiles = user_cms_profiles(small, depth=5, width=256, seed=3)
+    blocked = {(r.user_a, r.user_b): r.sim
+               for r in cms_user_similarity(profiles, top_n=5)
+               .toPandas().itertuples()}
+    allpairs = nearest_n_neighborhood(cms_user_similarity(profiles), 5)
+    want = {(r.user_a, r.user_b): r.sim
+            for r in allpairs.toPandas().itertuples()}
+    assert blocked.keys() == want.keys()
+    for k_, v in want.items():
+        assert abs(blocked[k_] - v) < 1e-12, k_
+
+
 def test_recommend_excludes_seen_and_caps(prefs):
     sims = exact_user_similarity(prefs).filter(F.col("n") >= 1)
     nb = nearest_n_neighborhood(sims, 10)
