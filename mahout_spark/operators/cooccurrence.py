@@ -101,12 +101,15 @@ def llr_item_similarity(triples: DataFrame, row: str = "row_id",
                         min_llr: float | None = None,
                         seed: int = 0xDEADBEEF,
                         max_interactions: int = 500,
-                        downsample: bool = True) -> DataFrame:
+                        downsample: bool = True,
+                        pair_mode: str = "unordered") -> DataFrame:
     """The full cooccurrences() pipeline -> (item_a, item_b, llr) top-K per
 
     item_a. numUsers = distinct row count; n_x = per-item distinct-row
     counts; LLR threshold takes precedence over top-K when given
-    (SimilarityAnalysis.scala:312-376).
+    (SimilarityAnalysis.scala:312-376). ``pair_mode`` as in
+    row_similarity: 'unordered' (count each pair once + mirror) or
+    'ordered' (both directions up front; A/B benchmarking).
     """
     inter = (sample_down_and_binarize(triples, seed, max_interactions,
                                       max_interactions, row, col)
@@ -116,7 +119,8 @@ def llr_item_similarity(triples: DataFrame, row: str = "row_id",
     item_counts = inter.groupBy(col).agg(F.count("*").alias("n"))
     # n_ab and LLR are symmetric in (a, b): count/score each unordered
     # pair once (half the big pair shuffle), mirror for the per-item top-K
-    cooc = cooccurrence_counts(inter, row, col, ordered=False)
+    unordered = pair_mode == "unordered"
+    cooc = cooccurrence_counts(inter, row, col, ordered=not unordered)
     scored = (cooc
               .join(item_counts.select(F.col(col).alias("item_a"),
                                        F.col("n").alias("n_a")), "item_a")
@@ -127,9 +131,18 @@ def llr_item_similarity(triples: DataFrame, row: str = "row_id",
                   F.lit(n_users))))
     if min_llr is not None:
         scored = scored.filter(F.col("llr") >= min_llr)
-    mirrored = scored.select("item_a", "item_b", "n_ab", "llr").unionByName(
-        scored.select(F.col("item_b").alias("item_a"),
-                      F.col("item_a").alias("item_b"), "n_ab", "llr"))
+    mirrored = scored.select("item_a", "item_b", "n_ab", "llr")
+    if unordered:
+        # explode-mirror, not a self-union (a union would re-execute the
+        # pair join + count agg per branch — see tools/ab_pairs.py)
+        mirrored = (scored.select(F.explode(F.array(
+            F.struct(F.col("item_a"), F.col("item_b"),
+                     F.col("n_ab"), F.col("llr")),
+            F.struct(F.col("item_b").alias("item_a"),
+                     F.col("item_a").alias("item_b"),
+                     F.col("n_ab"), F.col("llr"))))
+            .alias("__p"))
+            .select("__p.item_a", "__p.item_b", "__p.n_ab", "__p.llr"))
     out = topk_per_group(mirrored, ["item_a"], "llr", k,
                          tiebreak_cols=["item_b"])
     return out.select("item_a", "item_b", "n_ab", "llr")

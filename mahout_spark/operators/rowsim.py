@@ -49,11 +49,17 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
                    val: str = "value", k: int = 100,
                    threshold: float | None = None,
                    exclude_self: bool = True,
-                   n_cols: int | None = None) -> DataFrame:
+                   n_cols: int | None = None,
+                   pair_mode: str = "unordered") -> DataFrame:
     """(row_a, row_b, sim) — top-K most similar rows per row under the
 
     chosen measure. Measures: cosine, pearson, euclidean, tanimoto,
     cityblock, loglikelihood, cooccurrence (reference's 7 plug-ins).
+
+    ``pair_mode``: 'unordered' counts each pair once (half the pair
+    shuffle) and mirrors after scoring; 'ordered' generates both
+    directions up front (the pre-mirror plan, kept for interleaved A/B
+    benchmarking — results are identical, see tools/ab_pairs.py).
     """
     m = MEASURES[measure]
     df = _preprocess(triples, m, row, col, val)
@@ -78,7 +84,10 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
     # k12/k21), so compute each unordered pair ONCE (row_a < row_b) —
     # halves the fan-out of the one big shuffle — and mirror the scored
     # pairs afterwards for the per-row top-K
-    pairs = a.join(b, "__c").filter(F.col("row_a") < F.col("row_b"))
+    unordered = pair_mode == "unordered"
+    pair_filter = (F.col("row_a") < F.col("row_b") if unordered
+                   else F.col("row_a") != F.col("row_b"))
+    pairs = a.join(b, "__c").filter(pair_filter)
     dots = pairs.groupBy("row_a", "row_b").agg(
         F.sum(F.col("__va") * F.col("__vb")).alias("dots"))
 
@@ -92,9 +101,18 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
                   F.lit(float(n_cols)))))
     if threshold is not None:
         scored = scored.filter(F.col("sim") >= threshold)
-    mirrored = scored.select("row_a", "row_b", "sim").unionByName(
-        scored.select(F.col("row_b").alias("row_a"),
-                      F.col("row_a").alias("row_b"), "sim"))
+    mirrored = scored.select("row_a", "row_b", "sim")
+    if unordered:
+        # mirror with ONE explode, not a self-union: a union re-executes
+        # the whole upstream (pair join + dots agg) once per branch —
+        # measured 17% slower than the ordered plan at sf0.1
+        # (tools/ab_pairs.py); the explode emits both directions from a
+        # single computation of each unordered pair
+        mirrored = (scored.select(F.explode(F.array(
+            F.struct(F.col("row_a"), F.col("row_b"), F.col("sim")),
+            F.struct(F.col("row_b").alias("row_a"),
+                     F.col("row_a").alias("row_b"), F.col("sim"))))
+            .alias("__p")).select("__p.row_a", "__p.row_b", "__p.sim"))
     if not exclude_self:
         # dot(i,i) == norm_i under every preprocessing here (nnz for
         # count-based measures, sum v^2 otherwise)
