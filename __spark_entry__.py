@@ -443,6 +443,42 @@ def _q_recommend_cms(spark, sf_dir) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def _q_recommend_svd(spark, sf_dir) -> DataFrame:
+    """SVDRecommender wiring gate: factor-dot-product scoring, known-item
+
+    exclusion, per-user top-N with deterministic tie-break — hash-exact
+    because the gate's factors are closed-form integral features
+    (sum(pref), n) rather than ALS output (whose float iterations aren't
+    SQL-replayable; alswr_factorize itself is pytest-oracled against the
+    in-core ridge solves, tests/test_svdrec.py)."""
+    from mahout_spark.operators.svdrec import svd_recommend
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 100)
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").cast("double").alias("pref")))
+    uf = (prefs.groupBy(F.col("user_id").alias("row_id"))
+          .agg(F.sum("pref").alias("f0"),
+               F.count("*").cast("double").alias("f1")))
+    vf = (prefs.groupBy(F.col("item_id").alias("row_id"))
+          .agg(F.sum("pref").alias("f0"),
+               F.count("*").cast("double").alias("f1")))
+    expand = [F.explode(F.array(
+        F.struct(F.lit(0).alias("col_id"), F.col("f0").alias("value")),
+        F.struct(F.lit(1).alias("col_id"), F.col("f1").alias("value"))))
+        .alias("__f")]
+    uft = uf.select("row_id", *expand).select("row_id", "__f.col_id",
+                                              "__f.value")
+    vft = vf.select("row_id", *expand).select("row_id", "__f.col_id",
+                                              "__f.value")
+    out = svd_recommend(uft, vft, prefs, top_n=5)
+    return out.select("user_id", "item_id",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
     from mahout_spark.functions.text import (content_fingerprint, detect_lang,
                                              quality_score, token_count,
@@ -648,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_cooc": _q_recommend_cooc,
         "recommend_cms": _q_recommend_cms,
         "recommend_itembased": _q_recommend_itembased,
+        "recommend_svd": _q_recommend_svd,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
@@ -850,6 +887,23 @@ ranked AS (SELECT u, it, score, row_number() OVER (
 SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
 """
 
+    recommend_svd_sql = """
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 100 GROUP BY 1, 2),
+uf AS (SELECT u, sum(p) AS f0, count(*)::DOUBLE AS f1 FROM prefs GROUP BY 1),
+vf AS (SELECT i, sum(p) AS f0, count(*)::DOUBLE AS f1 FROM prefs GROUP BY 1),
+cand AS (SELECT uf.u, vf.i, uf.f0 * vf.f0 + uf.f1 * vf.f1 AS score
+         FROM uf CROSS JOIN vf
+         WHERE NOT EXISTS (SELECT 1 FROM prefs s
+                           WHERE s.u = uf.u AND s.i = vf.i)),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, i) AS rn FROM cand)
+SELECT u AS user_id, i AS item_id, round(score, 6) AS score
+FROM ranked WHERE rn <= 5
+"""
+
     user_tanimoto_sql = f"""
 WITH prefs AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1034,6 +1088,7 @@ FROM ranked WHERE rn <= 5
         "feature_hashing": feature_hashing_sql,
         "recommend_cooc": recommend_sql,
         "recommend_itembased": recommend_itembased_sql,
+        "recommend_svd": recommend_svd_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",

@@ -1,0 +1,190 @@
+"""Taste SVD recommender: ALS-WR factorization + recommend-from-factors.
+
+Reference anchors (studied, not copied):
+- mr/.../impl/recommender/svd/SVDRecommender.java:152-162 (estimate =
+  dot(userFeatures, itemFeatures)), :134-147 (recommend = top-N over
+  AllUnknownItems candidates, known items excluded)
+- mr/.../impl/recommender/svd/ALSWRFactorizer.java:95-160 (init: item
+  feature 0 = average rating, rest small random; per-entity solves),
+  :174-244 (alternating user/item sweeps)
+- math/.../als/AlternatingLeastSquaresSolver.java:37-56 (observed-only
+  ridge: solve (Y_i' Y_i + lambda * n_ui * I) w = Y_i' r_i — the Zhou et
+  al. ALS-WR weighted-lambda regularization)
+
+Spark shape: factors live as long-form triples (row_id, col_id=feature,
+value), interchangeable with operators/decompositions.dals output. The
+ALS-WR sweep is one join (prefs x current counter-side factors packed as
+arrays) + one applyInPandas per entity group solving the k x k normal
+equations with vectorized NumPy — the same data layout MLlib's ALS uses,
+so it shuffles once per sweep on the entity key and never collects a
+factor matrix to the driver. Scoring joins on the feature index;
+recommend exposes a ``candidates`` frame so web-scale callers bound the
+per-user candidate set (the reference's AllUnknownItemsCandidateItems-
+Strategy enumerates EVERY item per user — fine for Taste's single-node
+sizes, quadratic at 10^12; an ANN/item-sim prefilter is the production
+candidate source).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_spark.operators.topk import topk_per_group
+
+TRIPLE = ["row_id", "col_id", "value"]
+
+
+def _pack(factors: DataFrame, k: int, id_alias: str,
+          vec_alias: str) -> DataFrame:
+    """(id, array<double> length k) from factor triples."""
+    return (factors.groupBy(F.col("row_id").alias(id_alias))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("col_id").cast("int").alias("j"),
+                F.col("value").alias("v")))).alias("__s"))
+            .select(id_alias,
+                    F.transform("__s", lambda s: s["v"]).alias(vec_alias)))
+
+
+def alswr_factorize(prefs: DataFrame, k: int = 10, lambda_: float = 0.065,
+                    iterations: int = 10, user: str = "user_id",
+                    item: str = "item_id", pref: str = "pref",
+                    seed: int = 77) -> tuple[DataFrame, DataFrame]:
+    """(U, V) factor triples — ALSWRFactorizer semantics: item features
+
+    init to (average rating, small deterministic pseudo-random...); each
+    sweep solves, per entity, the OBSERVED-ONLY ridge system
+    (Y'Y + lambda * n * I) w = Y'r (AlternatingLeastSquaresSolver.solve).
+    Deterministic: the reference's Random init is replaced by a hash
+    coin so retries/stragglers reproduce bit-identical factors.
+    """
+    p = prefs.select(F.col(user).alias("u"), F.col(item).alias("i"),
+                     F.col(pref).cast("double").alias("r")).persist()
+    # item init: feature 0 = average rating (ALSWRFactorizer.java:150-158),
+    # features 1..k-1 = uniform[0, 0.1) from a deterministic hash coin
+    coin = (F.pmod(F.xxhash64("row_id", "col_id", F.lit(seed)),
+                   F.lit(1 << 24)).cast("double") / F.lit(float(1 << 24)))
+    jcols = F.array(*[F.lit(j) for j in range(k)])
+    v = (p.groupBy(F.col("i").alias("row_id"))
+         .agg(F.avg("r").alias("__avg"))
+         .select("row_id", F.explode(jcols).alias("col_id"), "__avg")
+         .withColumn("value", F.when(F.col("col_id") == 0, F.col("__avg"))
+                     .otherwise(coin * 0.1))
+         .select(*TRIPLE))
+
+    solve_schema = "row_id long, col_id int, value double"
+
+    n_buckets = max(64, p.sparkSession.sparkContext.defaultParallelism * 4)
+
+    def _sweep(ratings: DataFrame, other: DataFrame,
+               entity: str, counter: str) -> DataFrame:
+        """Solve every `entity` from its observed `counter` rows.
+
+        Entities are salted into buckets so each applyInPandas call
+        carries MANY entities in one Arrow batch (one transfer per
+        bucket, not per user) — the per-entity k x k solves run in a
+        NumPy loop inside.
+        """
+        joined = (ratings
+                  .join(_pack(other, k, counter, "__y"), counter)
+                  .select(F.col(entity).alias("__e"), "r", "__y",
+                          F.pmod(F.xxhash64(entity), F.lit(n_buckets))
+                          .alias("__bkt")))
+
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_ids, out_w = [], []
+            eye = lambda_ * np.eye(k)
+            for eid, g in pdf.groupby("__e", sort=False):
+                y = np.array(g["__y"].tolist(), dtype=np.float64)  # (n, k)
+                r = g["r"].to_numpy(dtype=np.float64)
+                a = y.T @ y + len(r) * eye
+                out_w.append(np.linalg.solve(a, y.T @ r))
+                out_ids.append(eid)
+            return pd.DataFrame({
+                "row_id": np.repeat(np.asarray(out_ids, dtype=np.int64), k),
+                "col_id": np.tile(np.arange(k, dtype=np.int32),
+                                  len(out_ids)),
+                "value": np.concatenate(out_w) if out_w else
+                np.empty(0)})
+
+        return joined.groupBy("__bkt").applyInPandas(solve, solve_schema)
+
+    u = None
+    for _ in range(iterations):
+        new_u = _sweep(p.select(F.col("u"), F.col("i").alias("counter_id"),
+                                "r"),
+                       v, "u", "counter_id").persist()
+        if u is not None:
+            u.unpersist()
+        u = new_u
+        new_v = _sweep(p.select(F.col("i"), F.col("u").alias("counter_id"),
+                                "r"),
+                       u, "i", "counter_id").persist()
+        v.unpersist()
+        v = new_v
+    return u, v
+
+
+def svd_estimate(user_factors: DataFrame, item_factors: DataFrame,
+                 pairs: DataFrame, user: str = "user_id",
+                 item: str = "item_id") -> DataFrame:
+    """(user, item, estimate) for requested pairs — SVDRecommender.
+
+    estimatePreference: dot product of feature vectors, via a feature-
+    index join (no dense matrices, no driver transfer).
+    """
+    uf = user_factors.select(F.col("row_id").alias(user),
+                             F.col("col_id").alias("__j"),
+                             F.col("value").alias("__u"))
+    vf = item_factors.select(F.col("row_id").alias(item),
+                             F.col("col_id").alias("__j"),
+                             F.col("value").alias("__v"))
+    return (pairs.select(user, item)
+            .join(uf, user).join(vf, [item, "__j"])
+            .groupBy(user, item)
+            .agg(F.sum(F.col("__u") * F.col("__v")).alias("estimate")))
+
+
+def svd_recommend(user_factors: DataFrame, item_factors: DataFrame,
+                  prefs: DataFrame, top_n: int = 10,
+                  user: str = "user_id", item: str = "item_id",
+                  include_known: bool = False,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """(user, item, score) — top-N per user by factor dot product,
+
+    known (already-preferred) items excluded unless ``include_known``
+    (SVDRecommender.recommend + AllUnknownItemsCandidateItemsStrategy).
+    ``candidates`` ((user, item) frame) bounds the candidate set; default
+    is every (user, item) combination — the reference's semantics, right
+    for Taste-scale catalogs, while web-scale callers pass an ANN or
+    item-similarity prefilter here.
+    """
+    if candidates is None:
+        candidates = (user_factors.select(F.col("row_id").alias(user))
+                      .distinct()
+                      .crossJoin(item_factors.select(
+                          F.col("row_id").alias(item)).distinct()))
+    if not include_known:
+        candidates = candidates.join(
+            prefs.select(user, item), [user, item], "left_anti")
+    scored = svd_estimate(user_factors, item_factors, candidates, user, item)
+    return (topk_per_group(scored, [user], "estimate", top_n,
+                           tiebreak_cols=[item])
+            .select(user, item, F.col("estimate").alias("score")))
+
+
+def factor_features_sql(prefs_cte: str, user: str = "user_id",
+                        item: str = "item_id", pref: str = "pref") -> str:
+    """CTE text for the gate's deterministic closed-form factors
+
+    (see __spark_entry__._q_recommend_svd): user/item vectors
+    (sum(pref), n) — integral, so the scoring join is exactly replayable.
+    """
+    return f"""
+uf AS (SELECT {user}, sum({pref})::DOUBLE AS f0, count(*)::DOUBLE AS f1
+       FROM {prefs_cte} GROUP BY 1),
+vf AS (SELECT {item}, sum({pref})::DOUBLE AS f0, count(*)::DOUBLE AS f1
+       FROM {prefs_cte} GROUP BY 1)
+"""
