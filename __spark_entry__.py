@@ -443,6 +443,26 @@ def _q_recommend_cms(spark, sf_dir) -> DataFrame:
     return out.withColumn("score", F.round("score", 6))
 
 
+def _q_kmeans_assign(spark, sf_dir) -> DataFrame:
+    """k-means Catalyst assignment gate: every embedding assigned to its
+
+    nearest of 8 deterministic centroids (the embeddings of the 8
+    smallest vec_ids — SQL-derivable, so the oracle recomputes the same
+    centers). The Lloyd iteration loop itself is pytest-oracled against
+    a NumPy trajectory replay (tests/test_clustering.py)."""
+    import numpy as np
+
+    from mahout_spark.operators.clustering import KMeansModel
+
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>")).collect())
+    centers = np.array([r[0] for r in rows], dtype=np.float64)
+    out = KMeansModel(centers, 0, True, 0.0).assign(emb)
+    return out.select("vec_id", "cluster",
+                      F.round("dist2", 6).alias("dist2"))
+
+
 def _q_recommend_svd(spark, sf_dir) -> DataFrame:
     """SVDRecommender wiring gate: factor-dot-product scoring, known-item
 
@@ -685,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_cms": _q_recommend_cms,
         "recommend_itembased": _q_recommend_itembased,
         "recommend_svd": _q_recommend_svd,
+        "kmeans_assign": _q_kmeans_assign,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
@@ -885,6 +906,21 @@ ranked AS (SELECT u, it, score, row_number() OVER (
     PARTITION BY u ORDER BY score DESC, it) AS rn
   FROM est WHERE n >= 2)
 SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
+"""
+
+    kmeans_assign_sql = """
+WITH centers AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+dists AS (
+  SELECT e.vec_id, c.c,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM embeddings e CROSS JOIN centers c),
+best AS (SELECT vec_id, c, d, row_number() OVER (
+           PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists)
+SELECT vec_id, c AS cluster, round(d, 6) AS dist2 FROM best WHERE rn = 1
 """
 
     recommend_svd_sql = """
@@ -1089,6 +1125,7 @@ FROM ranked WHERE rn <= 5
         "recommend_cooc": recommend_sql,
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
+        "kmeans_assign": kmeans_assign_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",

@@ -1,0 +1,113 @@
+"""k-means — exact-assignment oracle vs NumPy + full Lloyd equivalence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.operators.clustering import (KMeansModel, assign_expr,
+                                               kmeans, kmeans_assign_sql,
+                                               kmeans_seed_centers)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rng = np.random.default_rng(9)
+    centers = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0], [0.0, 8.0, 8.0]])
+    pts = np.concatenate([c + rng.normal(scale=0.6, size=(40, 3))
+                          for c in centers])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    return (spark.createDataFrame(rows, ["vec_id", "embedding"]),
+            pts)
+
+
+def _np_assign(pts, centers):
+    d = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+def test_assignment_matches_numpy_at_fixed_centroids(spark, blobs):
+    df, pts = blobs
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 1.0], [1.0, 7.0, 7.0]])
+    model = KMeansModel(centers, 0, True, 0.0)
+    got = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in model.assign(df).collect()}
+    want_c, want_d = _np_assign(pts, centers)
+    for i in range(len(pts)):
+        assert got[i][0] == want_c[i], i
+        assert abs(got[i][1] - want_d[i]) < 1e-9
+
+
+def test_assignment_tie_breaks_to_lowest_cluster(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0])], ["vec_id", "embedding"])
+    centers = np.array([[1.0, 0.0], [-1.0, 0.0]])  # equidistant
+    [r] = KMeansModel(centers, 0, True, 0.0).assign(df).collect()
+    assert r["cluster"] == 0
+
+
+def test_lloyd_trajectory_matches_numpy(spark, blobs):
+    df, pts = blobs
+    k, seed = 3, 11
+    init = kmeans_seed_centers(df, k, seed)
+    model = kmeans(df, k, max_iterations=7, convergence_delta=0.0,
+                   init_centers=init)
+    # replay the same 7 Lloyd iterations in NumPy from the same init
+    c = init.copy()
+    for _ in range(7):
+        lab, _ = _np_assign(pts, c)
+        for j in range(k):
+            if (lab == j).any():
+                c[j] = pts[lab == j].mean(axis=0)
+    assert np.allclose(model.centers, c, atol=1e-9)
+    got_c = {r["vec_id"]: r["cluster"] for r in model.assign(df).collect()}
+    want, _ = _np_assign(pts, c)
+    assert all(got_c[i] == want[i] for i in range(len(pts)))
+
+
+def test_converges_on_separated_blobs(spark, blobs):
+    df, pts = blobs
+    # seed chosen so the 3 hash-picked seeds land in distinct blobs
+    # (plain Lloyd's with random seeding can hit a local optimum — the
+    # reference's RandomSeedGenerator has the same property)
+    model = kmeans(df, 3, max_iterations=25, convergence_delta=1e-6, seed=2)
+    assert model.converged
+    assert model.iterations < 25
+    # each found center is close to one true blob center
+    true = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0], [0.0, 8.0, 8.0]])
+    for c in model.centers:
+        assert np.min(np.linalg.norm(true - c, axis=1)) < 0.5
+    assert model.cost > 0
+
+
+def test_empty_cluster_keeps_center(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    init = np.array([[0.0, 0.0], [3.0, 0.0], [100.0, 100.0]])
+    model = kmeans(df, 3, max_iterations=2, convergence_delta=0.0,
+                   init_centers=init)
+    assert np.allclose(model.centers[2], [100.0, 100.0])
+
+
+def test_seed_centers_deterministic(spark, blobs):
+    df, _ = blobs
+    a = kmeans_seed_centers(df, 4, seed=5)
+    b = kmeans_seed_centers(df, 4, seed=5)
+    assert np.array_equal(a, b)
+    c = kmeans_seed_centers(df, 4, seed=6)
+    assert not np.array_equal(a, c)
+
+
+def test_assign_sql_matches_spark(spark, blobs, tmp_path):
+    import duckdb
+
+    df, pts = blobs
+    path = str(tmp_path / "pts.parquet")
+    df.write.parquet(path)
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 1.0], [1.0, 7.0, 7.0]])
+    got = {r["vec_id"]: (r["cluster"], round(r["dist2"], 6))
+           for r in KMeansModel(centers, 0, True, 0.0).assign(df).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW pts AS SELECT * "
+                f"FROM read_parquet('{path}/*.parquet')")
+    want = {int(r[0]): (int(r[1]), float(r[2])) for r in con.execute(
+        kmeans_assign_sql("pts", centers)).fetchall()}
+    assert got == want
