@@ -370,6 +370,30 @@ def _q_recommend_cooc(spark, sf_dir) -> DataFrame:
     return recommend(prefs, nb, top_n=5, min_evidence=2)
 
 
+def _q_recommend_boolean(spark, sf_dir) -> DataFrame:
+    """GenericBooleanPrefUserBasedRecommender: estimates are plain
+    similarity SUMS over neighbors who have the item (integer
+    cooccurrence sims → exact)."""
+    from mahout_spark.operators.recommender import (nearest_n_neighborhood,
+                                                    recommend)
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").alias("pref")))
+    a = prefs.select(F.col("item_id").alias("__i"),
+                     F.col("user_id").alias("user_a"))
+    b = prefs.select(F.col("item_id").alias("__i"),
+                     F.col("user_id").alias("user_b"))
+    sims = (a.join(b, "__i").filter(F.col("user_a") != F.col("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.count("*").cast("double").alias("sim")))
+    nb = nearest_n_neighborhood(sims, 10)
+    return recommend(prefs, nb, top_n=5, boolean_pref=True)
+
+
 def _q_user_similarity_tanimoto(spark, sf_dir) -> DataFrame:
     """Taste TanimotoCoefficientSimilarity over item sets — integer-exact
 
@@ -706,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_itembased": _q_recommend_itembased,
         "recommend_svd": _q_recommend_svd,
         "kmeans_assign": _q_kmeans_assign,
+        "recommend_boolean": _q_recommend_boolean,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
@@ -923,6 +948,25 @@ best AS (SELECT vec_id, c, d, row_number() OVER (
 SELECT vec_id, c AS cluster, round(d, 6) AS dist2 FROM best WHERE rn = 1
 """
 
+    recommend_boolean_sql = """
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+sims AS (SELECT a.u AS ua, b.u AS ub, count(*)::DOUBLE AS sim
+         FROM prefs a JOIN prefs b ON a.i = b.i AND a.u <> b.u GROUP BY 1, 2),
+nb AS (SELECT *, row_number() OVER (
+    PARTITION BY ua ORDER BY sim DESC, ub) AS rn FROM sims),
+cand AS (
+  SELECT nb.ua AS u, pr.i AS it, nb.sim
+  FROM nb JOIN prefs pr ON pr.u = nb.ub
+  WHERE nb.rn <= 10
+    AND NOT EXISTS (SELECT 1 FROM prefs s WHERE s.u = nb.ua AND s.i = pr.i)),
+est AS (SELECT u, it, sum(sim) AS score FROM cand GROUP BY 1, 2),
+ranked AS (SELECT u, it, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, it) AS rn FROM est)
+SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
+"""
+
     recommend_svd_sql = """
 WITH prefs AS (
   SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
@@ -1126,6 +1170,7 @@ FROM ranked WHERE rn <= 5
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
         "kmeans_assign": kmeans_assign_sql,
+        "recommend_boolean": recommend_boolean_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",

@@ -189,12 +189,21 @@ def threshold_neighborhood(sims: DataFrame, threshold: float) -> DataFrame:
 def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
               min_evidence: int = 2, user: str = "user_id",
               item: str = "item_id", pref: str = "pref",
-              cap_range: tuple[float, float] | None = None) -> DataFrame:
+              cap_range: tuple[float, float] | None = None,
+              boolean_pref: bool = False) -> DataFrame:
     """(user_id, item_id, score) — top-N unseen items per user, scored by
 
     similarity-weighted average of neighbor preferences
     (doEstimatePreference, GenericUserBasedRecommender.java:134-184).
+
+    ``boolean_pref=True`` is GenericBooleanPrefUserBasedRecommender
+    (.java:45-61): the estimate is the plain SUM of similarities of
+    neighbors who have the item — no preference weighting, no
+    normalization; any single neighbor having it counts as evidence
+    (min_evidence forced to 1, matching foundAPref).
     """
+    if boolean_pref:
+        min_evidence = 1
     nb = neighborhood.select(F.col("user_a").alias("__u"),
                              F.col("user_b").alias("__nb"), "sim")
     np_ = prefs.select(F.col(user).alias("__nb"), F.col(item).alias("__it"),
@@ -207,9 +216,11 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
     # doEstimatePreference divides totalSimilarity through unmodified
     # (GenericUserBasedRecommender.java:164-178), so estimates with
     # negative-similarity neighborhoods (Pearson) match bit-for-bit.
+    score_expr = (F.sum("sim") if boolean_pref
+                  else F.sum(F.col("sim") * F.col("__p"))
+                  / F.sum(F.col("sim")))
     est = cand.groupBy("__u", "__it").agg(
-        (F.sum(F.col("sim") * F.col("__p")) / F.sum(F.col("sim")))
-        .alias("score"),
+        score_expr.alias("score"),
         F.count("*").alias("__n"))
     est = est.filter(F.col("__n") >= min_evidence)
     if cap_range is not None:
@@ -269,7 +280,8 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
                          user: str = "user_id", item: str = "item_id",
                          pref: str = "pref",
                          cap_range: tuple[float, float] | None = None,
-                         exclude_seen: bool = True) -> DataFrame:
+                         exclude_seen: bool = True,
+                         boolean_pref: bool = False) -> DataFrame:
     """(user_id, item_id, score) — GenericItemBasedRecommender.recommend
 
     as a DataFrame plan (GenericItemBasedRecommender.java:118-258):
@@ -282,7 +294,14 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
 
     ``item_sims``: (item_a, item_b, sim) — item_a is the candidate side;
     feed ``llr_item_similarity`` output or any measure's item pairs.
+
+    ``boolean_pref=True`` is GenericBooleanPrefItemBasedRecommender
+    (.java:52-64): the estimate is the plain similarity SUM over the
+    user's items with a defined similarity to the candidate (one point
+    of evidence suffices — foundAPref).
     """
+    if boolean_pref:
+        min_evidence = 1
     p = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__j"),
                      F.col(pref).cast("double").alias("__p"))
     s = item_sims.select(F.col("item_a").alias("__cand"),
@@ -293,9 +312,11 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
         seen = prefs.select(F.col(user).alias("__u"),
                             F.col(item).alias("__cand")).distinct()
         cand = cand.join(seen, ["__u", "__cand"], "left_anti")
+    ib_score = (F.sum("__s") if boolean_pref
+                else F.sum(F.col("__s") * F.col("__p"))
+                / F.sum(F.col("__s")))
     est = (cand.groupBy("__u", "__cand")
-           .agg((F.sum(F.col("__s") * F.col("__p")) / F.sum(F.col("__s")))
-                .alias("score"), F.count("*").alias("__n"))
+           .agg(ib_score.alias("score"), F.count("*").alias("__n"))
            .filter(F.col("__n") >= min_evidence))
     if cap_range is not None:
         lo, hi = cap_range

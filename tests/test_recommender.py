@@ -79,6 +79,45 @@ def test_cms_user_similarity_topn_equals_allpairs_neighborhood(spark, prefs):
         assert abs(blocked[k_] - v) < 1e-12, k_
 
 
+def test_boolean_pref_user_based_golden(spark):
+    # GenericBooleanPrefUserBasedRecommender: score = sum of sims of
+    # neighbors having the item; one neighbor is enough evidence
+    from mahout_spark.operators.recommender import recommend
+
+    prefs = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 1.0),
+         (2, 10, 1.0), (2, 12, 1.0),
+         (3, 11, 1.0), (3, 12, 1.0), (3, 13, 1.0)],
+        ["user_id", "item_id", "pref"])
+    nb = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.4)], ["user_a", "user_b", "sim"])
+    recs = {(r["user_id"], r["item_id"]): r["score"]
+            for r in recommend(prefs, nb, top_n=5,
+                               boolean_pref=True).collect()}
+    # user 1 unseen: 12 (from both: 0.9+0.4), 13 (from 3: 0.4)
+    assert abs(recs[(1, 12)] - 1.3) < 1e-12
+    assert abs(recs[(1, 13)] - 0.4) < 1e-12
+    assert (1, 10) not in recs and (1, 11) not in recs
+
+
+def test_boolean_pref_item_based_golden(spark):
+    # GenericBooleanPrefItemBasedRecommender: score = sum of sims between
+    # the candidate and the user's items (prefs ignored)
+    from mahout_spark.operators.recommender import recommend_item_based
+
+    prefs = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 2.0)], ["user_id", "item_id", "pref"])
+    sims = spark.createDataFrame(
+        [(12, 10, 0.7), (12, 11, 0.2), (13, 10, 0.5)],
+        ["item_a", "item_b", "sim"])
+    recs = {(r["user_id"], r["item_id"]): r["score"]
+            for r in recommend_item_based(prefs, sims, top_n=5,
+                                          boolean_pref=True).collect()}
+    # pref values (5.0, 2.0) must NOT weight the estimate
+    assert abs(recs[(1, 12)] - 0.9) < 1e-12
+    assert abs(recs[(1, 13)] - 0.5) < 1e-12
+
+
 def test_recommend_excludes_seen_and_caps(prefs):
     sims = exact_user_similarity(prefs).filter(F.col("n") >= 1)
     nb = nearest_n_neighborhood(sims, 10)
