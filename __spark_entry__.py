@@ -270,6 +270,17 @@ def _q_rowsim_cosine(spark, sf_dir) -> DataFrame:
                           measure="cosine", k=TOPK)
 
 
+def _q_rowsim_pearson(spark, sf_dir) -> DataFrame:
+    """Pearson row similarity — hash-exact because the plan centers with
+
+    the scaled form w = n*x - S (integer-exact on l_quantity), making
+    Pearson a plain cosine over w (see PearsonMeasure)."""
+    from mahout_spark.operators.rowsim import row_similarity
+
+    return row_similarity(_order_part_triples(spark, sf_dir),
+                          measure="pearson", k=TOPK)
+
+
 def _q_rowsim_euclidean(spark, sf_dir) -> DataFrame:
     from mahout_spark.operators.rowsim import row_similarity
 
@@ -720,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_similarity_llr": _q_cross_similarity_llr,
         "rowsim_tanimoto": _q_rowsim_tanimoto,
         "rowsim_cosine": _q_rowsim_cosine,
+        "rowsim_pearson": _q_rowsim_pearson,
         "rowsim_euclidean": _q_rowsim_euclidean,
         "rowsim_cityblock": _q_rowsim_cityblock,
         "ata_gramian": _q_ata_gramian,
@@ -823,6 +835,24 @@ WITH t AS (SELECT l_orderkey AS r, l_partkey AS c, (l_quantity)::DOUBLE AS v
 norms AS (SELECT r, sum(v * v) AS nn FROM t GROUP BY r),
 dots AS (SELECT a.r AS row_a, b.r AS row_b, sum(a.v * b.v) AS d
          FROM t a JOIN t b ON a.c = b.c AND a.r <> b.r GROUP BY 1, 2),
+scored AS (SELECT row_a, row_b, (d / (sqrt(na.nn) * sqrt(nb.nn))) AS sim
+           FROM dots JOIN norms na ON na.r = row_a
+                     JOIN norms nb ON nb.r = row_b),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY row_a ORDER BY sim DESC, row_b) AS rn FROM scored)
+SELECT row_a, row_b, sim FROM ranked WHERE rn <= {TOPK}
+"""
+
+    rowsim_pearson_sql = f"""
+WITH t AS (SELECT l_orderkey AS r, l_partkey AS c, (l_quantity)::DOUBLE AS v
+           FROM lineitem),
+stats AS (SELECT r, count(*)::DOUBLE AS n, sum(v) AS s FROM t GROUP BY r),
+w AS (SELECT t.r, t.c, stats.n * t.v - stats.s AS w
+      FROM t JOIN stats ON stats.r = t.r
+      WHERE stats.n * t.v - stats.s <> 0),
+norms AS (SELECT r, sum(w * w) AS nn FROM w GROUP BY r),
+dots AS (SELECT a.r AS row_a, b.r AS row_b, sum(a.w * b.w) AS d
+         FROM w a JOIN w b ON a.c = b.c AND a.r <> b.r GROUP BY 1, 2),
 scored AS (SELECT row_a, row_b, (d / (sqrt(na.nn) * sqrt(nb.nn))) AS sim
            FROM dots JOIN norms na ON na.r = row_a
                      JOIN norms nb ON nb.r = row_b),
@@ -1161,6 +1191,7 @@ FROM ranked WHERE rn <= 5
         "cross_similarity_llr": cross_llr_sql,
         "rowsim_tanimoto": rowsim_tanimoto_sql,
         "rowsim_cosine": rowsim_cosine_sql,
+        "rowsim_pearson": rowsim_pearson_sql,
         "rowsim_euclidean": rowsim_euclid_sql,
         "rowsim_cityblock": rowsim_cityblock_sql,
         "ata_gramian": ata_sql,

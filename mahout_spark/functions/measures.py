@@ -142,11 +142,14 @@ class PearsonMeasure(Measure):
     """Mean-center nonzeros per row, then cosine.
 
     Reference: measures/PearsonCorrelationSimilarity.java (extends Cosine).
-    Centering happens row-level in the pipeline (center=True).
+    The pipeline centers row-level with the SCALED form w = n*x - S
+    (= n*(x - mean); a per-row constant scale leaves the cosine
+    unchanged), so intermediates stay exact on integral inputs and the
+    post-normalized cosine applies directly — no per-value division.
     """
 
     def __init__(self):
-        super().__init__("pearson", binarize=False, l2_normalize=True,
+        super().__init__("pearson", binarize=False, l2_normalize=False,
                          norm_is_count=False)
 
     similarity_expr = CosineMeasure.similarity_expr

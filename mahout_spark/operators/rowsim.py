@@ -34,8 +34,16 @@ def _preprocess(triples: DataFrame, measure: Measure, row: str, col: str,
               .select("row_id", "col_id").distinct()
               .withColumn("value", F.lit(1.0)))
     if measure.name == "pearson":
+        # scaled centering: w = n*x - S = n*(x - mean). Scaling a row by
+        # a constant doesn't change its cosine, so Pearson == cosine over
+        # w — and w stays EXACT (integer arithmetic) for integer-valued
+        # inputs, which makes the measure bit-replayable in the DuckDB
+        # oracle (plain `x - mean` floats drift between engines in the
+        # last ulp and broke hash verification; see rowsim_pearson gate)
         w = Window.partitionBy("row_id")
-        df = df.withColumn("value", F.col("value") - F.avg("value").over(w))
+        df = df.withColumn(
+            "value",
+            F.count("*").over(w) * F.col("value") - F.sum("value").over(w))
         df = df.filter(F.col("value") != 0)
     if measure.l2_normalize:
         w = Window.partitionBy("row_id")
