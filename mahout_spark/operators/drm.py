@@ -397,19 +397,37 @@ def global_sorted_rank(df: DataFrame, sort_cols: list,
     rank regardless of where the range boundaries fall, so the output is
     deterministic even though boundary sampling is not.
 
-    The zipWithIndex hop crosses Python once for the ranked table — use
-    only on key-dictionary-sized inputs (distinct keys/tokens), never on
-    the fact stream.
+    Fully JVM-side (no ``rdd.zipWithIndex`` Python hop): the range-
+    partitioned table is cached with its partition id, per-partition row
+    counts are collected (one tiny action; driver state = n_partitions
+    longs) and turned into literal cumulative offsets, and the rank is a
+    per-partition-id window row_number plus the offset. Intended for
+    key-dictionary-sized inputs (distinct keys/tokens), never the fact
+    stream; the cache pin keeps the sampled range boundaries consistent
+    between the count action and the rank computation.
     """
-    from pyspark.sql.types import LongType
-
     spark = df.sparkSession
     n = max(2, spark.sparkContext.defaultParallelism)
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
-    arranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-    schema = arranged.schema.add(out_col, LongType(), False)
-    rdd = arranged.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return spark.createDataFrame(rdd, schema)
+    arranged = (df.repartitionByRange(n, *cols)
+                .withColumn("__pid", F.spark_partition_id())
+                .persist())
+    pcounts = {r["__pid"]: r["count"]
+               for r in arranged.groupBy("__pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(pcounts):
+        offsets[pid] = acc
+        acc += pcounts[pid]
+    off_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid,
+                          F.lit(off).cast("long")).otherwise(off_expr)
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (arranged
+            .withColumn(out_col,
+                        (F.row_number().over(w) - 1 + off_expr)
+                        .cast("long"))
+            .drop("__pid"))
 
 
 def rekey_seq_ints(a: DataFrame) -> tuple[DataFrame, DataFrame]:
