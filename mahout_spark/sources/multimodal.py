@@ -48,14 +48,34 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
+def _image_decode(payload: bytes, dim: int) -> np.ndarray:
+    """REAL decode for BMP/PPM payloads (pure-NumPy codecs,
+
+    sources/imagecodec.py): decode -> grayscale tile feature. Formats
+    needing external codecs (JPEG/PNG/video) raise ValueError with the
+    supported list.
+    """
+    from mahout_spark.sources.imagecodec import image_feature
+
+    return image_feature(payload, dim)
+
+
 def _real_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Codec-library integration point. BMP/PPM decode IS implemented
+
+    (decoder='image'); this slot is for formats that need external
+    libraries (JPEG/PNG via PIL, video via ffmpeg) absent from this
+    container.
+    """
     raise NotImplementedError(
-        "media codecs are not installed in this environment; plug a real "
-        "decoder (PIL/ffmpeg + encoder model) into "
-        "mahout_spark.sources.multimodal._REGISTRY")
+        "JPEG/PNG/video codecs are not installed in this environment; "
+        "BMP/PPM decode works via decoder='image' "
+        "(mahout_spark.sources.imagecodec); plug a PIL/ffmpeg decoder "
+        "into mahout_spark.sources.multimodal._REGISTRY for the rest")
 
 
-_REGISTRY = {"fake": _fake_decode, "real": _real_decode}
+_REGISTRY = {"fake": _fake_decode, "image": _image_decode,
+             "real": _real_decode}
 
 
 def extract_features(media: DataFrame, dim: int = 64,
