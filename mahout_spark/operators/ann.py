@@ -173,13 +173,13 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, seed: int = 7,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n_rows = corpus.count()
-    frac = min(1.0, max_train / max(1, n_rows))
-    sample = corpus
-    if frac < 1.0:
-        coin = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
-                       F.lit(1 << 24)).cast("double") / F.lit(float(1 << 24)))
-        sample = corpus.filter(coin < frac)
+    # deterministic hash-rank sample: the max_train rows with the
+    # smallest xxhash64(id) — a TakeOrderedAndProject (per-partition
+    # partial top-k, no full count action; the previous corpus.count()
+    # existed only to size a sample fraction)
+    sample = (corpus
+              .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+              .limit(max_train))
     train = sample.select(array_to_vector(
         F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
