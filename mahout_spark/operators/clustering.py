@@ -127,6 +127,170 @@ def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
     return KMeansModel(centers, it, converged, float(cost or 0.0))
 
 
+class StreamingKMeansSketch:
+    """One-pass weighted-centroid sketch — StreamingKMeans.java:60-120
+
+    (Shindler/Wong/Meyerson): a new point joins its nearest centroid, or
+    founds a new one with probability d/cutoff (certainly when
+    d > cutoff); when centroids exceed ``overshoot * num_clusters`` they
+    are re-clustered through the same routine with cutoff *= beta.
+    The reference's Random draws become a hash coin on the point id, so
+    every retry/partition replay produces the identical sketch.
+
+    This is the reference's MAPPER role: reduce a partition to
+    ~k*log(n) weighted centroids that fit in one final clustering step
+    (mr/.../streaming/mapreduce/StreamingKMeansMapper uses it exactly
+    this way) — i.e. a mergeable data sketch, like every other sketch in
+    this engine: merge = concatenate weighted centroids + one collapse.
+    """
+
+    def __init__(self, num_clusters: int, distance_cutoff: float,
+                 beta: float = 1.3, overshoot: float = 2.0,
+                 seed: int = 31):
+        self.num_clusters = num_clusters
+        self.cutoff = float(distance_cutoff)
+        self.beta = beta
+        self.overshoot = overshoot
+        self.seed = seed
+        self.centers: list[np.ndarray] = []
+        self.weights: list[float] = []
+        self.n_processed = 0
+
+    @staticmethod
+    def _coin(pid: int, seed: int) -> float:
+        # xxhash-free deterministic coin (pure Python splitmix64 step)
+        z = (pid + seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return ((z ^ (z >> 31)) & 0xFFFFFF) / float(1 << 24)
+
+    def _add_one(self, p: np.ndarray, w: float, pid: int) -> None:
+        if not self.centers:
+            self.centers.append(p.copy())
+            self.weights.append(w)
+            return
+        c = np.stack(self.centers)
+        d2 = ((c - p) ** 2).sum(axis=1)
+        i = int(d2.argmin())
+        d = math.sqrt(float(d2[i]))
+        if d > self.cutoff or self._coin(pid, self.seed) < d / self.cutoff:
+            self.centers.append(p.copy())
+            self.weights.append(w)
+        else:
+            nw = self.weights[i] + w
+            self.centers[i] = self.centers[i] + (p - self.centers[i]) * (w / nw)
+            self.weights[i] = nw
+
+    def _collapse(self) -> None:
+        while len(self.centers) > self.overshoot * self.num_clusters:
+            self.cutoff *= self.beta
+            old_c, old_w = self.centers, self.weights
+            self.centers, self.weights = [], []
+            for j, (p, w) in enumerate(zip(old_c, old_w)):
+                self._add_one(p, w, j)
+
+    def update_batch(self, points: np.ndarray, ids: np.ndarray,
+                     weights: np.ndarray | None = None) -> None:
+        w = np.ones(len(points)) if weights is None else weights
+        for p, pid, wi in zip(points, ids, w):
+            self._add_one(np.asarray(p, dtype=np.float64), float(wi),
+                          int(pid))
+            self.n_processed += 1
+            if len(self.centers) > self.overshoot * self.num_clusters:
+                # grow the target with the data, k*log(n) (reference
+                # clusterLogFactor semantics), then collapse
+                self.num_clusters = max(
+                    self.num_clusters,
+                    int(math.ceil(math.log(max(2, self.n_processed)))))
+                self._collapse()
+
+    def merge(self, other: "StreamingKMeansSketch") -> "StreamingKMeansSketch":
+        out = StreamingKMeansSketch(max(self.num_clusters,
+                                        other.num_clusters),
+                                    max(self.cutoff, other.cutoff),
+                                    self.beta, self.overshoot, self.seed)
+        out.centers = [c.copy() for c in self.centers + other.centers]
+        out.weights = list(self.weights) + list(other.weights)
+        out.n_processed = self.n_processed + other.n_processed
+        out._collapse()
+        return out
+
+    def weighted_centroids(self) -> tuple[np.ndarray, np.ndarray]:
+        return np.stack(self.centers), np.asarray(self.weights)
+
+
+def streaming_kmeans(points: DataFrame, k: int,
+                     distance_cutoff: float | None = None,
+                     beta: float = 1.3, overshoot: float = 2.0,
+                     seed: int = 31, final_iterations: int = 20,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> KMeansModel:
+    """One-pass distributed clustering: every partition reduces its rows
+
+    to a StreamingKMeansSketch (mapInPandas), the per-partition weighted
+    centroids union into one small frame, and a weighted Lloyd's finish
+    (the reference's reducer-side BallKMeans role) produces the final k
+    centers — total shuffle volume is ~n_partitions * k * log(n) rows
+    regardless of corpus size, the streaming analog of the CMS builds.
+    ``distance_cutoff`` defaults to a hash-sample-based estimate.
+    """
+    import pandas as pd
+
+    pts = points.select(F.col(id_col).alias("__id"),
+                        F.col(vec_col).cast("array<double>").alias("__v"))
+    if distance_cutoff is None:
+        # estimateDistanceCutoff analog: mean NN-distance over a small
+        # deterministic hash sample
+        sample = (pts.orderBy(F.xxhash64("__id", F.lit(seed)))
+                  .limit(256).collect())
+        sp = np.array([r["__v"] for r in sample])
+        if len(sp) > 1:
+            d2 = ((sp[:, None, :] - sp[None, :, :]) ** 2).sum(axis=2)
+            np.fill_diagonal(d2, np.inf)
+            distance_cutoff = float(np.sqrt(d2.min(axis=1)).mean()) or 1.0
+        else:
+            distance_cutoff = 1.0
+
+    out_schema = "center array<double>, weight double"
+
+    def reduce_partition(batches):
+        sk = StreamingKMeansSketch(k, distance_cutoff, beta, overshoot,
+                                   seed)
+        for pdf in batches:
+            if len(pdf):
+                sk.update_batch(np.array(pdf["__v"].tolist()),
+                                pdf["__id"].to_numpy())
+        if sk.centers:
+            c, w = sk.weighted_centroids()
+            yield pd.DataFrame({"center": list(c), "weight": w})
+
+    reduced = pts.mapInPandas(reduce_partition, schema=out_schema).collect()
+    cents = np.array([r["center"] for r in reduced])
+    wts = np.array([r["weight"] for r in reduced])
+    # weighted Lloyd's finish over the (small) centroid sketch — the
+    # BallKMeans reducer role, deterministic seeding by hash order
+    order = np.argsort([StreamingKMeansSketch._coin(j, seed)
+                        for j in range(len(cents))])
+    centers = cents[order[:k]].copy()
+    for _ in range(final_iterations):
+        d2 = ((cents[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                new[j] = np.average(cents[m], axis=0, weights=wts[m])
+        if np.allclose(new, centers):
+            centers = new
+            break
+        centers = new
+    model = KMeansModel(centers, 1, True, 0.0)
+    a = assign_expr(F.col("__v"), centers)
+    cost = pts.select(a["dist2"].alias("d")).agg(F.sum("d")).first()[0]
+    model.cost = float(cost or 0.0)
+    return model
+
+
 def kmeans_assign_sql(table: str, centers: np.ndarray,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       round_dp: int = 6) -> str:

@@ -96,6 +96,63 @@ def test_seed_centers_deterministic(spark, blobs):
     assert not np.array_equal(a, c)
 
 
+class TestStreamingKMeans:
+    def test_sketch_bounds_and_mass(self):
+        from mahout_spark.operators.clustering import StreamingKMeansSketch
+
+        rng = np.random.default_rng(1)
+        pts = rng.normal(size=(5000, 4))
+        sk = StreamingKMeansSketch(10, distance_cutoff=1.0)
+        sk.update_batch(pts, np.arange(5000))
+        c, w = sk.weighted_centroids()
+        # centroid count stays near k*log(n), not n
+        assert len(c) <= sk.overshoot * sk.num_clusters + 1
+        assert len(c) < 200
+        assert abs(w.sum() - 5000) < 1e-6  # mass conserved
+
+    def test_sketch_deterministic(self):
+        from mahout_spark.operators.clustering import StreamingKMeansSketch
+
+        rng = np.random.default_rng(2)
+        pts = rng.normal(size=(1000, 3))
+        runs = []
+        for _ in range(2):
+            sk = StreamingKMeansSketch(5, distance_cutoff=1.0)
+            sk.update_batch(pts, np.arange(1000))
+            runs.append(sk.weighted_centroids())
+        assert np.array_equal(runs[0][0], runs[1][0])
+        assert np.array_equal(runs[0][1], runs[1][1])
+
+    def test_merge_conserves_mass_and_collapses(self):
+        from mahout_spark.operators.clustering import StreamingKMeansSketch
+
+        rng = np.random.default_rng(3)
+        a = StreamingKMeansSketch(5, 1.0)
+        b = StreamingKMeansSketch(5, 1.0)
+        a.update_batch(rng.normal(size=(500, 3)), np.arange(500))
+        b.update_batch(rng.normal(size=(500, 3)) + 5, np.arange(500, 1000))
+        m = a.merge(b)
+        _, w = m.weighted_centroids()
+        assert abs(w.sum() - 1000) < 1e-6
+        assert len(m.centers) <= m.overshoot * m.num_clusters + 1
+
+    def test_recovers_blobs_end_to_end(self, spark, blobs):
+        from mahout_spark.operators.clustering import streaming_kmeans
+
+        df, pts = blobs
+        model = streaming_kmeans(df.repartition(4), 3, seed=13)
+        true = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0],
+                         [0.0, 8.0, 8.0]])
+        for t in true:
+            assert np.min(np.linalg.norm(model.centers - t, axis=1)) < 1.0
+        # assignment groups match the true blob structure
+        got = {r["vec_id"]: r["cluster"]
+               for r in model.assign(df).collect()}
+        for blob in range(3):
+            labels = {got[i] for i in range(blob * 40, blob * 40 + 40)}
+            assert len(labels) == 1, (blob, labels)
+
+
 def test_assign_sql_matches_spark(spark, blobs, tmp_path):
     import duckdb
 
