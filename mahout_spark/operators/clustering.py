@@ -291,6 +291,75 @@ def streaming_kmeans(points: DataFrame, k: int,
     return model
 
 
+def canopy_centers_incore(points: np.ndarray, t1: float,
+                          t2: float) -> tuple[np.ndarray, np.ndarray]:
+    """(centers, weights) — CanopyClusterer.addPointToCanopies
+
+    (mr/.../clustering/canopy/CanopyClusterer.java:99-117) over an
+    ordered point array: every canopy within T1 of a point observes it
+    (running mean); a point within T2 of ANY canopy is strongly bound,
+    otherwise it founds a new canopy at itself. Requires t1 > t2.
+    Canopy centers are the observed means; weight = observation count.
+    """
+    if not t1 > t2:
+        raise ValueError(f"canopy requires t1 > t2, got t1={t1} t2={t2}")
+    origins: list[np.ndarray] = []   # canopy origin points (fixed)
+    sums: list[np.ndarray] = []
+    counts: list[float] = []
+    for p in points:
+        p = np.asarray(p, dtype=np.float64)
+        strongly_bound = False
+        if origins:
+            d = np.linalg.norm(np.stack(origins) - p, axis=1)
+            for i in np.nonzero(d < t1)[0]:
+                sums[i] += p
+                counts[i] += 1.0
+            strongly_bound = bool((d < t2).any())
+        if not strongly_bound:
+            origins.append(p.copy())
+            sums.append(p.copy())
+            counts.append(1.0)
+    return (np.stack(sums) / np.asarray(counts)[:, None],
+            np.asarray(counts))
+
+
+def canopy(points: DataFrame, t1: float, t2: float,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> np.ndarray:
+    """Distributed canopy (CanopyDriver two-phase shape): each partition
+
+    builds local canopies in its row order (mapInPandas), then the
+    mapper canopy CENTERS are re-clustered with the same T1/T2 on the
+    driver — exactly the reference's mapper/reducer split
+    (mr/.../canopy/CanopyMapper + CanopyReducer). Deterministic for a
+    fixed input layout (row order within a parquet partition is stable).
+    Returns the final (n_canopies, dim) center matrix — feed it to
+    KMeansModel / kmeans(init_centers=...) as the classic canopy-seeded
+    k-means.
+    """
+    import pandas as pd
+
+    pts = points.select(F.col(id_col).alias("__id"),
+                        F.col(vec_col).cast("array<double>").alias("__v"))
+
+    def local(batches):
+        rows = []
+        for pdf in batches:
+            if len(pdf):
+                rows.append(np.array(pdf["__v"].tolist()))
+        if rows:
+            centers, weights = canopy_centers_incore(
+                np.concatenate(rows), t1, t2)
+            yield pd.DataFrame({"center": list(centers),
+                                "weight": weights})
+
+    reduced = pts.mapInPandas(
+        local, schema="center array<double>, weight double").collect()
+    mapper_centers = np.array([r["center"] for r in reduced])
+    final, _ = canopy_centers_incore(mapper_centers, t1, t2)
+    return final
+
+
 def kmeans_assign_sql(table: str, centers: np.ndarray,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       round_dp: int = 6) -> str:

@@ -153,6 +153,47 @@ class TestStreamingKMeans:
             assert len(labels) == 1, (blob, labels)
 
 
+class TestCanopy:
+    def test_incore_reference_walkthrough(self):
+        from mahout_spark.operators.clustering import canopy_centers_incore
+
+        # hand-traced: p0 founds c0; p1 within t2 of c0 (strongly bound,
+        # observed by c0 via t1); p2 outside t1 -> founds c1; p3 within
+        # t1 of both but t2 of neither -> observed by both AND founds c2
+        pts = np.array([[0.0], [0.4], [3.0], [1.5]])
+        centers, weights = canopy_centers_incore(pts, t1=2.0, t2=0.5)
+        assert len(centers) == 3
+        # c0 observed p0, p1, p3 -> mean 1.9/3
+        assert abs(centers[0][0] - (0.0 + 0.4 + 1.5) / 3) < 1e-12
+        assert weights[0] == 3
+        # c1 observed p2, p3
+        assert abs(centers[1][0] - (3.0 + 1.5) / 2) < 1e-12
+        # c2 = p3 alone
+        assert abs(centers[2][0] - 1.5) < 1e-12
+
+    def test_requires_t1_gt_t2(self):
+        from mahout_spark.operators.clustering import canopy_centers_incore
+
+        with pytest.raises(ValueError, match="t1 > t2"):
+            canopy_centers_incore(np.zeros((2, 1)), t1=1.0, t2=1.0)
+
+    def test_distributed_covers_blobs(self, spark, blobs):
+        from mahout_spark.operators.clustering import canopy, kmeans
+
+        df, pts = blobs
+        centers = canopy(df.repartition(4), t1=4.0, t2=2.0)
+        true = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0],
+                         [0.0, 8.0, 8.0]])
+        # every true blob center is within t1 of some canopy
+        for t in true:
+            assert np.min(np.linalg.norm(centers - t, axis=1)) < 4.0
+        # canopy-seeded k-means converges to the blobs
+        model = kmeans(df, len(centers), max_iterations=15,
+                       convergence_delta=1e-6, init_centers=centers)
+        for t in true:
+            assert np.min(np.linalg.norm(model.centers - t, axis=1)) < 0.5
+
+
 def test_assign_sql_matches_spark(spark, blobs, tmp_path):
     import duckdb
 
