@@ -59,6 +59,8 @@ def alswr_factorize(prefs: DataFrame, k: int = 10, lambda_: float = 0.065,
     (Y'Y + lambda * n * I) w = Y'r (AlternatingLeastSquaresSolver.solve).
     Deterministic: the reference's Random init is replaced by a hash
     coin so retries/stragglers reproduce bit-identical factors.
+    User/item ids may be any groupable type (long, string, ...) — the
+    factor schema mirrors the input id types.
     """
     p = prefs.select(F.col(user).alias("u"), F.col(item).alias("i"),
                      F.col(pref).cast("double").alias("r")).persist()
@@ -74,9 +76,9 @@ def alswr_factorize(prefs: DataFrame, k: int = 10, lambda_: float = 0.065,
                      .otherwise(coin * 0.1))
          .select(*TRIPLE))
 
-    solve_schema = "row_id long, col_id int, value double"
-
     n_buckets = max(64, p.sparkSession.sparkContext.defaultParallelism * 4)
+    id_types = {"u": p.schema["u"].dataType.simpleString(),
+                "i": p.schema["i"].dataType.simpleString()}
 
     def _sweep(ratings: DataFrame, other: DataFrame,
                entity: str, counter: str) -> DataFrame:
@@ -103,12 +105,14 @@ def alswr_factorize(prefs: DataFrame, k: int = 10, lambda_: float = 0.065,
                 out_w.append(np.linalg.solve(a, y.T @ r))
                 out_ids.append(eid)
             return pd.DataFrame({
-                "row_id": np.repeat(np.asarray(out_ids, dtype=np.int64), k),
+                "row_id": np.repeat(np.asarray(out_ids, dtype=object), k),
                 "col_id": np.tile(np.arange(k, dtype=np.int32),
                                   len(out_ids)),
                 "value": np.concatenate(out_w) if out_w else
                 np.empty(0)})
 
+        solve_schema = (f"row_id {id_types[entity]}, col_id int, "
+                        f"value double")
         return joined.groupBy("__bkt").applyInPandas(solve, solve_schema)
 
     u = None

@@ -118,3 +118,17 @@ def test_recommend_candidates_bound(spark, prefs):
     recs = svd_recommend(u, v, prefs.limit(0), top_n=5, candidates=cands)
     got = {(r["user_id"], r["item_id"]) for r in recs.collect()}
     assert got <= {(0, 0), (0, 1), (1, 2)}
+
+
+def test_string_ids_supported(spark):
+    prefs = spark.createDataFrame(
+        [("alice", "itemA", 4.0), ("alice", "itemB", 2.0),
+         ("bob", "itemA", 5.0), ("bob", "itemC", 1.0),
+         ("carol", "itemB", 3.0), ("carol", "itemC", 2.0)],
+        ["user_id", "item_id", "pref"])
+    u, v = alswr_factorize(prefs, k=2, lambda_=0.05, iterations=2)
+    recs = svd_recommend(u, v, prefs, top_n=2).collect()
+    assert recs
+    users = {r["user_id"] for r in recs}
+    assert users <= {"alice", "bob", "carol"}
+    assert all(isinstance(r["item_id"], str) for r in recs)
