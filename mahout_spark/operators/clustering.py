@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,6 +48,40 @@ def assign_expr(vec: Column, centers: np.ndarray) -> Column:
                for i, c in enumerate(centers)]
     best = F.array_sort(F.array(*entries))[0]
     return F.struct(best["c"].alias("cluster"), best["d"].alias("dist2"))
+
+
+# above this many inlined literals the codegen'd argmin expression
+# bloats the plan; switch to the broadcast-join + min_by form
+MAX_EXPR_LITERALS = 20_000
+
+
+def _assign_frame(points: DataFrame, centers: np.ndarray, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(id, vec, cluster, dist2) under either assignment regime."""
+    k, dim = centers.shape
+    if k * dim <= MAX_EXPR_LITERALS:
+        a = assign_expr(F.col(vec_col), centers)
+        return points.select(F.col(id_col), F.col(vec_col),
+                             a.alias("__a")) \
+            .select(id_col, vec_col, "__a.cluster", "__a.dist2")
+    spark = points.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "__c int, __cv array<double>")
+    d = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("__cv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (points.select(id_col, vec_col)
+              .crossJoin(F.broadcast(cdf))
+              .select(F.col(id_col), F.col(vec_col),
+                      d.alias("__d"), "__c"))
+    best = F.min_by(F.struct(F.col("__c").alias("cluster"),
+                             F.col("__d").alias("dist2")),
+                    F.struct("__d", "__c"))
+    return (scored.groupBy(id_col)
+            .agg(F.first(vec_col).alias(vec_col), best.alias("__b"))
+            .select(id_col, vec_col, "__b.cluster", "__b.dist2"))
 
 
 def kmeans_seed_centers(points: DataFrame, k: int, seed: int = 42,
@@ -79,10 +113,13 @@ class KMeansModel:
                vec_col: str = "embedding") -> DataFrame:
         """(id, cluster, dist2) — the final classification pass
 
-        (KMeansDriver runClustering)."""
-        a = assign_expr(F.col(vec_col), self.centers)
-        return points.select(F.col(id_col), a.alias("__a")) \
-            .select(id_col, "__a.cluster", "__a.dist2")
+        (KMeansDriver runClustering). Small k x dim models inline the
+        centroids as a whole-stage-codegen argmin expression; large
+        models broadcast a centroid table and take min_by over a
+        (point x center) join — same result, bounded plan size.
+        """
+        return _assign_frame(points, self.centers, id_col, vec_col) \
+            .select(id_col, "cluster", "dist2")
 
 
 def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
@@ -106,8 +143,8 @@ def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
     converged = False
     it = 0
     for it in range(1, max_iterations + 1):
-        a = assign_expr(F.col("__v"), centers)
-        assigned = pts.select("__v", a["cluster"].alias("__c"))
+        assigned = (_assign_frame(pts, centers, "__id", "__v")
+                    .select("__v", F.col("cluster").alias("__c")))
         agg = (assigned
                .select("__c", F.posexplode("__v").alias("__j", "__x"))
                .groupBy("__c", "__j")
@@ -121,8 +158,8 @@ def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
         if float(moves.max()) <= convergence_delta:
             converged = True
             break
-    a = assign_expr(F.col("__v"), centers)
-    cost = pts.select(a["dist2"].alias("d")).agg(F.sum("d")).first()[0]
+    cost = (_assign_frame(pts, centers, "__id", "__v")
+            .agg(F.sum("dist2")).first()[0])
     pts.unpersist()
     return KMeansModel(centers, it, converged, float(cost or 0.0))
 
@@ -285,8 +322,8 @@ def streaming_kmeans(points: DataFrame, k: int,
             break
         centers = new
     model = KMeansModel(centers, 1, True, 0.0)
-    a = assign_expr(F.col("__v"), centers)
-    cost = pts.select(a["dist2"].alias("d")).agg(F.sum("d")).first()[0]
+    cost = (_assign_frame(pts, centers, "__id", "__v")
+            .agg(F.sum("dist2")).first()[0])
     model.cost = float(cost or 0.0)
     return model
 
@@ -358,6 +395,79 @@ def canopy(points: DataFrame, t1: float, t2: float,
     mapper_centers = np.array([r["center"] for r in reduced])
     final, _ = canopy_centers_incore(mapper_centers, t1, t2)
     return final
+
+
+def spectral_kmeans(affinity: DataFrame, n: int, k: int,
+                    oversampling: int = 15, power_iters: int = 0,
+                    max_iterations: int = 20,
+                    convergence_delta: float = 1e-6,
+                    seed: int = 1234) -> tuple[KMeansModel, DataFrame]:
+    """Spectral k-means — the SpectralKMeansDriver pipeline
+
+    (mr/.../spectral/kmeans/SpectralKMeansDriver.java:148-210) composed
+    from this engine's own operators:
+
+    1. D = affinity row sums (MatrixDiagonalizeJob);
+    2. L = D^-1/2 A D^-1/2 (VectorMatrixMultiplicationJob) — two
+       broadcast-joined scalings, never materializing D as a matrix;
+    3. top-k left singular vectors of L via the distributed stochastic
+       SVD (operators/decompositions.dssvd — the reference calls
+       SSVDSolver with the same oversampling/power-iteration knobs);
+    4. row-normalize the eigenvector rows to unit length
+       (UnitVectorizerJob; "reduces two unique clusters combining");
+    5. seed centroids from per-eigencolumn argmax rows
+       (EigenSeedGenerator) and run the k-means operator.
+
+    ``affinity``: symmetric (row_id, col_id, value) triples with ids in
+    0..n-1. Returns (KMeansModel over the spectral embedding, embedding
+    DataFrame (vec_id, embedding)) — assignments via
+    ``model.assign(embedding)``.
+    """
+    from mahout_spark.operators.decompositions import dssvd
+
+    deg = affinity.groupBy("row_id").agg(F.sum("value").alias("__d"))
+    lap = (affinity
+           .join(deg, "row_id")
+           .withColumn("value", F.col("value") / F.sqrt(F.col("__d")))
+           .drop("__d")
+           .join(deg.select(F.col("row_id").alias("col_id"),
+                            F.col("__d")), "col_id")
+           .withColumn("value", F.col("value") / F.sqrt(F.col("__d")))
+           .select("row_id", "col_id", "value"))
+    u, _, _ = dssvd(lap, n, n, k, p=min(oversampling, max(0, n - k)),
+                    q=power_iters, seed=seed)
+    rn = Window.partitionBy("row_id")
+    u_norm = u.withColumn(
+        "value", F.col("value")
+        / F.sqrt(F.sum(F.col("value") * F.col("value")).over(rn)))
+    emb = (u_norm.groupBy(F.col("row_id").alias("vec_id"))
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("col_id").cast("int").alias("j"),
+               F.col("value").alias("v")))).alias("__s"))
+           .select("vec_id",
+                   F.transform("__s", lambda s: s["v"]).alias("embedding"))
+           .persist())
+    # EigenSeedGenerator: for eigen column j, the row holding its max
+    # value seeds cluster j; duplicate winners dedupe, shortfall filled
+    # with smallest-hash rows (deterministic)
+    winners = (u_norm
+               .withColumn("__rk", F.row_number().over(
+                   Window.partitionBy("col_id")
+                   .orderBy(F.desc("value"), F.asc("row_id"))))
+               .filter(F.col("__rk") == 1)
+               .select(F.col("row_id").alias("vec_id")).distinct())
+    seed_rows = [r["embedding"] for r in
+                 winners.join(emb, "vec_id").collect()]
+    if len(seed_rows) < k:
+        extra = (emb.join(winners, "vec_id", "left_anti")
+                 .orderBy(F.xxhash64("vec_id", F.lit(seed)))
+                 .limit(k - len(seed_rows)).collect())
+        seed_rows += [r["embedding"] for r in extra]
+    init = np.array(seed_rows[:k], dtype=np.float64)
+    model = kmeans(emb, k, max_iterations=max_iterations,
+                   convergence_delta=convergence_delta,
+                   init_centers=init)
+    return model, emb
 
 
 def kmeans_assign_sql(table: str, centers: np.ndarray,

@@ -44,6 +44,23 @@ def test_assignment_tie_breaks_to_lowest_cluster(spark):
     assert r["cluster"] == 0
 
 
+def test_join_assignment_regime_matches_expr(spark, blobs, monkeypatch):
+    # force the broadcast-join + min_by path and check it equals the
+    # inlined-literal argmin exactly (incl. tie-break to lowest cluster)
+    import mahout_spark.operators.clustering as C
+
+    df, pts = blobs
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 1.0], [1.0, 7.0, 7.0]])
+    want = {r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in C.KMeansModel(centers, 0, True, 0.0)
+            .assign(df).collect()}
+    monkeypatch.setattr(C, "MAX_EXPR_LITERALS", 0)
+    got = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in C.KMeansModel(centers, 0, True, 0.0)
+           .assign(df).collect()}
+    assert got == want
+
+
 def test_lloyd_trajectory_matches_numpy(spark, blobs):
     df, pts = blobs
     k, seed = 3, 11
@@ -192,6 +209,40 @@ class TestCanopy:
                        convergence_delta=1e-6, init_centers=centers)
         for t in true:
             assert np.min(np.linalg.norm(model.centers - t, axis=1)) < 0.5
+
+
+class TestSpectral:
+    def test_two_cliques_partition(self, spark):
+        from mahout_spark.operators.clustering import spectral_kmeans
+
+        # two 8-node cliques joined by one weak edge — spectral embedding
+        # separates them perfectly
+        n = 16
+        rows = []
+        for a in range(8):
+            for b in range(8):
+                if a != b:
+                    rows.append((a, b, 1.0))
+                    rows.append((a + 8, b + 8, 1.0))
+        rows += [(0, 8, 0.05), (8, 0, 0.05)]
+        aff = spark.createDataFrame(rows, ["row_id", "col_id", "value"])
+        model, emb = spectral_kmeans(aff, n=n, k=2, seed=3)
+        got = {r["vec_id"]: r["cluster"]
+               for r in model.assign(emb).collect()}
+        left = {got[i] for i in range(8)}
+        right = {got[i] for i in range(8, 16)}
+        assert len(left) == 1 and len(right) == 1
+        assert left != right
+
+    def test_embedding_rows_unit_norm(self, spark):
+        from mahout_spark.operators.clustering import spectral_kmeans
+
+        rows = [(a, b, 1.0) for a in range(6) for b in range(6) if a != b]
+        aff = spark.createDataFrame(rows, ["row_id", "col_id", "value"])
+        _, emb = spectral_kmeans(aff, n=6, k=2, seed=5)
+        for r in emb.collect():
+            v = np.array(r["embedding"])
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-9
 
 
 def test_assign_sql_matches_spark(spark, blobs, tmp_path):
