@@ -39,7 +39,8 @@ def bench_cms_build_topk_cosine(spark, sf_dir):
 
     from mahout_spark.functions.text import tokens_array
     from mahout_spark.sketch.agg import (cms_spec, cms_spec_shape,
-                                         sketch_by_key, sketch_per_group)
+                                         sketch_by_key,
+                                         sketch_per_group_skewed)
     from mahout_spark.sketch.queries import cms_pairwise, cms_topk_cosine
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -53,11 +54,14 @@ def bench_cms_build_topk_cosine(spark, sf_dir):
     sk = sketch_by_key(tl, ["lang"], cms_spec(eps=0.001, delta=0.01),
                        key_col="token", value_col="cnt", n_salt=4)
     _noop_consume(cms_pairwise(sk, "lang", kind="cosine"))
-    head = (tl.groupBy("token").agg(F.sum("cnt").alias("count"))
-            .orderBy(F.desc("count"), "token").limit(1000).select("token"))
-    profiles = sketch_per_group(
+    head_counts = (tl.groupBy("token").agg(F.sum("cnt").alias("count"))
+                   .orderBy(F.desc("count"), "token").limit(1000).persist())
+    head = head_counts.select("token")
+    heavy = (head_counts.orderBy(F.desc("count"), "token").limit(32)
+             .select("token"))
+    profiles = sketch_per_group_skewed(
         toks.join(F.broadcast(head), "token"), ["token"],
-        cms_spec_shape(4, 512, seed=2), key_col="doc_id")
+        cms_spec_shape(4, 512, seed=2), heavy, key_col="doc_id")
     _noop_consume(cms_topk_cosine(profiles, "token", k=10))
     n = docs.count()
     tl.unpersist()

@@ -185,13 +185,19 @@ def main(argv=None):
         # dwarf head_items x depth x width, switch to the all-JVM
         # cms_per_group_bucketed (byte-identical, Arrow volume capped).
         group("topk_pairs")
-        from mahout_spark.sketch.agg import cms_spec_shape, sketch_per_group
+        from mahout_spark.sketch.agg import (cms_spec_shape,
+                                             sketch_per_group_skewed)
         from mahout_spark.sketch.queries import cms_topk_cosine
 
+        # Zipf head: the few fattest token groups would be indivisible
+        # single tasks (Amdahl straggler at small core counts) — route
+        # them through partitioned partials (sketch_per_group_skewed)
+        heavy = (head_items.orderBy(F.desc("count"), "token").limit(32)
+                 .select("token"))
         head_items = head_items.select("token")
-        profiles = sketch_per_group(
+        profiles = sketch_per_group_skewed(
             toks.join(F.broadcast(head_items), "token"), ["token"],
-            cms_spec_shape(4, 512, seed=2), key_col="url")
+            cms_spec_shape(4, 512, seed=2), heavy, key_col="url")
         pairs = cms_topk_cosine(profiles, "token", k=args.k)
         pairs.write.mode("overwrite").parquet(f"{args.output}/topk_pairs")
         t = mark("topk_pairs", t)

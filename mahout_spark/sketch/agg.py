@@ -317,6 +317,40 @@ def sketch_per_group(df: DataFrame, group_cols: list[str], spec: SketchSpec,
     return slim.groupBy(*gnames).applyInPandas(build, schema=schema)
 
 
+def sketch_per_group_skewed(df: DataFrame, group_cols: list[str],
+                            spec: SketchSpec, heavy_groups: DataFrame,
+                            key_col: str | None = None,
+                            value_col: str | None = None,
+                            key_expr: F.Column | None = None) -> DataFrame:
+    """One sketch per group, Zipf-skew-aware.
+
+    ``sketch_per_group`` makes each group ONE indivisible task — under a
+    Zipf group-size distribution (token profiles: the head token holds
+    several percent of ALL rows) the heaviest group becomes an Amdahl
+    serial fraction that caps whole-job scaling at small core counts.
+    ``sketch_by_key`` splits every group into per-partition partials —
+    skew-proof, but its partial-blob traffic is groups x partitions x
+    sketch_bytes, which is why it's reserved for few groups.
+
+    This hybrid routes only the listed ``heavy_groups`` (a small frame of
+    group keys — e.g. the head tokens by count, which profile pipelines
+    have already computed) through the partitioned-partials path and the
+    tail through the one-task-per-group path: the straggler disappears
+    while partial traffic stays |heavy| x partitions x sketch_bytes.
+    For linear sketches (CMS/HLL/Bloom) the merged result is
+    byte-identical to the single-task build; rank sketches
+    (t-digest/KLL) agree within their documented merge error.
+    """
+    heavy = F.broadcast(heavy_groups.select(*group_cols).distinct())
+    head = df.join(heavy, group_cols)
+    tail = df.join(heavy, group_cols, "left_anti")
+    a = sketch_by_key(head, group_cols, spec, key_col=key_col,
+                      value_col=value_col, key_expr=key_expr)
+    b = sketch_per_group(tail, group_cols, spec, key_col=key_col,
+                         value_col=value_col, key_expr=key_expr)
+    return a.unionByName(b)
+
+
 def cms_per_group_bucketed(df: DataFrame, group_cols: list[str], depth: int,
                            width: int, seed: int,
                            key_col: str,

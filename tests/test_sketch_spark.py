@@ -265,3 +265,34 @@ class TestOtherSketches:
         res = bloom_contains_lookup(sk, probe, F.xxhash64(F.col("token")))
         n_missing = res.filter(~F.col("maybe_contains")).count()
         assert n_missing == 0
+
+
+def test_sketch_per_group_skewed_byte_identical(spark):
+    # the skew-hybrid (heavy groups via partitioned partials) must produce
+    # byte-identical CMS blobs to the one-task-per-group build
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mahout_spark.core.cms import CountMinSketch
+    from mahout_spark.sketch.agg import (cms_spec_shape, sketch_per_group,
+                                         sketch_per_group_skewed)
+
+    rng = np.random.default_rng(4)
+    # zipfy groups: g0 holds half the rows
+    rows = []
+    for i in range(4000):
+        g = "g0" if i % 2 == 0 else f"g{1 + (i % 7)}"
+        rows.append((g, int(rng.integers(0, 500))))
+    df = spark.createDataFrame(rows, ["grp", "key"]).repartition(8)
+    spec = cms_spec_shape(4, 256, seed=3)
+    heavy = spark.createDataFrame([("g0",)], ["grp"])
+    plain = {r["grp"]: bytes(r["sketch"]) for r in
+             sketch_per_group(df, ["grp"], spec, key_col="key").collect()}
+    skewed = {r["grp"]: bytes(r["sketch"]) for r in
+              sketch_per_group_skewed(df, ["grp"], spec, heavy,
+                                      key_col="key").collect()}
+    assert plain.keys() == skewed.keys()
+    for g in plain:
+        a = CountMinSketch.deserialize(plain[g])
+        b = CountMinSketch.deserialize(skewed[g])
+        assert np.array_equal(a.counts, b.counts), g
