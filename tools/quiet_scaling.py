@@ -81,9 +81,13 @@ def main():
         r1 = run_at(1, args.input, "/tmp/quiet_out_1", args.k,
                     args.max_prefs)
         s1 = cpu_stat()
+        bw_mid = triad_probe(4)
         r4 = run_at(4, args.input, "/tmp/quiet_out_4", args.k,
                     args.max_prefs)
         s2 = cpu_stat()
+        bw_end = triad_probe(4)
+        rec["triad4_mid"] = bw_mid
+        rec["triad4_end"] = bw_end
 
         def frac(a, b):
             d = {k: b[k] - a[k] for k in a}
