@@ -567,15 +567,10 @@ def _q_bigram_collocations(spark, sf_dir) -> DataFrame:
 
 def _nb_doc_triples(spark, sf_dir) -> DataFrame:
     """(doc_id, label=lang, term, weight=tf) from the documents table."""
-    from mahout_spark.functions.text import explode_tokens
+    from mahout_spark.operators.naivebayes import nb_text_triples
 
     docs = _read(spark, sf_dir, "documents")
-    return (explode_tokens(docs, "doc_id", "text")
-            .join(docs.select("doc_id", "lang"), "doc_id")
-            .groupBy("doc_id", "lang", "token").count()
-            .select("doc_id", F.col("lang").alias("label"),
-                    F.col("token").alias("term"),
-                    F.col("count").cast("double").alias("weight")))
+    return nb_text_triples(docs, label_col="lang")
 
 
 def _q_nb_model_standard(spark, sf_dir) -> DataFrame:

@@ -35,8 +35,8 @@ def main(argv=None):
 
     from pyspark.sql import functions as F
 
-    from mahout_spark.operators.naivebayes import (NBModel, nb_predict,
-                                                   nb_test)
+    from mahout_spark.operators.naivebayes import (
+        NBModel, confusion_from_predictions, nb_predict, nb_text_triples)
     from mahout_spark.session import get_spark
 
     spark = get_spark("testnb", master=f"local[{args.cpus}]")
@@ -45,24 +45,21 @@ def main(argv=None):
     df = spark.read.parquet(args.input)
     t0 = time.time()
     if args.text_input:
-        from mahout_spark.functions.text import explode_tokens
-
-        triples = (explode_tokens(df, "doc_id", "text")
-                   .join(df.select("doc_id", args.label_col), "doc_id")
-                   .groupBy("doc_id", args.label_col, "token").count()
-                   .select("doc_id",
-                           F.col(args.label_col).alias("label"),
-                           F.col("token").alias("term"),
-                           F.col("count").cast("double").alias("weight")))
+        triples = nb_text_triples(df, label_col=args.label_col)
     else:
         triples = df.select("doc_id",
                             F.col(args.label_col).alias("label"),
                             "term", "weight")
-    result = nb_test(model, triples, complementary=args.complementary)
+    # classify ONCE: the same predictions frame feeds both the optional
+    # parquet output and the confusion matrix
+    preds = nb_predict(model, triples.select("doc_id", "term", "weight"),
+                       complementary=args.complementary).persist()
     if args.output:
-        preds = nb_predict(model, triples.select("doc_id", "term", "weight"),
-                           complementary=args.complementary)
         preds.write.mode("overwrite").parquet(args.output)
+    result = confusion_from_predictions(
+        preds, triples.select("doc_id", "label"))
+    result["labels"] = model.labels
+    preds.unpersist()
     print(json.dumps({
         "wall_s": round(time.time() - t0, 2),
         "accuracy": round(result["accuracy"], 6),

@@ -7,7 +7,7 @@ Usage:
   spark-submit --py-files dist/mahout_spark.zip jobs/trainnb.py \
       --input labeled.parquet --output /tmp/nb_model \
       [--label-col label] [--alpha 1.0] [--complementary]
-      [--text-input] [--tfidf mahout|mllib|tf]
+      [--text-input] [--weighting tf|mahout|mllib]
 
 Input: parquet with (doc_id, label, term, weight) doc-level triples, OR
 with --text-input a parquet of (doc_id, text, <label-col>) raw documents
@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--complementary", action="store_true")
     ap.add_argument("--text-input", action="store_true",
                     help="input is raw (doc_id, text, label) documents")
+    ap.add_argument("--weighting", default="tf",
+                    choices=["tf", "mahout", "mllib"],
+                    help="term weighting for --text-input (tf counts or "
+                         "a tfidf variant)")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
@@ -42,7 +46,8 @@ def main(argv=None):
 
     from pyspark.sql import functions as F
 
-    from mahout_spark.operators.naivebayes import nb_aggregate, nb_train
+    from mahout_spark.operators.naivebayes import (nb_aggregate,
+                                                   nb_text_triples, nb_train)
     from mahout_spark.session import get_spark
 
     spark = get_spark("trainnb", master=f"local[{args.cpus}]")
@@ -50,15 +55,8 @@ def main(argv=None):
     df = spark.read.parquet(args.input)
     t0 = time.time()
     if args.text_input:
-        from mahout_spark.functions.text import explode_tokens
-
-        triples = (explode_tokens(df, "doc_id", "text")
-                   .join(df.select("doc_id", args.label_col), "doc_id")
-                   .groupBy("doc_id", args.label_col, "token").count()
-                   .select("doc_id",
-                           F.col(args.label_col).alias("label"),
-                           F.col("token").alias("term"),
-                           F.col("count").cast("double").alias("weight")))
+        triples = nb_text_triples(df, label_col=args.label_col,
+                                  weighting=args.weighting)
     else:
         triples = df.select("doc_id",
                             F.col(args.label_col).alias("label"),

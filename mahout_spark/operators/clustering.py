@@ -185,6 +185,7 @@ class StreamingKMeansSketch:
                  beta: float = 1.3, overshoot: float = 2.0,
                  seed: int = 31):
         self.num_clusters = num_clusters
+        self._k0 = num_clusters  # requested k, for the k*log(n) target
         self.cutoff = float(distance_cutoff)
         self.beta = beta
         self.overshoot = overshoot
@@ -234,11 +235,13 @@ class StreamingKMeansSketch:
                           int(pid))
             self.n_processed += 1
             if len(self.centers) > self.overshoot * self.num_clusters:
-                # grow the target with the data, k*log(n) (reference
-                # clusterLogFactor semantics), then collapse
+                # grow the target with the data: k * log(n) (reference
+                # clusterLogFactor semantics — NOT a bare log(n), which
+                # would stop growing for any k >= ~15), then collapse
                 self.num_clusters = max(
                     self.num_clusters,
-                    int(math.ceil(math.log(max(2, self.n_processed)))))
+                    int(math.ceil(self._k0
+                                  * math.log(max(2, self.n_processed)))))
                 self._collapse()
 
     def merge(self, other: "StreamingKMeansSketch") -> "StreamingKMeansSketch":
@@ -302,8 +305,15 @@ def streaming_kmeans(points: DataFrame, k: int,
             yield pd.DataFrame({"center": list(c), "weight": w})
 
     reduced = pts.mapInPandas(reduce_partition, schema=out_schema).collect()
+    if not reduced:
+        raise ValueError("streaming_kmeans: input has no points")
     cents = np.array([r["center"] for r in reduced])
     wts = np.array([r["weight"] for r in reduced])
+    if len(cents) < k:
+        raise ValueError(
+            f"streaming_kmeans: the centroid sketch holds {len(cents)} "
+            f"weighted centroids, fewer than k={k} — the input is too "
+            f"small (or distance_cutoff too large) for k clusters")
     # weighted Lloyd's finish over the (small) centroid sketch — the
     # BallKMeans reducer role, deterministic seeding by hash order
     order = np.argsort([StreamingKMeansSketch._coin(j, seed)
@@ -448,19 +458,27 @@ def spectral_kmeans(affinity: DataFrame, n: int, k: int,
                    F.transform("__s", lambda s: s["v"]).alias("embedding"))
            .persist())
     # EigenSeedGenerator: for eigen column j, the row holding its max
-    # value seeds cluster j; duplicate winners dedupe, shortfall filled
-    # with smallest-hash rows (deterministic)
+    # value seeds cluster j — keep the (j, winner) association and
+    # collect ORDERED by j so cluster numbering is deterministic;
+    # duplicate winners dedupe (first eigencolumn wins), shortfall
+    # filled with smallest-hash rows
     winners = (u_norm
                .withColumn("__rk", F.row_number().over(
                    Window.partitionBy("col_id")
                    .orderBy(F.desc("value"), F.asc("row_id"))))
                .filter(F.col("__rk") == 1)
-               .select(F.col("row_id").alias("vec_id")).distinct())
-    seed_rows = [r["embedding"] for r in
-                 winners.join(emb, "vec_id").collect()]
+               .select(F.col("col_id").alias("__j"),
+                       F.col("row_id").alias("vec_id")))
+    ordered = (winners.join(emb, "vec_id")
+               .orderBy("__j").collect())
+    seed_rows, seen = [], set()
+    for r in ordered:
+        if r["vec_id"] not in seen:
+            seen.add(r["vec_id"])
+            seed_rows.append(r["embedding"])
     if len(seed_rows) < k:
-        extra = (emb.join(winners, "vec_id", "left_anti")
-                 .orderBy(F.xxhash64("vec_id", F.lit(seed)))
+        extra = (emb.filter(~F.col("vec_id").isin(list(seen)))
+                 .orderBy(F.xxhash64("vec_id", F.lit(seed)), "vec_id")
                  .limit(k - len(seed_rows)).collect())
         seed_rows += [r["embedding"] for r in extra]
     init = np.array(seed_rows[:k], dtype=np.float64)

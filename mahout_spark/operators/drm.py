@@ -398,20 +398,24 @@ def global_sorted_rank(df: DataFrame, sort_cols: list,
     deterministic even though boundary sampling is not.
 
     Fully JVM-side (no ``rdd.zipWithIndex`` Python hop): the range-
-    partitioned table is cached with its partition id, per-partition row
-    counts are collected (one tiny action; driver state = n_partitions
-    longs) and turned into literal cumulative offsets, and the rank is a
-    per-partition-id window row_number plus the offset. Intended for
-    key-dictionary-sized inputs (distinct keys/tokens), never the fact
-    stream; the cache pin keeps the sampled range boundaries consistent
-    between the count action and the rank computation.
+    partitioned table is pinned via ``localCheckpoint`` with its
+    partition id, per-partition row counts are collected (one tiny
+    action; driver state = n_partitions longs) and turned into literal
+    cumulative offsets, and the rank is a per-partition-id window
+    row_number plus the offset. Intended for key-dictionary-sized inputs
+    (distinct keys/tokens), never the fact stream. localCheckpoint (not
+    persist) because correctness depends on the SAMPLED range boundaries
+    staying fixed between the count action and the rank computation: a
+    truncated lineage cannot silently re-sample on recompute, and its
+    blocks are garbage-collected with the DataFrame — no session-lifetime
+    cache pin.
     """
     spark = df.sparkSession
     n = max(2, spark.sparkContext.defaultParallelism)
     cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
     arranged = (df.repartitionByRange(n, *cols)
                 .withColumn("__pid", F.spark_partition_id())
-                .persist())
+                .localCheckpoint(eager=True))
     pcounts = {r["__pid"]: r["count"]
                for r in arranged.groupBy("__pid").count().collect()}
     offsets, acc = {}, 0

@@ -65,6 +65,51 @@ def complementary_weight(w_t: float, w_lt: float, total: float, w_l: float,
 # training
 # ---------------------------------------------------------------------------
 
+def nb_text_triples(docs: DataFrame, label_col: str = "label",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    weighting: str = "tf") -> DataFrame:
+    """(doc_id, label, term, weight) from raw labeled documents — the
+
+    seq2sparse front of the NB pipeline shared by the gates, the
+    trainnb/testnb CLIs, and the plan dumps. ``weighting``: 'tf' (term
+    counts) or a tfidf() variant name ('mahout' | 'mllib').
+    """
+    from mahout_spark.functions.text import explode_tokens
+
+    if weighting == "tf":
+        weighted = (explode_tokens(docs, id_col, text_col)
+                    .groupBy(id_col, "token").agg(
+                        F.count("*").cast("double").alias("weight")))
+    else:
+        from mahout_spark.operators.vectorize import tfidf
+
+        weighted = tfidf(docs, variant=weighting, id_col=id_col,
+                         text_col=text_col)
+    return (weighted
+            .join(docs.select(id_col, label_col), id_col)
+            .select(id_col, F.col(label_col).alias("label"),
+                    F.col("token").alias("term"), "weight"))
+
+
+def confusion_from_predictions(preds: DataFrame, actual: DataFrame,
+                               doc_col: str = "doc_id",
+                               label_col: str = "label") -> dict:
+    """{"confusion": {(actual, predicted): n}, "accuracy": float} from an
+
+    already-computed predictions frame — lets callers that also WRITE the
+    predictions run the classify pipeline once (nb_test uses it too).
+    """
+    cells = (preds.join(actual.select(doc_col, label_col).distinct(),
+                        doc_col)
+             .groupBy(F.col(label_col).alias("actual"), "predicted")
+             .agg(F.count("*").alias("n")).collect())
+    confusion = {(r["actual"], r["predicted"]): int(r["n"]) for r in cells}
+    n_total = sum(confusion.values())
+    n_right = sum(n for (a, p), n in confusion.items() if a == p)
+    return {"confusion": confusion,
+            "accuracy": n_right / n_total if n_total else float("nan")}
+
+
 def nb_aggregate(triples: DataFrame, label_col: str = "label",
                  term_col: str = "term",
                  weight_col: str = "weight") -> DataFrame:
@@ -131,9 +176,17 @@ class NBModel:
             os.path.join(path, "weightsPerLabelAndFeature.parquet"))
         self.feature_weights.write.mode("overwrite").parquet(
             os.path.join(path, "weightsPerFeature.parquet"))
+        # label stats go through parquet too: JSON keys are strings, which
+        # would silently corrupt integer-labeled models on reload
+        spark = self.pairs.sparkSession
+        label_type = self.pairs.schema["label"].dataType.simpleString()
+        rows = [(l, float(self.label_weights[l]),
+                 float(self.theta.get(l, 0.0))) for l in self.label_weights]
+        spark.createDataFrame(
+            rows, f"label {label_type}, w_l double, theta double") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, "labelStats.parquet"))
         meta = {
-            "label_weights": {str(k): v for k, v in self.label_weights.items()},
-            "theta": {str(k): v for k, v in self.theta.items()},
             "alpha": self.alpha, "n_features": self.n_features,
             "total_weight": self.total_weight,
             "complementary": self.complementary,
@@ -145,12 +198,16 @@ class NBModel:
     def load(cls, spark, path: str) -> "NBModel":
         with open(os.path.join(path, "nb_model.json")) as f:
             meta = json.load(f)
+        stats = spark.read.parquet(
+            os.path.join(path, "labelStats.parquet")).collect()
         model = cls(
             pairs=spark.read.parquet(
                 os.path.join(path, "weightsPerLabelAndFeature.parquet")),
             feature_weights=spark.read.parquet(
                 os.path.join(path, "weightsPerFeature.parquet")),
-            label_weights=meta["label_weights"], theta=meta["theta"],
+            label_weights={r["label"]: r["w_l"] for r in stats},
+            theta=({r["label"]: r["theta"] for r in stats}
+                   if meta["complementary"] else {}),
             alpha=meta["alpha"], n_features=meta["n_features"],
             total_weight=meta["total_weight"],
             complementary=meta["complementary"])
@@ -307,15 +364,9 @@ def nb_test(model: NBModel, labeled_triples: DataFrame,
         model,
         labeled_triples.select(doc_col, term_col, weight_col),
         doc_col, term_col, weight_col, complementary)
-    cells = (preds.join(actual, doc_col)
-             .groupBy(F.col(label_col).alias("actual"), "predicted")
-             .agg(F.count("*").alias("n")).collect())
-    confusion = {(r["actual"], r["predicted"]): int(r["n"]) for r in cells}
-    n_total = sum(confusion.values())
-    n_right = sum(n for (act, pred), n in confusion.items() if act == pred)
-    return {"confusion": confusion,
-            "accuracy": n_right / n_total if n_total else float("nan"),
-            "labels": model.labels}
+    out = confusion_from_predictions(preds, actual, doc_col, label_col)
+    out["labels"] = model.labels
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,11 @@ def alswr_factorize(prefs: DataFrame, k: int = 10, lambda_: float = 0.065,
                        u, "i", "counter_id").persist()
         v.unpersist()
         v = new_v
+    # materialize the final factors, then release the cached ratings so
+    # the session doesn't pin a ratings copy per factorization call
+    u.count()
+    v.count()
+    p.unpersist()
     return u, v
 
 

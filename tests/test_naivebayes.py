@@ -131,6 +131,26 @@ class TestTrain:
         assert all(abs(a[k] - b[k]) < EPS for k in a)
 
 
+    def test_serde_preserves_integer_labels(self, spark, tmp_path):
+        # regression: JSON keys are strings — int-labeled models must
+        # round-trip with their label TYPE intact (parquet label stats)
+        rows = [(0, "t0", 3.0), (0, "t1", 1.0),
+                (1, "t1", 2.0), (1, "t2", 4.0)]
+        pairs = spark.createDataFrame(rows, ["label", "term", "weight"])
+        model = nb_train(pairs, complementary=True)
+        model.save(str(tmp_path))
+        back = NBModel.load(spark, str(tmp_path))
+        assert back.labels == [0, 1]
+        assert all(isinstance(l, int) for l in back.labels)
+        test = spark.createDataFrame([("d0", "t2", 2.0)],
+                                     ["doc_id", "term", "weight"])
+        [p] = nb_predict(back, test).collect()
+        assert p["predicted"] == 1  # t2 dominated by label 1
+        result = nb_test(back, spark.createDataFrame(
+            [("d0", 1, "t2", 2.0)], ["doc_id", "label", "term", "weight"]))
+        assert result["accuracy"] == 1.0
+
+
 class TestClassify:
     @pytest.mark.parametrize("complementary", [False, True])
     def test_matches_incore_dense_loop(self, spark, complementary):
