@@ -29,7 +29,7 @@ memory at O(groups-per-batch x blob), independent of input rows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Callable, Iterator
 
 import numpy as np
@@ -341,13 +341,49 @@ def sketch_per_group_skewed(df: DataFrame, group_cols: list[str],
     byte-identical to the single-task build; rank sketches
     (t-digest/KLL) agree within their documented merge error.
     """
+    # Slim + JVM-preagg ONCE, then pin with localCheckpoint before the
+    # split: the heavy/tail branches are two consumers, and without the
+    # pin each would re-execute the whole upstream (explode + joins) —
+    # measured as a serial +35% on the flagship job. After preagg the
+    # frame is (group, key, weight)-sized, cheap to store; feeding the
+    # preagg'd weights back through value_col reproduces the exact same
+    # sketch updates.
+    gnames = list(group_cols)
+    sel = [F.col(c) for c in gnames]
+    if key_expr is not None:
+        sel.append(key_expr.cast("long").alias("__key"))
+    elif key_col:
+        kc = df.schema[key_col].dataType.simpleString()
+        ke = (F.xxhash64(F.col(key_col)) if kc in ("string", "binary")
+              else F.col(key_col).cast("long"))
+        sel.append(ke.alias("__key"))
+    if value_col:
+        sel.append(F.col(value_col).cast("double").alias("__val"))
+    slim = df.select(*sel)
+    has_key = "__key" in slim.columns
+    if spec.preagg == "sum" and has_key:
+        agg = (F.sum("__val") if value_col else
+               F.count("*").cast("double")).alias("__val")
+        slim = slim.groupBy(*gnames, "__key").agg(agg)
+        feed_val = "__val"
+    elif spec.preagg == "distinct" and has_key:
+        slim = slim.select(*gnames, "__key").distinct()
+        feed_val = None
+    else:
+        feed_val = "__val" if value_col else None
+    slim = slim.localCheckpoint(eager=False)
+
     heavy = F.broadcast(heavy_groups.select(*group_cols).distinct())
-    head = df.join(heavy, group_cols)
-    tail = df.join(heavy, group_cols, "left_anti")
-    a = sketch_by_key(head, group_cols, spec, key_col=key_col,
-                      value_col=value_col, key_expr=key_expr)
-    b = sketch_per_group(tail, group_cols, spec, key_col=key_col,
-                         value_col=value_col, key_expr=key_expr)
+    head = slim.join(heavy, gnames)
+    tail = slim.join(heavy, gnames, "left_anti")
+    ke = F.col("__key") if has_key else None
+    # the data is already preagg'd — hand the branches a preagg=None spec
+    # copy so neither re-shuffles for an idempotent second aggregation
+    spec_raw = replace(spec, preagg=None)
+    a = sketch_by_key(head, gnames, spec_raw, key_expr=ke,
+                      value_col=feed_val)
+    b = sketch_per_group(tail, gnames, spec_raw, key_expr=ke,
+                         value_col=feed_val)
     return a.unionByName(b)
 
 
