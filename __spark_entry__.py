@@ -705,6 +705,77 @@ def _q_embedding_neardup_lsh(spark, sf_dir) -> DataFrame:
                                  band_planes=LSH_BAND_PLANES, seed=LSH_SEED)
 
 
+def _q_ols_fit(spark, sf_dir) -> DataFrame:
+    """Samsara OLS gate: per-order integral design from lineitem
+
+    (x1 = line count, x2 = total quantity, y = sum(linenumber*quantity),
+    intercept) — every Gramian cell is an exact integer sum, so beta /
+    se / t are deterministic to ~1e-12 and round(6) is engine-exact.
+    The DuckDB twin solves the same 3x3 normal equations via Cramer's
+    rule. (OrdinaryLeastSquaresModel.scala:55-66 fit semantics;
+    LinearRegressorModel.scala:60-90 standard errors.)"""
+    from mahout_spark.operators.regression import ols_fit
+
+    li = _read(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("double").alias("x1"),
+        F.sum("l_quantity").cast("double").alias("x2"),
+        F.sum(F.col("l_linenumber") * F.col("l_quantity"))
+        .cast("double").alias("y"))
+    model = ols_fit(per_order, ["x1", "x2"], "y")
+    rows = [(name, float(b), float(s), float(t))
+            for name, b, s, t in zip(model.coef_names, model.beta,
+                                     model.se, model.t_score)]
+    out = spark.createDataFrame(
+        rows, "coef string, beta double, se double, t_score double")
+    return out.select("coef", F.round("beta", 6).alias("beta"),
+                      F.round("se", 6).alias("se"),
+                      F.round("t_score", 6).alias("t_score"))
+
+
+OLS_FIT_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(*)::DOUBLE AS x1,
+         sum(l_quantity)::DOUBLE AS x2,
+         sum(l_linenumber * l_quantity)::DOUBLE AS y
+  FROM lineitem GROUP BY l_orderkey),
+s AS (SELECT count(*)::DOUBLE AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+             sum(y) AS t0, sum(x1*y) AS t1, sum(x2*y) AS t2,
+             sum(y*y) AS tt
+      FROM per_order),
+m AS (SELECT *,
+   s11*(s22*n - s2*s2) - s12*(s12*n - s2*s1) + s1*(s12*s2 - s22*s1) AS det
+   FROM s),
+b AS (SELECT *,
+   (t1*(s22*n - s2*s2) - s12*(t2*n - s2*t0) + s1*(t2*s2 - s22*t0))
+     / det AS b1,
+   (s11*(t2*n - t0*s2) - t1*(s12*n - s2*s1) + s1*(s12*t0 - t2*s1))
+     / det AS b2,
+   (s11*(s22*t0 - t2*s2) - s12*(s12*t0 - t2*s1) + t1*(s12*s2 - s22*s1))
+     / det AS b0
+   FROM m),
+r AS (SELECT *,
+   tt - 2*(b1*t1 + b2*t2 + b0*t0)
+      + (b1*b1*s11 + b2*b2*s22 + b0*b0*n
+         + 2*b1*b2*s12 + 2*b1*b0*s1 + 2*b2*b0*s2) AS rss
+   FROM b),
+se AS (SELECT *,
+   sqrt(rss/(n-3) * (s22*n - s2*s2)/det) AS se1,
+   sqrt(rss/(n-3) * (s11*n - s1*s1)/det) AS se2,
+   sqrt(rss/(n-3) * (s11*s22 - s12*s12)/det) AS se0
+   FROM r)
+SELECT 'x1' AS coef, round(b1, 6) AS beta, round(se1, 6) AS se,
+       round(b1/se1, 6) AS t_score FROM se
+UNION ALL
+SELECT 'x2', round(b2, 6), round(se2, 6), round(b2/se2, 6) FROM se
+UNION ALL
+SELECT '(Intercept)', round(b0, 6), round(se0, 6), round(b0/se0, 6) FROM se
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -737,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_itembased": _q_recommend_itembased,
         "recommend_svd": _q_recommend_svd,
         "kmeans_assign": _q_kmeans_assign,
+        "ols_fit": _q_ols_fit,
         "recommend_boolean": _q_recommend_boolean,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
@@ -1196,6 +1268,7 @@ FROM ranked WHERE rn <= 5
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
         "kmeans_assign": kmeans_assign_sql,
+        "ols_fit": OLS_FIT_SQL,
         "recommend_boolean": recommend_boolean_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--max-wait-min", type=float, default=30.0)
     ap.add_argument("--steal-thresh", type=float, default=0.004)
     ap.add_argument("--triad-thresh", type=float, default=6.0)
+    # guard against OUR OWN concurrent workloads too (a busy box slows
+    # the serial side and would inflate eff exactly like steal does):
+    # require the box near-idle before a pair may start
+    ap.add_argument("--busy-thresh", type=float, default=0.02)
     ap.add_argument("--input", default="/tmp/scaling_pages.parquet")
     ap.add_argument("--k", type=int, default=50)
     ap.add_argument("--max-prefs", type=int, default=200)
@@ -69,8 +73,10 @@ def main():
         w = steal_window(10)
         bw = triad_probe(4)
         quiet = (w["steal_frac"] <= args.steal_thresh
+                 and w["busy_frac"] <= args.busy_thresh
                  and bw >= args.triad_thresh)
-        print(f"probe: steal={w['steal_frac']} triad4={bw} GB/s "
+        print(f"probe: steal={w['steal_frac']} busy={w['busy_frac']} "
+              f"triad4={bw} GB/s "
               f"{'QUIET -> measuring' if quiet else 'noisy, waiting'}",
               flush=True)
         if not quiet:
