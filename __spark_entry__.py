@@ -498,6 +498,28 @@ def _q_kmeans_assign(spark, sf_dir) -> DataFrame:
                       F.round("dist2", 6).alias("dist2"))
 
 
+def _q_fuzzy_memberships(spark, sf_dir) -> DataFrame:
+    """Fuzzy k-means soft-membership gate (FuzzyKMeansClusterer
+
+    computeProbWeight at m=2): every embedding gets a probability for
+    each of 8 deterministic centroids (the embeddings of the 8 smallest
+    vec_ids — SQL-derivable, so the oracle recomputes the same centers
+    and the same w_j = max(d_j, 1e-10)^-2 chain). The fuzzy Lloyd loop
+    itself is pytest-oracled against a NumPy trajectory replay
+    (tests/test_clustering.py)."""
+    import numpy as np
+
+    from mahout_spark.operators.clustering import FuzzyKMeansModel
+
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>")).collect())
+    centers = np.array([r[0] for r in rows], dtype=np.float64)
+    out = FuzzyKMeansModel(centers, 2.0, 0, True).memberships(emb)
+    return out.select("vec_id", "cluster",
+                      F.round("prob", 6).alias("prob"))
+
+
 def _q_recommend_svd(spark, sf_dir) -> DataFrame:
     """SVDRecommender wiring gate: factor-dot-product scoring, known-item
 
@@ -808,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_itembased": _q_recommend_itembased,
         "recommend_svd": _q_recommend_svd,
         "kmeans_assign": _q_kmeans_assign,
+        "fuzzy_kmeans_memberships": _q_fuzzy_memberships,
         "ols_fit": _q_ols_fit,
         "recommend_boolean": _q_recommend_boolean,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
@@ -1045,6 +1068,27 @@ best AS (SELECT vec_id, c, d, row_number() OVER (
 SELECT vec_id, c AS cluster, round(d, 6) AS dist2 FROM best WHERE rn = 1
 """
 
+    # fuzzy memberships at fixed centers, m=2 (p = -2/(m-1) = -2). tot is
+    # summed in cluster order (list ORDER BY c, left-fold list_sum) to
+    # mirror Spark's ws[0]+ws[1]+... float-addition order exactly.
+    fuzzy_memberships_sql = """
+WITH centers AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+w AS (
+  SELECT e.vec_id, c.c,
+         pow(greatest(sqrt(
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.cv),
+                                   p -> (p[1] - p[2]) * (p[1] - p[2])))),
+           1e-10), -2.0) AS wv
+  FROM embeddings e CROSS JOIN centers c),
+t AS (SELECT vec_id, list_sum(list(wv ORDER BY c)) AS tot
+      FROM w GROUP BY 1)
+SELECT w.vec_id, w.c AS cluster, round(w.wv / t.tot, 6) AS prob
+FROM w JOIN t USING (vec_id)
+"""
+
     recommend_boolean_sql = """
 WITH prefs AS (
   SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
@@ -1268,6 +1312,7 @@ FROM ranked WHERE rn <= 5
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
         "kmeans_assign": kmeans_assign_sql,
+        "fuzzy_kmeans_memberships": fuzzy_memberships_sql,
         "ols_fit": OLS_FIT_SQL,
         "recommend_boolean": recommend_boolean_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,

@@ -509,3 +509,145 @@ SELECT {id_col},
        round(best['d'], {round_dp}) AS dist2
 FROM (SELECT {id_col}, list_sort([{structs}])[1] AS best FROM {table})
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy k-means (soft memberships)
+# ---------------------------------------------------------------------------
+#
+# Reference anchors (studied, not copied):
+# - mr/.../clustering/fuzzykmeans/FuzzyKMeansClusterer.java:30-60
+#   (computeProbWeight: u_j = 1 / sum_l (d_j/d_l)^(2/(m-1)), zero
+#   distances clamped to MINIMAL_VALUE=1e-10; d is EUCLIDEAN DISTANCE,
+#   not squared)
+# - mr/.../clustering/iterator/FuzzyKMeansClusteringPolicy.java:20-52
+#   (select returns the full probability vector; close() recomputes
+#   centers and calls Kluster.calculateConvergence(delta))
+# - mr/.../clustering/iterator/CIMapper.java:36-42 +
+#   classify/ClusterClassifier.java:152-154 — every cluster observes
+#   (x, u_j): Mahout weights the centroid update by u, NOT the textbook
+#   FCM u^m. This implementation mirrors Mahout (m still shapes the
+#   memberships through computeProbWeight).
+# - mr/.../clustering/fuzzykmeans/FuzzyKMeansDriver.java:219-258
+#   (driver loop: iterate until maxIterations or all clusters converged;
+#   optional final clustering pass emits the membership matrix)
+
+
+def fuzzy_membership_expr(vec: Column, centers: np.ndarray,
+                          m: float = 2.0) -> Column:
+    """array<double> of k soft memberships — computeProbWeight as one
+
+    Catalyst expression over literal centroids: u_j = w_j / sum(w) with
+    w_j = max(d_j, 1e-10)^(-2/(m-1)). Algebraically identical to the
+    reference's 1/sum((d_j/d_l)^p) and one pow per cluster instead of
+    k^2 divisions."""
+    if m <= 1.0:
+        raise ValueError(f"fuzziness m must be > 1, got {m}")
+    p = 2.0 / (m - 1.0)
+    ws = [F.pow(F.greatest(F.sqrt(_sq_dist_expr(vec, c)), F.lit(1e-10)),
+                F.lit(-p))
+          for c in centers]
+    tot = ws[0]
+    for w in ws[1:]:
+        tot = tot + w
+    return F.array(*[w / tot for w in ws])
+
+
+class FuzzyKMeansModel:
+    def __init__(self, centers: np.ndarray, m: float, iterations: int,
+                 converged: bool):
+        self.centers = centers
+        self.m = m
+        self.iterations = iterations
+        self.converged = converged
+
+    def memberships(self, points: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+        """(id, cluster, prob) — the soft membership matrix, k rows per
+
+        point (FuzzyKMeansDriver's final clustering pass with
+        emitMostLikely=false)."""
+        u = fuzzy_membership_expr(F.col(vec_col).cast("array<double>"),
+                                  self.centers, self.m)
+        return points.select(
+            F.col(id_col), F.posexplode(u).alias("cluster", "prob"))
+
+    def assign(self, points: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+        """(id, cluster, dist2) — hard argmax membership, which for any m
+
+        is the nearest center (emitMostLikely=true)."""
+        return _assign_frame(points, self.centers, id_col, vec_col) \
+            .select(id_col, "cluster", "dist2")
+
+
+def fuzzy_kmeans(points: DataFrame, k: int, m: float = 2.0,
+                 max_iterations: int = 20,
+                 convergence_delta: float = 0.05, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 init_centers: np.ndarray | None = None
+                 ) -> FuzzyKMeansModel:
+    """Fuzzy k-means driver loop. Per iteration ONE shuffle: every point
+
+    contributes (u_j, u_j * x) to every cluster — posexplode to
+    (cluster, dim) pairs, groupBy with map-side partial aggregation, a
+    k x dim result to the driver (same contract as `kmeans`; the k x
+    explode fan-out is CPU-bounded, shuffle stays k x dim x partitions).
+    Converged when every center moves <= delta in euclidean distance
+    (Kluster.calculateConvergence semantics, same as `kmeans`)."""
+    pts = points.select(F.col(id_col).alias("__id"),
+                        F.col(vec_col).cast("array<double>").alias("__v"))
+    pts = pts.persist()
+    centers = (np.asarray(init_centers, dtype=np.float64)
+               if init_centers is not None
+               else kmeans_seed_centers(pts, k, seed, "__id", "__v"))
+    converged = False
+    it = 0
+    for it in range(1, max_iterations + 1):
+        u = fuzzy_membership_expr(F.col("__v"), centers, m)
+        soft = pts.select("__v", F.posexplode(u).alias("__c", "__u"))
+        agg = (soft
+               .select("__c", "__u", F.posexplode("__v").alias("__j", "__x"))
+               .groupBy("__c", "__j")
+               .agg(F.sum(F.col("__u") * F.col("__x")).alias("s"),
+                    F.sum("__u").alias("w"))
+               .collect())
+        new_centers = centers.copy()
+        for r in agg:
+            if r["w"] > 0:
+                new_centers[r["__c"], r["__j"]] = r["s"] / r["w"]
+        moves = np.linalg.norm(new_centers - centers, axis=1)
+        centers = new_centers
+        if float(moves.max()) <= convergence_delta:
+            converged = True
+            break
+    pts.unpersist()
+    return FuzzyKMeansModel(centers, m, it, converged)
+
+
+def fuzzy_membership_sql(table: str, centers: np.ndarray, m: float = 2.0,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_dp: int = 6) -> str:
+    """DuckDB twin of FuzzyKMeansModel.memberships at FIXED centroids
+
+    (gate oracle): the identical w_j = max(sqrt(d2_j), 1e-10)^(-2/(m-1))
+    expression chain, summed in cluster order."""
+    p = 2.0 / (m - 1.0)
+    wexprs = []
+    for c in centers:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        d2 = (f"list_sum(list_transform(list_zip({vec_col}::DOUBLE[], "
+              f"{lit}::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2])))")
+        wexprs.append(f"pow(greatest(sqrt({d2}), 1e-10), {-p!r})")
+    tot = " + ".join(f"w{i}" for i in range(len(wexprs)))
+    wcols = ", ".join(f"{e} AS w{i}" for i, e in enumerate(wexprs))
+    sel = ", ".join(f"round(w{i} / ({tot}), {round_dp})"
+                    for i in range(len(wexprs)))
+    return f"""
+WITH w AS (SELECT {id_col}, {wcols} FROM {table}),
+u AS (SELECT {id_col}, unnest([{sel}]) AS prob,
+             unnest(range({len(wexprs)})) AS cluster
+      FROM w)
+SELECT {id_col}, cluster::INT AS cluster, prob FROM u
+"""

@@ -260,3 +260,104 @@ def test_assign_sql_matches_spark(spark, blobs, tmp_path):
     want = {int(r[0]): (int(r[1]), float(r[2])) for r in con.execute(
         kmeans_assign_sql("pts", centers)).fetchall()}
     assert got == want
+
+
+# --- fuzzy k-means -----------------------------------------------------------
+
+
+def _np_fuzzy_u(pts, centers, m):
+    d = np.sqrt(((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2))
+    d = np.maximum(d, 1e-10)
+    w = d ** (-2.0 / (m - 1.0))
+    return w / w.sum(axis=1, keepdims=True)
+
+
+def test_fuzzy_memberships_match_numpy(spark, blobs):
+    from mahout_spark.operators.clustering import FuzzyKMeansModel
+
+    df, pts = blobs
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 1.0], [1.0, 7.0, 7.0]])
+    for m in (1.5, 2.0, 3.0):
+        model = FuzzyKMeansModel(centers, m, 0, True)
+        got = np.zeros((len(pts), 3))
+        for r in model.memberships(df).collect():
+            got[r["vec_id"], r["cluster"]] = r["prob"]
+        want = _np_fuzzy_u(pts, centers, m)
+        assert np.allclose(got, want, atol=1e-9), m
+        assert np.allclose(got.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_fuzzy_membership_zero_distance_clamped(spark):
+    from mahout_spark.operators.clustering import FuzzyKMeansModel
+
+    # point exactly ON center 0: clamp (FuzzyKMeansClusterer
+    # MINIMAL_VALUE) keeps u finite and ~1 for that cluster
+    df = spark.createDataFrame([(0, [1.0, 1.0])], ["vec_id", "embedding"])
+    centers = np.array([[1.0, 1.0], [5.0, 5.0]])
+    got = {r["cluster"]: r["prob"]
+           for r in FuzzyKMeansModel(centers, 2.0, 0, True)
+           .memberships(df).collect()}
+    assert got[0] > 0.999999
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_fuzzy_trajectory_matches_numpy(spark, blobs):
+    from mahout_spark.operators.clustering import fuzzy_kmeans
+
+    df, pts = blobs
+    init = kmeans_seed_centers(df, 3, 11)
+    model = fuzzy_kmeans(df, 3, m=2.0, max_iterations=5,
+                         convergence_delta=0.0, init_centers=init)
+    cen = init.copy()
+    for _ in range(5):
+        u = _np_fuzzy_u(pts, cen, 2.0)
+        # Mahout weighting: centers = sum(u*x)/sum(u)  (u, not u^m)
+        cen = (u.T @ pts) / u.sum(axis=0)[:, None]
+    assert np.allclose(model.centers, cen, atol=1e-7)
+    assert model.iterations == 5 and not model.converged
+
+
+def test_fuzzy_converges_and_finds_blobs(spark, blobs):
+    from mahout_spark.operators.clustering import fuzzy_kmeans
+
+    df, pts = blobs
+    model = fuzzy_kmeans(df, 3, m=2.0, max_iterations=30,
+                         convergence_delta=1e-3, seed=5)
+    assert model.converged
+    # the three found centers match the generating blob centers
+    want = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0], [0.0, 8.0, 8.0]])
+    d = np.sqrt(((model.centers[:, None, :] - want[None, :, :]) ** 2)
+                .sum(axis=2))
+    assert (d.min(axis=1) < 0.5).all()
+    # hard assignment equals nearest center
+    a = {r["vec_id"]: r["cluster"] for r in model.assign(df).collect()}
+    want_c, _ = _np_assign(pts, model.centers)
+    assert all(a[i] == want_c[i] for i in range(len(pts)))
+
+
+def test_fuzzy_m_validation(spark):
+    from mahout_spark.operators.clustering import fuzzy_membership_expr
+
+    with pytest.raises(ValueError):
+        fuzzy_membership_expr(F.col("embedding"), np.zeros((2, 2)), m=1.0)
+
+
+def test_fuzzy_membership_sql_matches_spark(spark, blobs, tmp_path):
+    import duckdb
+
+    from mahout_spark.operators.clustering import (FuzzyKMeansModel,
+                                                   fuzzy_membership_sql)
+
+    df, pts = blobs
+    path = str(tmp_path / "fpts.parquet")
+    df.write.parquet(path)
+    centers = np.array([[1.0, 1.0, 1.0], [4.0, 4.0, 1.0], [1.0, 7.0, 7.0]])
+    got = {(r["vec_id"], r["cluster"]): round(r["prob"], 6)
+           for r in FuzzyKMeansModel(centers, 2.0, 0, True)
+           .memberships(df).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW fpts AS SELECT * "
+                f"FROM read_parquet('{path}/*.parquet')")
+    want = {(int(r[0]), int(r[1])): float(r[2]) for r in con.execute(
+        fuzzy_membership_sql("fpts", centers)).fetchall()}
+    assert got == want
