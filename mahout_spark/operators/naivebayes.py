@@ -281,7 +281,10 @@ def nb_classify(model: NBModel, test_triples: DataFrame,
     Join decomposition of AbstractNBClassifier.getScoreForLabelInstance
     (NBClassifier.scala:45-51); see module docstring for the algebra.
     Out-of-vocabulary test terms are dropped, matching the reference where
-    test sets are vectorized with the training dictionary.
+    test sets are vectorized with the training dictionary. A document with
+    ZERO in-vocabulary terms still gets a row per label with score 0 (the
+    reference scores the empty vector as all-zero and argmax takes the
+    first label) — the feature join is a left join so such docs survive.
     """
     if complementary is None:
         complementary = model.complementary
@@ -292,16 +295,23 @@ def nb_classify(model: NBModel, test_triples: DataFrame,
     v = float(model.n_features)
     spark = test_triples.sparkSession
 
-    t = (test_triples
-         .select(F.col(doc_col).alias("__doc"),
-                 F.col(term_col).alias("term"),
-                 F.col(weight_col).cast("double").alias("__tf"))
-         .join(model.feature_weights, "term"))  # in-vocab only
+    # LEFT join keeps zero-in-vocab docs alive (all-zero score vector);
+    # per-doc sums guard on the match so OOV terms contribute nothing
+    t_all = (test_triples
+             .select(F.col(doc_col).alias("__doc"),
+                     F.col(term_col).alias("term"),
+                     F.col(weight_col).cast("double").alias("__tf"))
+             .join(model.feature_weights, "term", "left"))
+    invocab = F.col("w_t").isNotNull()
+    t = t_all.filter(invocab)
 
     if complementary:
-        per_doc = t.groupBy("__doc").agg(
-            F.sum("__tf").alias("t_sum"),
-            F.sum(-F.col("__tf") * F.log(F.col("w_t") + a)).alias("d_sum"))
+        per_doc = t_all.groupBy("__doc").agg(
+            F.coalesce(F.sum(F.when(invocab, F.col("__tf"))),
+                       F.lit(0.0)).alias("t_sum"),
+            F.coalesce(F.sum(F.when(invocab, -F.col("__tf")
+                                    * F.log(F.col("w_t") + a))),
+                       F.lit(0.0)).alias("d_sum"))
         delta = F.col("__tf") * (F.log(F.col("w_t") + a)
                                  - F.log(F.col("w_t") - F.col("weight") + a))
         label_rows = [(l, float(model.total_weight - model.label_weights[l]
@@ -313,7 +323,9 @@ def nb_classify(model: NBModel, test_triples: DataFrame,
                   + F.col("t_sum") * F.log(F.col("denom")))
                  / F.col("theta"))
     else:
-        per_doc = t.groupBy("__doc").agg(F.sum("__tf").alias("t_sum"))
+        per_doc = t_all.groupBy("__doc").agg(
+            F.coalesce(F.sum(F.when(invocab, F.col("__tf"))),
+                       F.lit(0.0)).alias("t_sum"))
         delta = F.col("__tf") * (F.log(F.col("weight") + a) - math.log(a))
         label_rows = [(l, float(model.label_weights[l] + a * v))
                       for l in model.labels]

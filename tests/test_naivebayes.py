@@ -185,6 +185,26 @@ class TestClassify:
         b = {r["label"]: r["score"] for r in nb_classify(model, noisy).collect()}
         assert all(abs(a[l] - b[l]) < EPS for l in a)
 
+    @pytest.mark.parametrize("complementary", [False, True])
+    def test_zero_vocab_doc_scores_all_zero(self, spark, complementary):
+        # a doc with NO in-vocabulary terms must still be scored: the
+        # reference classifies the empty vector as all-zero scores and
+        # argmax takes the first label (ADVICE r3)
+        model = nb_train(_pairs_df(spark, TFIDF, LABELS),
+                         complementary=complementary)
+        test = spark.createDataFrame(
+            [("dz", "zzz_not_in_vocab", 9.0), ("dok", "t0", 2.0)],
+            ["doc_id", "term", "weight"])
+        got = nb_classify(model, test, complementary=complementary)
+        rows = got.filter(F.col("doc_id") == "dz").collect()
+        assert len(rows) == len(LABELS)
+        assert all(r["score"] == 0.0 for r in rows)
+        pred = {r["doc_id"]: r["predicted"]
+                for r in nb_predict(model, test,
+                                    complementary=complementary).collect()}
+        assert pred["dz"] == sorted(LABELS)[0]
+        assert "dok" in pred
+
     def test_complementary_requires_complementary_training(self, spark):
         model = nb_train(_pairs_df(spark, TFIDF, LABELS), complementary=False)
         with pytest.raises(ValueError):
