@@ -22,6 +22,7 @@ stays inside whole-stage codegen — no Python, no UDF.
 from __future__ import annotations
 
 import math
+import zlib
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
@@ -227,12 +228,23 @@ class StreamingKMeansSketch:
             for j, (p, w) in enumerate(zip(old_c, old_w)):
                 self._add_one(p, w, j)
 
+    @staticmethod
+    def _pid_int(pid) -> int:
+        """Coin key from any id type: integers pass through; other ids
+
+        (strings, bytes, ...) map via crc32 of their repr — process-
+        independent, unlike Python's salted hash() (ADVICE r3: string
+        vec_ids used to crash the int() coercion)."""
+        if isinstance(pid, (int, np.integer)):
+            return int(pid)
+        return zlib.crc32(str(pid).encode("utf-8"))
+
     def update_batch(self, points: np.ndarray, ids: np.ndarray,
                      weights: np.ndarray | None = None) -> None:
         w = np.ones(len(points)) if weights is None else weights
         for p, pid, wi in zip(points, ids, w):
             self._add_one(np.asarray(p, dtype=np.float64), float(wi),
-                          int(pid))
+                          self._pid_int(pid))
             self.n_processed += 1
             if len(self.centers) > self.overshoot * self.num_clusters:
                 # grow the target with the data: k * log(n) (reference
@@ -319,7 +331,9 @@ def streaming_kmeans(points: DataFrame, k: int,
     order = np.argsort([StreamingKMeansSketch._coin(j, seed)
                         for j in range(len(cents))])
     centers = cents[order[:k]].copy()
-    for _ in range(final_iterations):
+    converged = False
+    it = 0
+    for it in range(1, final_iterations + 1):
         d2 = ((cents[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         lab = d2.argmin(axis=1)
         new = centers.copy()
@@ -329,17 +343,19 @@ def streaming_kmeans(points: DataFrame, k: int,
                 new[j] = np.average(cents[m], axis=0, weights=wts[m])
         if np.allclose(new, centers):
             centers = new
+            converged = True
             break
         centers = new
-    model = KMeansModel(centers, 1, True, 0.0)
+    model = KMeansModel(centers, it, converged, 0.0)
     cost = (_assign_frame(pts, centers, "__id", "__v")
             .agg(F.sum("dist2")).first()[0])
     model.cost = float(cost or 0.0)
     return model
 
 
-def canopy_centers_incore(points: np.ndarray, t1: float,
-                          t2: float) -> tuple[np.ndarray, np.ndarray]:
+def canopy_centers_incore(points: np.ndarray, t1: float, t2: float,
+                          weights: np.ndarray | None = None
+                          ) -> tuple[np.ndarray, np.ndarray]:
     """(centers, weights) — CanopyClusterer.addPointToCanopies
 
     (mr/.../clustering/canopy/CanopyClusterer.java:99-117) over an
@@ -347,32 +363,39 @@ def canopy_centers_incore(points: np.ndarray, t1: float,
     (running mean); a point within T2 of ANY canopy is strongly bound,
     otherwise it founds a new canopy at itself. Requires t1 > t2.
     Canopy centers are the observed means; weight = observation count.
+    ``weights`` makes each input point count as that many observations
+    (re-clustering already-aggregated canopy centers keeps their mass).
     """
     if not t1 > t2:
         raise ValueError(f"canopy requires t1 > t2, got t1={t1} t2={t2}")
+    if weights is None:
+        weights = np.ones(len(points))
     origins: list[np.ndarray] = []   # canopy origin points (fixed)
     sums: list[np.ndarray] = []
     counts: list[float] = []
-    for p in points:
+    for p, w in zip(points, weights):
         p = np.asarray(p, dtype=np.float64)
+        w = float(w)
         strongly_bound = False
         if origins:
             d = np.linalg.norm(np.stack(origins) - p, axis=1)
             for i in np.nonzero(d < t1)[0]:
-                sums[i] += p
-                counts[i] += 1.0
+                sums[i] += p * w
+                counts[i] += w
             strongly_bound = bool((d < t2).any())
         if not strongly_bound:
             origins.append(p.copy())
-            sums.append(p.copy())
-            counts.append(1.0)
+            sums.append(p * w)
+            counts.append(w)
     return (np.stack(sums) / np.asarray(counts)[:, None],
             np.asarray(counts))
 
 
 def canopy(points: DataFrame, t1: float, t2: float,
            id_col: str = "vec_id",
-           vec_col: str = "embedding") -> np.ndarray:
+           vec_col: str = "embedding",
+           max_canopies_per_partition: int = 10_000,
+           escalate_beta: float = 1.5) -> np.ndarray:
     """Distributed canopy (CanopyDriver two-phase shape): each partition
 
     builds local canopies in its row order (mapInPandas), then the
@@ -383,6 +406,16 @@ def canopy(points: DataFrame, t1: float, t2: float,
     Returns the final (n_canopies, dim) center matrix — feed it to
     KMeansModel / kmeans(init_centers=...) as the classic canopy-seeded
     k-means.
+
+    Driver-phase bound: an adversarially small T2 makes every point its
+    own mapper canopy, which would funnel the whole input through the
+    driver collect. Each partition therefore caps its output at
+    ``max_canopies_per_partition``: when exceeded, the local canopy
+    CENTERS are re-clustered with T2 escalated by ``escalate_beta``
+    (weights carried) until under the cap — the same
+    coarsen-until-bounded move as StreamingKMeansSketch._collapse.
+    Inputs that stay under the cap are byte-identical to the uncapped
+    two-phase result.
     """
     import pandas as pd
 
@@ -397,6 +430,16 @@ def canopy(points: DataFrame, t1: float, t2: float,
         if rows:
             centers, weights = canopy_centers_incore(
                 np.concatenate(rows), t1, t2)
+            lt1, lt2 = t1, t2
+            while len(centers) > max_canopies_per_partition:
+                if lt2 <= 0:
+                    lt2 = lt1 / 2  # T2=0 cannot coarsen — jump-start
+                else:
+                    lt1 *= escalate_beta
+                    lt2 *= escalate_beta
+                lt1 = max(lt1, lt2 * (1 + 1e-9))
+                centers, weights = canopy_centers_incore(
+                    centers, lt1, lt2, weights=weights)
             yield pd.DataFrame({"center": list(centers),
                                 "weight": weights})
 
