@@ -211,14 +211,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, seed: int = 7, probe_bits: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id: str = "query_id") -> DataFrame:
+             query_id: str = "query_id", dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates from matching sign-LSH buckets
 
     (multiprobe: all buckets within ``probe_bits`` sign flips), exact
     cosine re-rank within candidates. probe_bits trades candidate count
     for recall; probe_bits = n_planes degenerates to brute force.
+    Pass ``dim`` explicitly to keep the plan free of the ``first()``
+    dimensionality probe (an extra job at plan-build time).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"),

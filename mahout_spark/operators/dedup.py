@@ -315,7 +315,7 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.3, n_bands: int = 4,
                           band_planes: int = 4,
-                          seed: int = 11) -> DataFrame:
+                          seed: int = 11, dim: int | None = None) -> DataFrame:
     """(id_a, id_b, cos) — near-duplicate embedding pairs at scale.
 
     Production shape of the all-pairs embedding near-dup: banded
@@ -329,7 +329,8 @@ def embedding_neardup_lsh(df: DataFrame, id_col: str = "vec_id",
     """
     from mahout_spark.operators.ann import _planes, cosine_expr, signs_expr
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = _planes(dim, n_bands * band_planes, seed)
     keyed = df.select(F.col(id_col).alias("__id"),
                       F.col(vec_col).alias("__v"))

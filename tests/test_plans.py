@@ -123,3 +123,20 @@ def test_sketch_preagg_happens_before_python(spark):
     first_python = plan.index("MapInPandas")
     assert "HashAggregate" in plan[first_python:], \
         "JVM pre-aggregation missing under the Python stage"
+
+
+def test_lsh_paths_need_no_dim_probe(spark):
+    """With dim passed, lsh_topk / embedding_neardup_lsh build their
+
+    plans without running any Spark job (no .first() dimensionality
+    probe) — proven by handing them an EMPTY frame, where a probe's
+    first() would return None and len(None) would raise."""
+    from mahout_spark.operators.ann import lsh_topk
+    from mahout_spark.operators.dedup import embedding_neardup_lsh
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [], "query_id long, embedding array<double>")
+    assert lsh_topk(empty, q, k=3, dim=16).count() == 0
+    assert embedding_neardup_lsh(empty, dim=16).count() == 0
