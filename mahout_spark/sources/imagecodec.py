@@ -21,6 +21,7 @@ tests can round-trip byte-exactly without fixtures on disk.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -124,15 +125,17 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from BMP or PPM bytes, by magic sniffing."""
+    """(h, w, 3) uint8 RGB from BMP, PPM or PNG bytes (magic sniff)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError(
         "unsupported image format (no external codecs in this "
-        "environment): expected BMP ('BM') or binary PPM ('P6'), got "
-        f"magic {payload[:2]!r}")
+        "environment): expected BMP ('BM'), binary PPM ('P6') or PNG, "
+        f"got magic {payload[:2]!r}")
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -158,3 +161,150 @@ def image_feature(payload: bytes, dim: int = 64) -> np.ndarray:
     v = gray.ravel()
     n = np.linalg.norm(v)
     return (v / n if n else v).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + NumPy filter undo)
+# ---------------------------------------------------------------------------
+#
+# Public spec (RFC 2083 / W3C PNG): 8-byte signature, length-prefixed
+# chunks (IHDR, PLTE, IDAT+, IEND), IDAT = zlib stream of scanlines, each
+# scanline = 1 filter byte + w*bpp filtered bytes; filters 0..4 = None,
+# Sub, Up, Average, Paeth. Supported here: bit depth 8, color types 0
+# (gray), 2 (RGB), 3 (palette), 6 (RGBA; alpha dropped), non-interlaced.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB -> color-type-2 PNG bytes. ``filter_type``
+
+    applies that scanline filter to every row (0/1/2/3/4) so decoder
+    tests exercise each undo path."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    bpp = 3
+    rows = img.reshape(h, w * 3).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        cur = rows[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:   # Sub
+            a = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+            filt = cur - a
+        elif filter_type == 2:   # Up
+            filt = cur - prev
+        elif filter_type == 3:   # Average
+            a = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+            filt = cur - (a + prev) // 2
+        elif filter_type == 4:   # Paeth
+            a = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+            ca = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            filt = cur - _paeth(a, prev, ca)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        out.append(filter_type)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    idat = zlib.compress(bytes(out), level)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (int16 in/out)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.int16)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB (pure zlib + NumPy)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    ihdr = None
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} interlace={interlace}); "
+            "only 8-bit non-interlaced supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    bpp = channels
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = ftypes[y]
+        cur = raw[y, 1:].astype(np.int16)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:    # Up
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):   # Sub / Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, bpp)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    return plte[px[:, :, 0]].copy()

@@ -49,11 +49,11 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _image_decode(payload: bytes, dim: int) -> np.ndarray:
-    """REAL decode for BMP/PPM payloads (pure-NumPy codecs,
+    """REAL decode for BMP/PPM/PNG payloads (pure-NumPy codecs, PNG via
 
-    sources/imagecodec.py): decode -> grayscale tile feature. Formats
-    needing external codecs (JPEG/PNG/video) raise ValueError with the
-    supported list.
+    stdlib zlib — sources/imagecodec.py): decode -> grayscale tile
+    feature. Formats needing external codecs (JPEG/video) raise
+    ValueError with the supported list.
     """
     from mahout_spark.sources.imagecodec import image_feature
 
@@ -61,15 +61,15 @@ def _image_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _real_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Codec-library integration point. BMP/PPM decode IS implemented
+    """Codec-library integration point. BMP/PPM/PNG decode IS
 
-    (decoder='image'); this slot is for formats that need external
-    libraries (JPEG/PNG via PIL, video via ffmpeg) absent from this
-    container.
+    implemented (decoder='image'); this slot is for formats that need
+    external libraries (JPEG via PIL, video via ffmpeg) absent from
+    this container.
     """
     raise NotImplementedError(
-        "JPEG/PNG/video codecs are not installed in this environment; "
-        "BMP/PPM decode works via decoder='image' "
+        "JPEG/video codecs are not installed in this environment; "
+        "BMP/PPM/PNG decode works via decoder='image' "
         "(mahout_spark.sources.imagecodec); plug a PIL/ffmpeg decoder "
         "into mahout_spark.sources.multimodal._REGISTRY for the rest")
 

@@ -115,3 +115,82 @@ class TestSparkPath:
         a = {r["media_id"]: list(r["feature"]) for r in out}
         b = {r["media_id"]: list(r["feature"]) for r in again}
         assert a == b
+
+
+class TestPNG:
+    def test_roundtrip_byte_exact_all_filters(self):
+        from mahout_spark.sources.imagecodec import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+        for ft in range(5):
+            assert np.array_equal(decode_png(encode_png(img, ft)), img), ft
+
+    def test_gradient_image_filters_agree(self):
+        # smooth gradients: every filter reconstructs identically
+        from mahout_spark.sources.imagecodec import decode_png, encode_png
+
+        y, x = np.mgrid[0:16, 0:16]
+        img = np.stack([(y * 16) % 256, (x * 16) % 256,
+                        ((x + y) * 8) % 256], axis=2).astype(np.uint8)
+        outs = [decode_png(encode_png(img, ft)) for ft in range(5)]
+        for o in outs:
+            assert np.array_equal(o, img)
+
+    def test_gray_and_rgba_and_palette(self):
+        import struct
+        import zlib
+
+        from mahout_spark.sources.imagecodec import decode_png
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        # grayscale 2x2
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        raw = bytes([0, 10, 20, 0, 30, 40])
+        png = sig + chunk(b"IHDR", ihdr) + \
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        got = decode_png(png)
+        assert got.shape == (2, 2, 3)
+        assert (got[0, 0] == [10, 10, 10]).all()
+        # RGBA 1x2 -> alpha dropped
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+        raw = bytes([0, 1, 2, 3, 255, 4, 5, 6, 128])
+        png = sig + chunk(b"IHDR", ihdr) + \
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        got = decode_png(png)
+        assert got.shape == (1, 2, 3)
+        assert (got[0, 1] == [4, 5, 6]).all()
+        # palette 1x2
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        plte = bytes([255, 0, 0, 0, 255, 0])
+        raw = bytes([0, 0, 1])
+        png = sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) + \
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        got = decode_png(png)
+        assert (got[0, 0] == [255, 0, 0]).all()
+        assert (got[0, 1] == [0, 255, 0]).all()
+
+    def test_rejects_unsupported(self):
+        from mahout_spark.sources.imagecodec import (decode_image,
+                                                     decode_png,
+                                                     encode_png)
+
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"nope")
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(img)), img)
+
+    def test_feature_from_png_matches_bmp(self):
+        from mahout_spark.sources.imagecodec import (encode_bmp,
+                                                     encode_png,
+                                                     image_feature)
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        assert np.array_equal(image_feature(encode_png(img), 16),
+                              image_feature(encode_bmp(img), 16))
