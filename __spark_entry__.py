@@ -724,7 +724,8 @@ def _q_embedding_neardup_lsh(spark, sf_dir) -> DataFrame:
     return embedding_neardup_lsh(_read(spark, sf_dir, "embeddings"),
                                  "vec_id", "embedding", threshold=0.3,
                                  n_bands=LSH_BANDS,
-                                 band_planes=LSH_BAND_PLANES, seed=LSH_SEED)
+                                 band_planes=LSH_BAND_PLANES, seed=LSH_SEED,
+                                 dim=EMB_DIM)
 
 
 def _q_ols_fit(spark, sf_dir) -> DataFrame:
@@ -798,6 +799,157 @@ SELECT '(Intercept)', round(b0, 6), round(se0, 6), round(b0/se0, 6) FROM se
 """
 
 
+LDA_V, LDA_K = 50, 4
+LDA_CORPUS_SQL = (f"SELECT l_orderkey AS doc_id, l_partkey % {LDA_V} AS "
+                  "term_id, sum(l_quantity)::DOUBLE AS cnt "
+                  "FROM lineitem GROUP BY 1, 2")
+
+
+def _q_lda_cvb0_gamma(spark, sf_dir) -> DataFrame:
+    """LDA CVB0 gate: one trainDocTopicModel pass at uniform docTopics
+
+    over an integral (doc, term, cnt) corpus derived from lineitem and
+    the arithmetic init model — gamma is a closed-form scalar expression
+    chain that DuckDB replays bit-for-bit (cvb0_doc_gamma docstring).
+    The multi-iteration trajectory + perplexity decrease are pytest
+    (tests/test_lda.py). (TopicModel.java:284-304 semantics.)"""
+    from mahout_spark.operators.lda import (arithmetic_init_model,
+                                            cvb0_doc_gamma)
+
+    li = _read(spark, sf_dir, "lineitem")
+    corpus = (li.groupBy(
+        F.col("l_orderkey").alias("doc_id"),
+        (F.col("l_partkey") % LDA_V).alias("term_id"))
+        .agg(F.sum("l_quantity").cast("double").alias("cnt")))
+    model = arithmetic_init_model(spark, LDA_V, LDA_K)
+    # integral topic sums: exact integer-valued doubles
+    agg = model.select(*[F.sum(F.col("topics")[x]).alias(f"s{x}")
+                         for x in range(LDA_K)]).first()
+    sums = [float(agg[f"s{x}"]) for x in range(LDA_K)]
+    g = cvb0_doc_gamma(corpus, model, sums, LDA_K, num_terms=LDA_V)
+    return g.select("doc_id", "term_id", "topic",
+                    F.round("gamma", 6).alias("gamma"))
+
+
+SGD_BETA = [[0.3, -0.2], [-0.1, 0.25]]  # (n_cat-1=2) x (F=2), n_cat = 3
+
+
+def _q_sgd_classify(spark, sf_dir) -> DataFrame:
+    """SGD logistic scoring gate: classifyFull as pure Catalyst column
+
+    math at a FIXED beta over integral per-order features (x1 = line
+    count, x2 = total quantity / 100) — softmax link with the implicit
+    0th category, probabilities rounded 6dp; DuckDB twin replays the
+    identical expression chain. Training (the sequential reference
+    update rule + sharded parallel averaging) is pytest-verified
+    step-for-step vs an in-core replay (tests/test_sgd.py).
+    (AbstractOnlineLogisticRegression.java:86-121 link semantics.)"""
+    import numpy as np
+
+    from mahout_spark.operators.sgd import logistic_classify
+
+    li = _read(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.count("*").cast("double").alias("x1"),
+        (F.sum("l_quantity") / 100.0).cast("double").alias("x2"))
+    feats = per_order.select("order_id",
+                             F.array("x1", "x2").alias("features"))
+    scored = logistic_classify(feats, np.array(SGD_BETA), full=True)
+    return (scored.select("order_id",
+                          F.posexplode("probs_full")
+                          .alias("category", "prob"))
+            .select("order_id", F.col("category").cast("int"),
+                    F.round("prob", 6).alias("prob")))
+
+
+# Fixed literal forest for the rf_classify gate: scoring-path gate only
+# (training is pytest-verified; a trained forest isn't DuckDB-replayable).
+RF_TREES = [
+    {"attr": 0, "split": 4.0, "lo": {"leaf": 0.0},
+     "hi": {"attr": 1, "split": 150.0, "lo": {"leaf": 1.0},
+            "hi": {"leaf": 2.0}}},
+    {"attr": 1, "split": 100.0, "lo": {"leaf": 0.0},
+     "hi": {"attr": 0, "split": 5.0, "lo": {"leaf": 2.0},
+            "hi": {"leaf": 1.0}}},
+]
+RF_SRC_SQL = ("SELECT l_orderkey AS order_id, count(*)::DOUBLE AS x1, "
+              "sum(l_quantity)::DOUBLE AS x2 FROM lineitem GROUP BY 1")
+
+
+def _q_rf_classify(spark, sf_dir) -> DataFrame:
+    """Random forest gate: DecisionForest majority vote over trees
+
+    compiled to Catalyst CASE WHEN expressions (the all-JVM scoring
+    path) at a FIXED 2-tree forest over integral per-order features —
+    comparisons and integer vote counts only, so DuckDB replays it
+    exactly. Training (partition-local partial builder + bagging) is
+    pytest-verified (tests/test_randomforest.py).
+    (DecisionForest.java:70-120, DecisionTreeBuilder semantics.)"""
+    from mahout_spark.operators.randomforest import (DecisionForest,
+                                                     forest_predict_expr)
+
+    li = _read(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.count("*").cast("double").alias("x1"),
+        F.sum("l_quantity").cast("double").alias("x2"))
+    forest = DecisionForest(RF_TREES, n_labels=3)
+    return per_order.select(
+        "order_id",
+        forest_predict_expr(forest, F.array("x1", "x2"))
+        .alias("prediction"))
+
+
+def _q_rf_ig_split(spark, sf_dir) -> DataFrame:
+    """Random forest split-math gate: the OptIgSplit information-gain
+
+    prefix scan as a distributed plan — IG at every candidate split of
+    l_quantity against a 3-class label, entropy in bits. Exercises the
+    exact builder math (operators/randomforest.py:best_numeric_split)
+    in an engine-checkable shape. (OptIgSplit.java:57-163.)"""
+    from mahout_spark.operators.randomforest import ig_numeric_split_frame
+
+    li = _read(spark, sf_dir, "lineitem")
+    src = li.select(F.col("l_quantity").cast("double").alias("v"),
+                    (F.col("l_linenumber") % 3).cast("int").alias("y"))
+    return ig_numeric_split_frame(src, "v", "y", n_labels=3)
+
+
+HMM_H, HMM_O = 3, 4
+# (seq, linenumber) is NOT unique in the synthetic lineitem — the event
+# order must be TOTAL or the lag pairs are engine-dependent; (linenumber,
+# partkey, suppkey) is unique per order, packed into one bigint
+HMM_T = ("(l_linenumber * 1099511627776 + l_partkey * 1048576 "
+         "+ l_suppkey)")
+HMM_EVENTS_SQL = (f"SELECT l_orderkey AS seq_id, {HMM_T} AS t, "
+                  f"(l_partkey % {HMM_H})::INT AS hidden, "
+                  f"(l_suppkey % {HMM_O})::INT AS obs FROM lineitem")
+
+
+def _q_hmm_supervised(spark, sf_dir) -> DataFrame:
+    """HMM gate: trainSupervisedSequence (pseudo-count + transition /
+
+    emission / initial counting + row-normalize) over integral event
+    sequences from lineitem — every probability is a ratio of exact
+    integers (pseudo-count 1), so the (kind, i, j, p) model rows are
+    engine-exact. Forward/backward/Viterbi/Baum-Welch are pytest-
+    oracled by brute-force path enumeration (tests/test_hmm.py).
+    (HmmTrainer.java:109-199 semantics.)"""
+    from mahout_spark.operators.hmm import (hmm_model_rows,
+                                            train_supervised_frame)
+
+    li = _read(spark, sf_dir, "lineitem")
+    events = li.select(
+        F.col("l_orderkey").alias("seq_id"),
+        (F.col("l_linenumber") * F.lit(1099511627776)
+         + F.col("l_partkey") * F.lit(1048576)
+         + F.col("l_suppkey")).alias("t"),
+        (F.col("l_partkey") % HMM_H).cast("int").alias("hidden"),
+        (F.col("l_suppkey") % HMM_O).cast("int").alias("obs"))
+    model = train_supervised_frame(events, HMM_H, HMM_O,
+                                   pseudo_count=1.0)
+    return hmm_model_rows(model, spark)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -832,6 +984,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "fuzzy_kmeans_memberships": _q_fuzzy_memberships,
         "ols_fit": _q_ols_fit,
+        "lda_cvb0_gamma": _q_lda_cvb0_gamma,
+        "sgd_classify": _q_sgd_classify,
+        "rf_classify": _q_rf_classify,
+        "rf_ig_split": _q_rf_ig_split,
+        "hmm_supervised": _q_hmm_supervised,
         "recommend_boolean": _q_recommend_boolean,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
@@ -849,6 +1006,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     }
+
+
+def _lda_gamma_oracle() -> str:
+    from mahout_spark.operators.lda import cvb0_doc_gamma_sql
+
+    return cvb0_doc_gamma_sql(LDA_CORPUS_SQL, LDA_K, LDA_V)
+
+
+def _rf_classify_oracle() -> str:
+    from mahout_spark.operators.randomforest import (DecisionForest,
+                                                     forest_predict_sql)
+
+    expr = forest_predict_sql(DecisionForest(RF_TREES, n_labels=3),
+                              ["x1", "x2"])
+    return (f"SELECT order_id, {expr} AS prediction "
+            f"FROM ({RF_SRC_SQL}) t")
+
+
+def _rf_ig_split_oracle() -> str:
+    from mahout_spark.operators.randomforest import ig_numeric_split_sql
+
+    src = ("SELECT l_quantity::DOUBLE AS v, (l_linenumber % 3)::INT AS y "
+           "FROM lineitem")
+    return ig_numeric_split_sql(src, n_labels=3)
+
+
+def _hmm_supervised_oracle() -> str:
+    from mahout_spark.operators.hmm import hmm_supervised_sql
+
+    return hmm_supervised_sql(HMM_EVENTS_SQL, HMM_H, HMM_O,
+                              pseudo_count=1.0)
+
+
+def _sgd_classify_oracle() -> str:
+    import numpy as np
+
+    from mahout_spark.operators.sgd import logistic_classify_sql
+
+    table = ("(SELECT l_orderkey AS order_id, count(*)::DOUBLE AS x1, "
+             "(sum(l_quantity) / 100.0)::DOUBLE AS x2 "
+             "FROM lineitem GROUP BY 1) t")
+    return logistic_classify_sql(table, np.array(SGD_BETA), ["x1", "x2"],
+                                 "order_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1314,6 +1514,11 @@ FROM ranked WHERE rn <= 5
         "kmeans_assign": kmeans_assign_sql,
         "fuzzy_kmeans_memberships": fuzzy_memberships_sql,
         "ols_fit": OLS_FIT_SQL,
+        "lda_cvb0_gamma": _lda_gamma_oracle(),
+        "sgd_classify": _sgd_classify_oracle(),
+        "rf_classify": _rf_classify_oracle(),
+        "rf_ig_split": _rf_ig_split_oracle(),
+        "hmm_supervised": _hmm_supervised_oracle(),
         "recommend_boolean": recommend_boolean_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,

@@ -65,6 +65,7 @@ def bench_cms_build_topk_cosine(spark, sf_dir):
     _noop_consume(cms_topk_cosine(profiles, "token", k=10))
     n = docs.count()
     tl.unpersist()
+    head_counts.unpersist()
     return n
 
 
