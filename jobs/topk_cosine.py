@@ -64,6 +64,14 @@ def main(argv=None):
     ap.add_argument("--head-items", type=int, default=1000,
                     help="head tokens given CMS context profiles for the "
                          "top-K cosine pair search")
+    ap.add_argument("--block-rows", type=int, default=None,
+                    help="fix the cms_topk_cosine tile decomposition "
+                         "instead of the parallelism-aware default — "
+                         "scaling experiments MUST pass the same value at "
+                         "both cluster sizes so the N and 4N runs execute "
+                         "the identical plan (the auto default picks more, "
+                         "smaller blocks at higher parallelism, i.e. "
+                         "different pack/shuffle work per size)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -206,7 +214,8 @@ def main(argv=None):
         profiles = sketch_per_group_skewed(
             toks.join(F.broadcast(head_items), "token"), ["token"],
             cms_spec_shape(4, 512, seed=2), heavy, key_col="url")
-        pairs = cms_topk_cosine(profiles, "token", k=args.k)
+        pairs = cms_topk_cosine(profiles, "token", k=args.k,
+                                block_rows=args.block_rows)
         pairs.write.mode("overwrite").parquet(f"{args.output}/topk_pairs")
         t = mark("topk_pairs", t)
 

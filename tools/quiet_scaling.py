@@ -84,12 +84,16 @@ def main():
             continue
         rec = {"t": round(time.time(), 1), "probe": w, "triad4_gbps": bw}
         s0 = cpu_stat()
+        # identical tile decomposition at both sizes: the big side's
+        # natural block choice (4 cores -> 3 blocks over 1000 head items)
+        # — the auto default would give the two runs different plans
+        br = min(2048, max(128, -(-1000 // max(1, int(round(8 ** 0.5))))))
         r1 = run_at(1, args.input, "/tmp/quiet_out_1", args.k,
-                    args.max_prefs)
+                    args.max_prefs, block_rows=br)
         s1 = cpu_stat()
         bw_mid = triad_probe(4)
         r4 = run_at(4, args.input, "/tmp/quiet_out_4", args.k,
-                    args.max_prefs)
+                    args.max_prefs, block_rows=br)
         s2 = cpu_stat()
         bw_end = triad_probe(4)
         rec["triad4_mid"] = bw_mid

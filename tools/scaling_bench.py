@@ -89,7 +89,7 @@ def triad_probe(procs: int, n: int = 30_000_000) -> float:
 
 def run_at(cpus: int, input_path: str, out: str, k: int,
            max_prefs: int, executors: int | None = None,
-           cores_per_exec: int = 2) -> dict:
+           cores_per_exec: int = 2, block_rows: int | None = None) -> dict:
     # same modest heap at both sizes (mirrors per-executor memory on a
     # real cluster; oversized heaps stall this VM — see session.py)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
@@ -97,6 +97,8 @@ def run_at(cpus: int, input_path: str, out: str, k: int,
     cmd = [sys.executable, os.path.join(REPO, "jobs", "topk_cosine.py"),
            "--input", input_path, "--output", out, "--cpus", str(cpus),
            "--k", str(k), "--max-prefs", str(max_prefs), "--warmup"]
+    if block_rows is not None:
+        cmd += ["--block-rows", str(block_rows)]
     if executors is not None:
         # separate executor JVMs: the literal "N executors -> 4N
         # executors" protocol (own heap/GC/python workers per executor,
@@ -146,6 +148,17 @@ def main():
     # = wall(N,D)/wall(4N,4D).
     weak = os.environ.get("SPARK_GRAFT_SCALE_WEAK", "") == "1"
 
+    # Strong scaling must compare the SAME decomposition at both sizes:
+    # cms_topk_cosine's auto block sizing is parallelism-aware (more,
+    # smaller blocks at 4N -> extra pack + pair-shuffle work on the big
+    # side only), so fix block_rows to the big side's natural choice and
+    # pass it to BOTH runs (the small side just executes the same tiles
+    # serially).
+    big_cores = n_big * cores_per_exec if exec_mode else n_big
+    want_blocks = max(1, int(round((2.0 * big_cores) ** 0.5)))
+    head_items = 1000  # jobs/topk_cosine.py --head-items default
+    block_rows = min(2048, max(128, -(-head_items // want_blocks)))
+
     # The sandbox hypervisor introduces up to 2x run-to-run variance
     # (measured); interleave the two sizes and take medians so noise hits
     # both symmetrically.
@@ -162,7 +175,8 @@ def main():
             r = run_at(cpus, inp, f"/tmp/scaling_out_{n}",
                        args.k, args.max_prefs,
                        executors=n if exec_mode else None,
-                       cores_per_exec=cores_per_exec)
+                       cores_per_exec=cores_per_exec,
+                       block_rows=block_rows)
             r["triad_gbps_at_start"] = bw
             r["cpu_thr_at_end"] = cpu_probe(cpus)
             print(f"  {label}: {r}", flush=True)
