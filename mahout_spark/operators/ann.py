@@ -146,6 +146,35 @@ class IVFIndex:
         ordered = F.array_sort(F.array(*entries))
         return F.transform(F.slice(ordered, 1, n_probe), lambda s: s["c"])
 
+    def save(self, path: str) -> None:
+        """Persist the index: ``assigned`` as parquet PARTITIONED BY
+
+        ``__cell`` (so probes prune whole cells at the source — the
+        documented 10^12-row layout) plus a tiny centroid/meta table.
+        """
+        spark = self.assigned.sparkSession
+        (self.assigned.write.mode("overwrite").partitionBy("__cell")
+         .parquet(f"{path}/assigned"))
+        rows = [(i, [float(x) for x in c], self.id_col, self.vec_col)
+                for i, c in enumerate(self.centers)]
+        (spark.createDataFrame(
+            rows, "cell int, center array<double>, id_col string, "
+                  "vec_col string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        """Reopen a saved index; ``assigned`` scans carry the __cell
+
+        partition column, so cell-selective joins trigger dynamic
+        partition pruning (probed cells only reach the executors)."""
+        meta = spark.read.parquet(f"{path}/meta").collect()
+        meta.sort(key=lambda r: r["cell"])
+        centers = np.stack([np.asarray(r["center"]) for r in meta])
+        assigned = spark.read.parquet(f"{path}/assigned")
+        return cls(centers, assigned, meta[0]["id_col"],
+                   meta[0]["vec_col"])
+
     def search(self, queries: DataFrame, k: int = 10, n_probe: int = 4,
                query_id: str = "query_id") -> DataFrame:
         q = queries.select(

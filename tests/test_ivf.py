@@ -58,3 +58,42 @@ def test_ivf_index_reuse(spark):
         assert "Join" in plan
     finally:
         idx.assigned.unpersist()
+
+
+def test_ivf_save_load_roundtrip_and_pruning(spark, tmp_path):
+    """save -> load gives identical search results, the on-disk layout
+
+    is partitioned by cell, and a cell-selective filter prunes
+    partitions at the parquet source (the probed-cells-only read)."""
+    import os
+
+    from mahout_spark.operators.ann import IVFIndex, ivf_build
+
+    emb = spark.read.parquet(EMB)
+    idx = ivf_build(emb, n_cells=8, seed=7)
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    back = IVFIndex.load(spark, path)
+
+    assert (back.centers == idx.centers).all()
+    assert back.id_col == idx.id_col and back.vec_col == idx.vec_col
+
+    q = (emb.filter(F.col("vec_id") < 6)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    want = idx.search(q, k=5, n_probe=3).toPandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    got = back.search(q, k=5, n_probe=3).toPandas() \
+        .sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    assert got.equals(want)
+
+    # physical layout: one directory per cell
+    cells = [d for d in os.listdir(f"{path}/assigned")
+             if d.startswith("__cell=")]
+    assert len(cells) == 8
+
+    # partition pruning: a static cell filter reaches the scan as a
+    # PartitionFilter (reads probed cells only, not the corpus)
+    plan = (back.assigned.filter(F.col("__cell").isin([1, 2]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan
+    assert "__cell" in plan.split("PartitionFilters", 1)[1][:200]
