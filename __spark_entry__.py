@@ -950,6 +950,33 @@ def _q_hmm_supervised(spark, sf_dir) -> DataFrame:
     return hmm_model_rows(model, spark)
 
 
+FPM_MIN_SUPPORT, FPM_MAX_LEN = 200, 3
+FPM_SRC_SQL = ("SELECT l_orderkey AS txn_id, "
+               "'p' || (l_partkey % 25)::VARCHAR AS item FROM lineitem")
+
+
+def _q_fp_growth(spark, sf_dir) -> DataFrame:
+    """PFP frequent-itemset gate: full parallel FP-growth (counting
+
+    pass -> group-dependent prefix shipping -> per-shard conditional-
+    base mining) over order/part transactions; supports are exact
+    integers, itemsets re-sorted lexicographically to match the
+    brute-force self-join oracle. (Li et al. RecSys'08 / Mahout
+    PFPGrowth semantics; miner pinned to brute-force subset counts in
+    tests/test_fpm.py.)"""
+    from mahout_spark.operators.fpm import parallel_fp_growth
+
+    li = _read(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("txn_id"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 25).cast("string"))
+        .alias("item"))
+    out = parallel_fp_growth(items, FPM_MIN_SUPPORT, max_len=FPM_MAX_LEN)
+    return out.select(
+        F.array_join(F.array_sort("itemset"), ",").alias("itemset"),
+        "support")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -989,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rf_classify": _q_rf_classify,
         "rf_ig_split": _q_rf_ig_split,
         "hmm_supervised": _q_hmm_supervised,
+        "fp_growth": _q_fp_growth,
         "recommend_boolean": _q_recommend_boolean,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
         "doc_token_stats": _q_doc_token_stats,
@@ -1037,6 +1065,13 @@ def _hmm_supervised_oracle() -> str:
 
     return hmm_supervised_sql(HMM_EVENTS_SQL, HMM_H, HMM_O,
                               pseudo_count=1.0)
+
+
+def _fp_growth_oracle() -> str:
+    from mahout_spark.operators.fpm import frequent_itemsets_sql
+
+    return frequent_itemsets_sql(FPM_SRC_SQL, FPM_MIN_SUPPORT,
+                                 FPM_MAX_LEN)
 
 
 def _sgd_classify_oracle() -> str:
@@ -1519,6 +1554,7 @@ FROM ranked WHERE rn <= 5
         "rf_classify": _rf_classify_oracle(),
         "rf_ig_split": _rf_ig_split_oracle(),
         "hmm_supervised": _hmm_supervised_oracle(),
+        "fp_growth": _fp_growth_oracle(),
         "recommend_boolean": recommend_boolean_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
         "doc_token_stats": stats_sql,
