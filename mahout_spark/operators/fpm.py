@@ -147,11 +147,11 @@ def parallel_fp_growth(items: DataFrame, min_support: int,
                                          key=lambda kv: kv[1])]
     rank_arr = F.array(*[F.lit(it) for it in rank_items])
 
-    # transaction as rank-sorted frequent items: intersect keeps only
-    # frequent items, and intersecting FROM the rank array yields them
-    # already in rank order (array_intersect preserves left order)
-    txn = (items.select(txn_col, item_col).distinct()
-           .groupBy(txn_col)
+    # transaction as rank-sorted frequent items: collect_set dedups (no
+    # separate distinct shuffle), and intersecting FROM the rank array
+    # yields items already in rank order (array_intersect preserves
+    # left order)
+    txn = (items.groupBy(txn_col)
            .agg(F.collect_set(item_col).alias("__raw"))
            .select(F.array_intersect(rank_arr, F.col("__raw"))
                    .alias("__items"))

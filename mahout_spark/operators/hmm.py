@@ -303,17 +303,29 @@ def train_supervised_frame(events: DataFrame, n_hidden: int,
     w = Window.partitionBy("__s").orderBy("__t")
     prev = e.withColumn("__ph", F.lag("__h").over(w))
 
+    # ONE corpus pass: each event contributes an emission cell, plus
+    # either a transition cell (has a predecessor) or an initial cell —
+    # exploded to (kind, i, j) and counted in a single shuffle
+    cells = prev.select(F.explode(F.array(
+        F.struct(F.lit("b").alias("kind"), F.col("__h").alias("i"),
+                 F.col("__o").alias("j")),
+        F.when(F.col("__ph").isNotNull(),
+               F.struct(F.lit("a").alias("kind"),
+                        F.col("__ph").alias("i"),
+                        F.col("__h").alias("j")))
+        .otherwise(F.struct(F.lit("pi").alias("kind"),
+                            F.col("__h").alias("i"),
+                            F.lit(-1).alias("j"))))).alias("c"))
     a = np.full((n_hidden, n_hidden), pc)
     b = np.full((n_hidden, n_output), pc)
     pi = np.full(n_hidden, pc)
-    for r in (prev.filter(F.col("__ph").isNotNull())
-              .groupBy("__ph", "__h").count().collect()):
-        a[r["__ph"], r["__h"]] += r["count"]
-    for r in e.groupBy("__h", "__o").count().collect():
-        b[r["__h"], r["__o"]] += r["count"]
-    first = prev.filter(F.col("__ph").isNull())
-    for r in first.groupBy("__h").count().collect():
-        pi[r["__h"]] += r["count"]
+    for r in (cells.groupBy("c.kind", "c.i", "c.j").count().collect()):
+        if r["kind"] == "b":
+            b[r["i"], r["j"]] += r["count"]
+        elif r["kind"] == "a":
+            a[r["i"], r["j"]] += r["count"]
+        else:
+            pi[r["i"]] += r["count"]
     return HmmModel(_normalize_rows(a), _normalize_rows(b), pi / pi.sum())
 
 
