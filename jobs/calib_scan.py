@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--input", required=True)
     ap.add_argument("--cpus", type=int, default=4)
     ap.add_argument("--warmup", action="store_true")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="full-corpus passes inside the timed window — "
+                         "longer walls are less sensitive to the box's "
+                         "minutes-scale bandwidth swings")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -53,9 +57,12 @@ def main(argv=None):
         run(pages.limit(1000))
 
     t0 = time.time()
-    checksum = run(pages)
+    checksum = 0
+    for _ in range(args.passes):
+        checksum = run(pages)
     wall = time.time() - t0
-    print(json.dumps({"wall_s": round(wall, 2), "checksum": checksum}))
+    print(json.dumps({"wall_s": round(wall, 2), "checksum": checksum,
+                      "passes": args.passes}))
     spark.stop()
 
 

@@ -44,11 +44,12 @@ from tools.quiet_scaling import steal_window, cpu_stat  # noqa: E402
 from tools.scaling_bench import run_at, triad_probe  # noqa: E402
 
 
-def run_calib(cpus: int, input_path: str) -> float:
+def run_calib(cpus: int, input_path: str, passes: int = 3) -> float:
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="12g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "calib_scan.py"),
-         "--input", input_path, "--cpus", str(cpus), "--warmup"],
+         "--input", input_path, "--cpus", str(cpus), "--warmup",
+         "--passes", str(passes)],
         capture_output=True, text=True, env=env, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)["wall_s"]
@@ -78,7 +79,7 @@ def main():
                     break
                 print(f"noisy ({w}), waiting", flush=True)
                 time.sleep(20)
-        rec = {"t": round(time.time(), 1),
+        rec = {"t": round(time.time(), 1), "calib_passes": 3,
                "triad1_start": triad_probe(1), "triad4_start": triad_probe(4)}
         # interleave sizes around the calibration so both jobs sample the
         # same host phase: calib1, flag1, calib4, flag4, calib1 again
