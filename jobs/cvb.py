@@ -42,6 +42,8 @@ def main(argv=None):
     ap.add_argument("--num-terms", type=int, default=None)
     ap.add_argument("--top-terms", type=int, default=10)
     ap.add_argument("--perplexity", action="store_true")
+    ap.add_argument("--count-col", default="count",
+                    help="input column holding the term count")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -54,6 +56,8 @@ def main(argv=None):
                       shuffle_partitions=max(args.cpus * 2, 32))
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.parquet(args.input)
+    if "cnt" not in corpus.columns:  # operator contract: (doc_id, term_id, cnt)
+        corpus = corpus.withColumnRenamed(args.count_col, "cnt")
 
     t0 = time.time()
     model = cvb0_train(corpus, args.k, num_terms=args.num_terms,
