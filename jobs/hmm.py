@@ -14,6 +14,9 @@ Usage:
       [--epsilon 1e-4] [--max-iterations 10]
   spark-submit ... jobs/hmm.py decode \
       --input seqs.parquet --model /tmp/hmm.json --output /tmp/paths
+  spark-submit ... jobs/hmm.py predict \
+      --model /tmp/hmm.json --output /tmp/seqs \
+      --n-sequences 100 --length 20   # `mahout hmmpredict` twin
 
 train input: supervised -> (seq_id, t, hidden, obs) event rows;
 Baum-Welch -> (seq_id, obs array<int>) sequence rows (deterministic
@@ -34,10 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["train", "decode"])
-    ap.add_argument("--input", required=True)
+    ap.add_argument("mode", choices=["train", "decode", "predict"])
+    ap.add_argument("--input", default=None)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--model", default=None, help="model JSON (decode)")
+    ap.add_argument("--model", default=None,
+                    help="model JSON (decode/predict)")
+    ap.add_argument("--n-sequences", type=int, default=10,
+                    help="predict: sequences to generate")
+    ap.add_argument("--length", type=int, default=20,
+                    help="predict: observations per sequence")
     ap.add_argument("--hidden-states", type=int, default=None)
     ap.add_argument("--observed-states", type=int, default=None)
     ap.add_argument("--supervised", action="store_true")
@@ -56,10 +64,30 @@ def main(argv=None):
                                             viterbi_decode_frame)
     from mahout_spark.session import get_spark
 
+    from mahout_spark.operators.hmm import generate_sequences_frame
+
     spark = get_spark("hmm", master=f"local[{args.cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(args.input)
     t0 = time.time()
+
+    if args.mode == "predict":
+        # `mahout hmmpredict` twin (RandomSequenceGenerator.java)
+        if not args.model:
+            ap.error("predict requires --model")
+        with open(args.model) as f:
+            model = HmmModel.from_json(f.read())
+        out = generate_sequences_frame(spark, model, args.n_sequences,
+                                       args.length, seed=args.seed)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"wall_s": round(time.time() - t0, 2),
+                          "sequences": args.n_sequences,
+                          "length": args.length}))
+        spark.stop()
+        return
+
+    if not args.input:
+        ap.error(f"{args.mode} requires --input")
+    df = spark.read.parquet(args.input)
 
     if args.mode == "train":
         if not (args.hidden_states and args.observed_states):

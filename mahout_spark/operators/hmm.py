@@ -44,7 +44,8 @@ __all__ = ["HmmModel", "forward", "backward", "viterbi",
            "model_likelihood", "train_supervised", "train_viterbi",
            "train_baum_welch", "train_supervised_frame",
            "viterbi_decode_frame", "hmm_model_rows",
-           "hmm_supervised_sql"]
+           "hmm_supervised_sql", "generate_sequence",
+           "generate_sequences_frame"]
 
 
 class HmmModel:
@@ -459,3 +460,53 @@ FROM hh CROSS JOIN oo
 JOIN brow ON brow.i = hh.i
 LEFT JOIN ec ON ec.i = hh.i AND ec.j = oo.j
 """
+
+
+def generate_sequence(model: HmmModel, length: int,
+                      rng: np.random.Generator
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(hidden[length], obs[length]) — one sampled trajectory.
+
+    RandomSequenceGenerator.java semantics (draw the hidden state from
+    pi, then per step emit from B[state] and transition via A[state]),
+    with an explicit Generator instead of the reference's global
+    Random so distributed generation is deterministic per sequence.
+    """
+    hidden = np.empty(length, dtype=np.int64)
+    obs = np.empty(length, dtype=np.int64)
+    state = int(rng.choice(model.n_hidden, p=model.pi))
+    for t in range(length):
+        hidden[t] = state
+        obs[t] = int(rng.choice(model.n_output, p=model.b[state]))
+        state = int(rng.choice(model.n_hidden, p=model.a[state]))
+    return hidden, obs
+
+
+def generate_sequences_frame(spark, model: HmmModel, n_seqs: int,
+                             length: int, seed: int = 42,
+                             seq_col: str = "seq_id") -> DataFrame:
+    """(seq_id, hidden array<int>, obs array<int>) — the `mahout
+
+    hmmpredict` twin, distributed: spark.range drives one task batch
+    per partition, each sequence gets its own Generator seeded
+    (seed, seq_id) so the output is deterministic regardless of
+    partitioning or executor count."""
+    mj = model.to_json()
+
+    def run(it):
+        import pandas as pd
+
+        m = HmmModel.from_json(mj)
+        for pdf in it:
+            hid_l, obs_l = [], []
+            for sid in pdf[seq_col]:
+                g = np.random.default_rng([seed, int(sid)])
+                hidden, obs = generate_sequence(m, length, g)
+                hid_l.append(hidden.tolist())
+                obs_l.append(obs.tolist())
+            yield pd.DataFrame({seq_col: pdf[seq_col],
+                                "hidden": hid_l, "obs": obs_l})
+
+    ids = spark.range(n_seqs).withColumnRenamed("id", seq_col)
+    return ids.mapInPandas(
+        run, schema=f"{seq_col} long, hidden array<int>, obs array<int>")

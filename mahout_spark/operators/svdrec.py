@@ -197,3 +197,29 @@ uf AS (SELECT {user}, sum({pref})::DOUBLE AS f0, count(*)::DOUBLE AS f1
 vf AS (SELECT {item}, sum({pref})::DOUBLE AS f0, count(*)::DOUBLE AS f1
        FROM {prefs_cte} GROUP BY 1)
 """
+
+
+def evaluate_factorization(user_factors: DataFrame,
+                           item_factors: DataFrame, probe: DataFrame,
+                           user: str = "user_id", item: str = "item_id",
+                           pref: str = "pref") -> dict:
+    """{'rmse', 'mae', 'n_scored', 'n_probe'} — FactorizationEvaluator
+
+    (cf/taste/hadoop/als/FactorizationEvaluator.java: PredictRatingsMapper
+    dots the two factor vectors per probe pair, then RMSE/MAE over the
+    errors). Probe pairs whose user or item never appeared in training
+    have no factors and are skipped — reported via n_scored vs n_probe
+    so a shrunken denominator is never silent. One join plan, one agg;
+    nothing driver-side.
+    """
+    est = svd_estimate(user_factors, item_factors,
+                       probe.select(user, item), user, item)
+    joined = probe.join(est, [user, item])
+    row = joined.agg(
+        F.count("*").alias("n"),
+        F.avg(F.abs(F.col(pref) - F.col("estimate"))).alias("mae"),
+        F.sqrt(F.avg(F.pow(F.col(pref) - F.col("estimate"), F.lit(2.0))))
+        .alias("rmse")).first()
+    return {"rmse": float(row["rmse"]) if row["n"] else float("nan"),
+            "mae": float(row["mae"]) if row["n"] else float("nan"),
+            "n_scored": int(row["n"]), "n_probe": probe.count()}

@@ -150,3 +150,27 @@ def test_model_validate_and_serde(model):
                  np.array([0.5, 0.5])).validate()
     with pytest.raises(ValueError):
         HmmModel(np.eye(3), np.eye(2), np.ones(2) / 2)
+
+
+def test_generate_sequences_deterministic_and_plausible(spark, model):
+    from mahout_spark.operators.hmm import generate_sequences_frame
+
+    df = generate_sequences_frame(spark, model, 16, 200, seed=9)
+    rows = {r["seq_id"]: r for r in df.collect()}
+    # deterministic regardless of partitioning: regenerate at a
+    # different parallelism and compare per-sequence
+    again = {r["seq_id"]: r for r in
+             generate_sequences_frame(
+                 spark, model, 16, 200, seed=9).repartition(7).collect()}
+    assert set(rows) == set(range(16))
+    for sid in rows:
+        assert rows[sid]["obs"] == again[sid]["obs"]
+        assert rows[sid]["hidden"] == again[sid]["hidden"]
+    # emissions follow B: a state with zero emission prob never emits it
+    b = model.b
+    for r in rows.values():
+        for h, o in zip(r["hidden"], r["obs"]):
+            assert b[h][o] > 0.0
+    # different seed -> different draws
+    other = generate_sequences_frame(spark, model, 16, 200, seed=10)
+    assert other.collect()[0]["obs"] != rows[0]["obs"]

@@ -132,3 +132,21 @@ def test_string_ids_supported(spark):
     users = {r["user_id"] for r in recs}
     assert users <= {"alice", "bob", "carol"}
     assert all(isinstance(r["item_id"], str) for r in recs)
+
+
+def test_evaluate_factorization_exact(spark):
+    from mahout_spark.operators.svdrec import evaluate_factorization
+
+    # rank-1 integral factors: u = [2], [3]; v = [1], [2]
+    uf = spark.createDataFrame(
+        [(10, 0, 2.0), (11, 0, 3.0)], "row_id long, col_id int, value double")
+    vf = spark.createDataFrame(
+        [(100, 0, 1.0), (101, 0, 2.0)], "row_id long, col_id int, value double")
+    # probe: (10,100,3) err=1; (11,101,5) err=1; (12,100,9) -> no factors
+    probe = spark.createDataFrame(
+        [(10, 100, 3.0), (11, 101, 5.0), (12, 100, 9.0)],
+        "user_id long, item_id long, pref double")
+    res = evaluate_factorization(uf, vf, probe)
+    assert res["n_probe"] == 3 and res["n_scored"] == 2
+    assert res["mae"] == pytest.approx(1.0)
+    assert res["rmse"] == pytest.approx(1.0)
