@@ -556,6 +556,50 @@ def _q_recommend_svd(spark, sf_dir) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _q_factorization_rmse(spark, sf_dir) -> DataFrame:
+    """FactorizationEvaluator gate (cf/taste/hadoop/als/
+    FactorizationEvaluator.java): split rating triples into train/probe
+    with a DuckDB-replayable md5 coin (DatasetSplitter.java semantics,
+    deterministic instead of Random), fit closed-form integral factors
+    on train, and score the probe through the REAL
+    evaluate_factorization operator — rmse/mae/counts land as one row.
+    Integral prefs + integral factor dots make every error exact in
+    float64, so the aggregate is hash-exact after round(6)."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.operators.svdrec import evaluate_factorization
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 150)
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").cast("double").alias("pref")))
+    coin = F.pmod(md5_long60(F.concat_ws(
+        "|", F.col("user_id"), F.col("item_id"))), F.lit(5))
+    train = prefs.filter(coin != 0)
+    probe = prefs.filter(coin == 0)
+    expand = [F.explode(F.array(
+        F.struct(F.lit(0).alias("col_id"), F.col("f0").alias("value")),
+        F.struct(F.lit(1).alias("col_id"), F.col("f1").alias("value"))))
+        .alias("__f")]
+    uf = (train.groupBy(F.col("user_id").alias("row_id"))
+          .agg(F.sum("pref").alias("f0"),
+               F.count("*").cast("double").alias("f1"))
+          .select("row_id", *expand)
+          .select("row_id", "__f.col_id", "__f.value"))
+    vf = (train.groupBy(F.col("item_id").alias("row_id"))
+          .agg(F.sum("pref").alias("f0"),
+               F.count("*").cast("double").alias("f1"))
+          .select("row_id", *expand)
+          .select("row_id", "__f.col_id", "__f.value"))
+    res = evaluate_factorization(uf, vf, probe)
+    return spark.createDataFrame(
+        [(int(res["n_probe"]), int(res["n_scored"]),
+          round(res["mae"], 6), round(res["rmse"], 6))],
+        "n_probe long, n_scored long, mae double, rmse double")
+
+
 def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
     from mahout_spark.functions.text import (content_fingerprint, detect_lang,
                                              quality_score, token_count,
@@ -1008,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_cms": _q_recommend_cms,
         "recommend_itembased": _q_recommend_itembased,
         "recommend_svd": _q_recommend_svd,
+        "factorization_rmse": _q_factorization_rmse,
         "kmeans_assign": _q_kmeans_assign,
         "fuzzy_kmeans_memberships": _q_fuzzy_memberships,
         "ols_fit": _q_ols_fit,
@@ -1360,6 +1405,29 @@ SELECT u AS user_id, i AS item_id, round(score, 6) AS score
 FROM ranked WHERE rn <= 5
 """
 
+    from mahout_spark.functions.hashutil import md5_long60_sql as _h60
+
+    factorization_rmse_sql = f"""
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 150 GROUP BY 1, 2),
+tagged AS (SELECT *,
+    {_h60("u::VARCHAR || '|' || i::VARCHAR")} % 5 AS coin FROM prefs),
+train AS (SELECT u, i, p FROM tagged WHERE coin <> 0),
+probe AS (SELECT u, i, p FROM tagged WHERE coin = 0),
+uf AS (SELECT u, sum(p) AS f0, count(*)::DOUBLE AS f1 FROM train GROUP BY 1),
+vf AS (SELECT i, sum(p) AS f0, count(*)::DOUBLE AS f1 FROM train GROUP BY 1),
+scored AS (SELECT probe.u, probe.i, probe.p,
+                  uf.f0 * vf.f0 + uf.f1 * vf.f1 AS est
+           FROM probe JOIN uf ON uf.u = probe.u JOIN vf ON vf.i = probe.i)
+SELECT (SELECT count(*) FROM probe) AS n_probe,
+       count(*) AS n_scored,
+       round(avg(abs(p - est)), 6) AS mae,
+       round(sqrt(avg((p - est) * (p - est))), 6) AS rmse
+FROM scored
+"""
+
     user_tanimoto_sql = f"""
 WITH prefs AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -1546,6 +1614,7 @@ FROM ranked WHERE rn <= 5
         "recommend_cooc": recommend_sql,
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
+        "factorization_rmse": factorization_rmse_sql,
         "kmeans_assign": kmeans_assign_sql,
         "fuzzy_kmeans_memberships": fuzzy_memberships_sql,
         "ols_fit": OLS_FIT_SQL,
