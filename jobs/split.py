@@ -50,16 +50,22 @@ def main(argv=None):
                          "user_id for a grouped per-user holdout; with "
                          "few distinct keys the realized pct is "
                          "correspondingly coarse")
+    ap.add_argument("--num-splits", type=int, default=None,
+                    help="`mahout resplit` mode: N equal hash splits "
+                         "written as split=0..N-1 partitions")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
-    if (args.test_pct is None) == (args.probe_pct is None):
-        ap.error("exactly one of --test-pct / --probe-pct")
-    pct = args.test_pct if args.test_pct is not None else args.probe_pct
-    held_name = "test" if args.test_pct is not None else "probe"
-    if not 0 < pct < 100:
-        ap.error("percentage must be in (0, 100)")
+    n_modes = sum(x is not None
+                  for x in (args.test_pct, args.probe_pct, args.num_splits))
+    if n_modes != 1:
+        ap.error("exactly one of --test-pct / --probe-pct / --num-splits")
+    if args.num_splits is None:
+        pct = args.test_pct if args.test_pct is not None else args.probe_pct
+        held_name = "test" if args.test_pct is not None else "probe"
+        if not 0 < pct < 100:
+            ap.error("percentage must be in (0, 100)")
 
     from pyspark.sql import functions as F
 
@@ -71,6 +77,20 @@ def main(argv=None):
     keys = (args.key_cols.split(",") if args.key_cols else df.columns)
 
     t0 = time.time()
+    if args.num_splits is not None:
+        sid = F.pmod(F.xxhash64(*[F.col(c) for c in keys],
+                                F.lit(args.seed)), F.lit(args.num_splits))
+        (df.withColumn("split", sid)
+           .write.mode("overwrite").partitionBy("split")
+           .parquet(args.output))
+        counts = (spark.read.parquet(args.output).groupBy("split").count()
+                  .orderBy("split").collect())
+        result = {"wall_s": round(time.time() - t0, 2),
+                  "splits": {int(r["split"]): int(r["count"])
+                             for r in counts}}
+        print(json.dumps(result))
+        spark.stop()
+        return
     # uniform in [0, 1): low 20 bits of a seeded xxhash64 of the keys
     coin = (F.pmod(F.xxhash64(*[F.col(c) for c in keys], F.lit(args.seed)),
                    F.lit(1 << 20)) / float(1 << 20))
