@@ -43,7 +43,8 @@ def _emit(text: str, output: str | None) -> None:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["clusterdump", "matrixdump", "cmdump",
-                                     "vectordump", "clusterpp"])
+                                     "vectordump", "clusterpp",
+                                     "qualcluster"])
     ap.add_argument("--model", default=None)
     ap.add_argument("--input", default=None)
     ap.add_argument("--assignments", default=None)
@@ -136,6 +137,37 @@ def main(argv=None):
             ap.error("vectordump requires --input")
         df = spark.read.parquet(args.input)
         lines = [str(r.asDict()) for r in df.limit(args.limit).collect()]
+        _emit("\n".join(lines), args.output)
+
+    elif args.mode == "qualcluster":
+        # ClusterQualitySummarizer: per-cluster size / avg / max
+        # intra-cluster distance (from the assignment pass) + the
+        # minimum inter-center distance, as CSV
+        if not (args.model and args.assignments):
+            ap.error("qualcluster requires --model and --assignments")
+        import math
+
+        with open(args.model) as f:
+            meta = json.load(f)
+        asg = spark.read.parquet(args.assignments)
+        ccol = "cluster" if "cluster" in asg.columns else asg.columns[1]
+        stats = (asg.groupBy(ccol)
+                 .agg(F.count("*").alias("n"),
+                      F.avg(F.sqrt("dist2")).alias("avg_d"),
+                      F.max(F.sqrt("dist2")).alias("max_d"))
+                 .orderBy(ccol).collect())
+        centers = meta["centers"]
+        lines = ["cluster,n,avg_distance,max_distance,"
+                 "min_center_distance"]
+        for r in stats:
+            cid = r[ccol]
+            c = centers[cid]
+            min_cd = min(
+                (math.sqrt(sum((a - b) ** 2 for a, b in zip(c, o)))
+                 for j, o in enumerate(centers) if j != cid),
+                default=float("nan"))
+            lines.append(f"{cid},{r['n']},{r['avg_d']:.6f},"
+                         f"{r['max_d']:.6f},{min_cd:.6f}")
         _emit("\n".join(lines), args.output)
 
     else:  # clusterpp
