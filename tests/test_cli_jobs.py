@@ -1,0 +1,64 @@
+"""Subprocess smoke tests for the spark-submit CLI twins.
+
+Each runs a real `python jobs/<job>.py` (own JVM) on a tiny parquet —
+kept to the three cheapest utilities so the suite stays fast; the
+heavier CLIs (clustering, cvb, ssvd, adaptivelogistic, ...) share the
+same operator code paths exercised by their operator tests.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    out = subprocess.run([sys.executable] + args, capture_output=True,
+                         text=True, env=env, cwd=REPO, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    trip = d / "triples.parquet"
+    spark.createDataFrame(
+        [(f"r{i}", i % 3, float(i)) for i in range(30)],
+        "row_id string, col_id long, value double") \
+        .write.mode("overwrite").parquet(str(trip))
+    return d
+
+
+def test_split_cli(tiny):
+    res = _run(["jobs/split.py", "--input", str(tiny / "triples.parquet"),
+                "--output", str(tiny / "split"), "--test-pct", "30"])
+    assert res["train"] + res["test"] == 30
+    # deterministic: rerun gives identical counts
+    res2 = _run(["jobs/split.py", "--input",
+                 str(tiny / "triples.parquet"),
+                 "--output", str(tiny / "split2"), "--test-pct", "30"])
+    assert (res["train"], res["test"]) == (res2["train"], res2["test"])
+
+
+def test_rowid_cli(spark, tiny):
+    res = _run(["jobs/rowid.py", "--input", str(tiny / "triples.parquet"),
+                "--output", str(tiny / "rowid")])
+    assert res["rows"] == 30
+    ids = [r["row_id"] for r in
+           spark.read.parquet(str(tiny / "rowid" / "matrix")).collect()]
+    assert min(ids) == 0 and max(ids) == 29
+
+
+def test_resplit_cli(tiny):
+    res = _run(["jobs/split.py", "--input", str(tiny / "triples.parquet"),
+                "--output", str(tiny / "resplit"), "--num-splits", "3"])
+    assert sum(res["splits"].values()) == 30
+    assert set(res["splits"]) == {"0", "1", "2"}
