@@ -1,10 +1,11 @@
-"""Pure-NumPy image codecs: 24-bit uncompressed BMP and binary PPM (P6).
+"""Pure-NumPy image codecs: 24-bit BMP, binary PPM (P6), PNG (stdlib
+zlib) and — via sources/jpegcodec — baseline JPEG.
 
 No third-party codec libraries exist in this environment, so the
-multimodal decode path implements the two classic uncompressed formats
-directly from their public specifications — enough to make the Spark-side
-decode -> feature pipeline real end-to-end (JPEG/PNG still require
-external codecs and raise with a clear message).
+multimodal decode path implements these formats directly from their
+public specifications, making the Spark-side decode -> feature pipeline
+real end-to-end for all four mainstream still-image formats (video/audio
+remain an external-library integration point).
 
 Formats:
 - BMP: BITMAPFILEHEADER (14 bytes, 'BM' magic, pixel offset at byte 10)
@@ -125,17 +126,22 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from BMP, PPM or PNG bytes (magic sniff)."""
+    """(h, w, 3) uint8 RGB from BMP, PPM, PNG or baseline JPEG bytes
+    (magic sniff)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mahout_spark.sources.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
         "unsupported image format (no external codecs in this "
-        "environment): expected BMP ('BM'), binary PPM ('P6') or PNG, "
-        f"got magic {payload[:2]!r}")
+        "environment): expected BMP ('BM'), binary PPM ('P6'), PNG or "
+        f"baseline JPEG, got magic {payload[:2]!r}")
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

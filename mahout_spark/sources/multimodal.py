@@ -61,16 +61,16 @@ def _image_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _real_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Codec-library integration point. BMP/PPM/PNG decode IS
+    """Codec-library integration point. BMP/PPM/PNG/baseline-JPEG
 
-    implemented (decoder='image'); this slot is for formats that need
-    external libraries (JPEG via PIL, video via ffmpeg) absent from
-    this container.
+    decode IS implemented pure-NumPy (decoder='image'); this slot is
+    for media that need external libraries (video/audio via ffmpeg,
+    progressive/12-bit JPEG via libjpeg) absent from this container.
     """
     raise NotImplementedError(
-        "JPEG/video codecs are not installed in this environment; "
-        "BMP/PPM/PNG decode works via decoder='image' "
-        "(mahout_spark.sources.imagecodec); plug a PIL/ffmpeg decoder "
+        "video/audio codecs are not installed in this environment; "
+        "BMP/PPM/PNG/baseline-JPEG decode works via decoder='image' "
+        "(mahout_spark.sources.imagecodec); plug an ffmpeg decoder "
         "into mahout_spark.sources.multimodal._REGISTRY for the rest")
 
 
