@@ -68,14 +68,24 @@ def _real_decode(payload: bytes, dim: int) -> np.ndarray:
     progressive/12-bit JPEG via libjpeg) absent from this container.
     """
     raise NotImplementedError(
-        "video/audio codecs are not installed in this environment; "
-        "BMP/PPM/PNG/baseline-JPEG decode works via decoder='image' "
-        "(mahout_spark.sources.imagecodec); plug an ffmpeg decoder "
-        "into mahout_spark.sources.multimodal._REGISTRY for the rest")
+        "external media codecs are not installed in this environment; "
+        "implemented pure-NumPy: decoder='image' (BMP/PPM/PNG/baseline "
+        "JPEG), decoder='audio' (PCM WAV), sample_frames(decoder="
+        "'mjpeg') (MJPEG AVI). This slot is for compressed formats "
+        "that genuinely need ffmpeg/libav (H.264, AAC, MP3, ...): plug "
+        "a decoder into mahout_spark.sources.multimodal._REGISTRY")
+
+
+def _audio_decode(payload: bytes, dim: int) -> np.ndarray:
+    """REAL decode for PCM WAV payloads (sources/avcodec.py): decode ->
+    per-frame (RMS energy, zero-crossing rate) descriptor."""
+    from mahout_spark.sources.avcodec import audio_feature
+
+    return audio_feature(payload, dim)
 
 
 _REGISTRY = {"fake": _fake_decode, "image": _image_decode,
-             "real": _real_decode}
+             "audio": _audio_decode, "real": _real_decode}
 
 
 def extract_features(media: DataFrame, dim: int = 64,
@@ -118,6 +128,17 @@ def sample_frames(media: DataFrame, every_n: int = 10,
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 b = bytes(payload)
+                if decoder == "mjpeg":
+                    # REAL path: every_n-th video chunk of an MJPEG AVI,
+                    # emitted as standalone JPEG bytes (decode_image-
+                    # ready downstream)
+                    from mahout_spark.sources.avcodec import \
+                        iter_avi_video_chunks
+
+                    for i, chunk in enumerate(iter_avi_video_chunks(b)):
+                        if i % every_n == 0:
+                            rows.append((mid, i, chunk))
+                    continue
                 if decoder == "real":
                     _real_decode(b, 0)
                 n_frames = max(1, len(b) // 64)
