@@ -600,6 +600,25 @@ def _q_factorization_rmse(spark, sf_dir) -> DataFrame:
         "n_probe long, n_scored long, mae double, rmse double")
 
 
+def _q_vecdist_euclidean(spark, sf_dir) -> DataFrame:
+    """VectorDistanceSimilarityJob gate (math/hadoop/similarity/
+    VectorDistanceSimilarityJob.java): broadcast seed set x all vectors,
+    euclidean distance per pair — the jobs/vecdist.py plan verbatim
+    (seed side broadcast, all math in JVM expressions)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    seeds = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("seed_id"),
+                     F.col("embedding").cast("array<double>").alias("s")))
+    pts = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    diff2 = F.aggregate(
+        F.zip_with("v", "s", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (pts.crossJoin(F.broadcast(seeds))
+            .select("seed_id", "vec_id",
+                    F.round(F.sqrt(diff2), 6).alias("distance")))
+
+
 def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
     from mahout_spark.functions.text import (content_fingerprint, detect_lang,
                                              quality_score, token_count,
@@ -1053,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_itembased": _q_recommend_itembased,
         "recommend_svd": _q_recommend_svd,
         "factorization_rmse": _q_factorization_rmse,
+        "vecdist_euclidean": _q_vecdist_euclidean,
         "kmeans_assign": _q_kmeans_assign,
         "fuzzy_kmeans_memberships": _q_fuzzy_memberships,
         "ols_fit": _q_ols_fit,
@@ -1615,6 +1635,14 @@ FROM ranked WHERE rn <= 5
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
         "factorization_rmse": factorization_rmse_sql,
+        "vecdist_euclidean": """
+SELECT s.vec_id AS seed_id, p.vec_id,
+       round(sqrt(list_sum(list_transform(
+           list_zip(p.embedding::DOUBLE[], s.embedding::DOUBLE[]),
+           x -> (x[1] - x[2]) * (x[1] - x[2])))), 6) AS distance
+FROM embeddings p
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
+""",
         "kmeans_assign": kmeans_assign_sql,
         "fuzzy_kmeans_memberships": fuzzy_memberships_sql,
         "ols_fit": OLS_FIT_SQL,
