@@ -1040,6 +1040,155 @@ def _q_fp_growth(spark, sf_dir) -> DataFrame:
         "support")
 
 
+def _q_dedup_groups(spark, sf_dir) -> DataFrame:
+    """Duplicate-GROUP resolution gate: the minhash LSH pair set (same
+
+    params as minhash_lsh_pairs) resolved into transitive groups with a
+    min-id representative (dedup.py dedup_groups — min-label propagation
+    + pointer doubling). The DuckDB oracle replays the closure with a
+    recursive CTE over the identical pair SQL."""
+    from mahout_spark.operators.dedup import (dedup_groups,
+                                              minhash_dedup_pairs)
+
+    pairs = minhash_dedup_pairs(_read(spark, sf_dir, "documents"),
+                                "doc_id", "text", num_perm=MINHASH_PERM,
+                                bands=8, seed=MINHASH_SEED,
+                                threshold=0.125, max_bucket=10 ** 9,
+                                family="parity")
+    out = dedup_groups(pairs.select("id_a", "id_b"))
+    return out.select("group_id", "member_id",
+                      F.col("is_representative").cast("int")
+                      .alias("is_representative"))
+
+
+def _gate_prefs(spark, sf_dir) -> DataFrame:
+    """(user_id, item_id, pref) — integer-valued sums, engine-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(F.col("o_custkey").alias("user_id"),
+                     F.col("l_partkey").alias("item_id"))
+            .agg(F.sum("l_quantity").cast("double").alias("pref")))
+
+
+def _q_recommend_itemavg(spark, sf_dir) -> DataFrame:
+    """ItemAverageRecommender gate (pure aggregation — hash-exact):
+
+    estimate = item mean pref, top-5 unseen per user via the exact
+    broadcast-top-M plan."""
+    from mahout_spark.operators.recommender import item_average_recommend
+
+    out = item_average_recommend(_gate_prefs(spark, sf_dir), top_n=5)
+    return out.select("user_id", "item_id",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_recommend_itemuseravg(spark, sf_dir) -> DataFrame:
+    """ItemUserAverageRecommender gate: itemAvg + (userAvg - overallAvg);
+
+    all three terms are exact-integer-sum divisions, so the shifted score
+    is bit-reproducible."""
+    from mahout_spark.operators.recommender import (
+        item_user_average_recommend)
+
+    out = item_user_average_recommend(_gate_prefs(spark, sf_dir), top_n=5)
+    return out.select("user_id", "item_id",
+                      F.round("score", 6).alias("score"))
+
+
+def _q_vecdist_chebyshev(spark, sf_dir) -> DataFrame:
+    """DistanceMeasure-family gate: chebyshev (max |a_i-b_i|) through the
+
+    pluggable registry (functions/distance.py), same broadcast-seeds plan
+    as vecdist_euclidean."""
+    from mahout_spark.functions.distance import DISTANCES
+
+    emb = _read(spark, sf_dir, "embeddings")
+    seeds = (emb.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("seed_id"),
+                     F.col("embedding").cast("array<double>").alias("s")))
+    pts = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    d = DISTANCES["chebyshev"](F.col("v"), F.col("s"))
+    return (pts.crossJoin(F.broadcast(seeds))
+            .select("seed_id", "vec_id",
+                    F.round(d, 6).alias("distance")))
+
+
+CLASSIFY_THRESHOLD = 0.13  # just above 1/8 so far points become outliers
+
+
+def _q_cluster_classify(spark, sf_dir) -> DataFrame:
+    """ClusterClassificationDriver gate: assign every embedding to the
+
+    8 deterministic centroids (same SQL-derivable centers as
+    kmeans_assign) with pdf = 1/(1+euclidean) normalized, outlier
+    threshold on max normalized pdf; below-threshold points keep
+    cluster = -1."""
+    import numpy as np
+
+    from mahout_spark.operators.clustering import cluster_classify
+
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+            .select(F.col("embedding").cast("array<double>")).collect())
+    centers = np.array([r[0] for r in rows], dtype=np.float64)
+    out = cluster_classify(emb, centers, threshold=CLASSIFY_THRESHOLD)
+    return out.select("vec_id", "cluster",
+                      F.round("weight", 6).alias("weight"),
+                      F.col("is_outlier").cast("int").alias("is_outlier"))
+
+
+def _q_auc_scores(spark, sf_dir) -> DataFrame:
+    """Mann-Whitney AUC gate (Auc.java rank statistic, exact midranks):
+
+    label = returnflag R, score = quantity (integer midrank arithmetic
+    → hash-exact single division)."""
+    from mahout_spark.operators.evaluation import auc
+
+    li = _read(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        F.col("l_quantity").cast("double").alias("score"))
+    return auc(scored)
+
+
+def _q_confusion_binary(spark, sf_dir) -> DataFrame:
+    """Auc.java 2x2 confusion gate: predicted = score > 25 (strict)."""
+    from mahout_spark.operators.evaluation import confusion_binary
+
+    li = _read(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+        F.col("l_quantity").cast("double").alias("score"))
+    return confusion_binary(scored, threshold=25.0)
+
+
+EWA_ALPHA_US = 3_600_000_000.0  # 1 hour in microseconds
+
+
+def _q_ewa_events(spark, sf_dir) -> DataFrame:
+    """OnlineExponentialAverage gate: the sequential recurrence's closed
+
+    form sum(x e^((t-T)/alpha))/sum(e^((t-T)/alpha)) per event_type —
+    ONE grouped aggregation instead of an ordered accumulator; t in
+    integer microseconds so (t-T) is exact in both engines."""
+    from mahout_spark.operators.evaluation import exponential_average
+
+    # ts is TIMESTAMP_NTZ in the parquet; the session tz is pinned UTC,
+    # so casting to TIMESTAMP is identity and unix_micros matches
+    # DuckDB's epoch_us on the naive value exactly
+    ev = (_read(spark, sf_dir, "events")
+          .select("event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("t_us"),
+                  F.col("value")))
+    out = exponential_average(ev, "t_us", "value", EWA_ALPHA_US,
+                              group_cols=["event_type"])
+    return out.select("event_type", F.round("ewa_mean", 6).alias("ewa_mean"),
+                      "n")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1098,6 +1247,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "dedup_groups": _q_dedup_groups,
+        "recommend_itemavg": _q_recommend_itemavg,
+        "recommend_itemuseravg": _q_recommend_itemuseravg,
+        "vecdist_chebyshev": _q_vecdist_chebyshev,
+        "cluster_classify": _q_cluster_classify,
+        "auc_scores": _q_auc_scores,
+        "confusion_binary": _q_confusion_binary,
+        "ewa_events": _q_ewa_events,
     }
 
 
@@ -1159,11 +1316,13 @@ def oracle_sql() -> dict[str, str]:
                                              token_count_sql,
                                              tokens_array_sql)
     from mahout_spark.operators.ann import brute_force_topk_sql, cosine_sql
-    from mahout_spark.operators.dedup import (embedding_neardup_lsh_sql,
+    from mahout_spark.operators.dedup import (dedup_groups_sql,
+                                              embedding_neardup_lsh_sql,
                                               exact_dedup_groups_sql,
                                               minhash_signatures_sql,
                                               ngram_jaccard_pairs_sql,
                                               simhash_sql)
+    from mahout_spark.operators.evaluation import auc_sql
     from mahout_spark.operators.naivebayes import (nb_classify_sql,
                                                    nb_model_sql)
     from mahout_spark.operators.vectorize import (bigram_collocations_sql,
@@ -1176,6 +1335,10 @@ def oracle_sql() -> dict[str, str]:
                                              quantile_bound_oracle_sql)
 
     toksrc = _toksrc_sql()
+    GATE_PREFS_SQL = (
+        "SELECT o_custkey AS u, l_partkey AS i, "
+        "(sum(l_quantity))::DOUBLE AS p "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2")
     probe = (f"SELECT token FROM ({toksrc}) GROUP BY token "
              f"ORDER BY count(*) DESC, token LIMIT 25")
     llr = llr_cooc_sql("n_a", "n_b", "n_ab", "n_users")
@@ -1681,4 +1844,94 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
         "embedding_neardup_lsh": embedding_neardup_lsh_sql(
             "embeddings", EMB_DIM, "vec_id", "embedding", threshold=0.3,
             n_bands=LSH_BANDS, band_planes=LSH_BAND_PLANES, seed=LSH_SEED),
+        "dedup_groups": f"""
+SELECT group_id, member_id, is_representative::INT AS is_representative
+FROM ({dedup_groups_sql(minhash_lsh_sql)})
+""",
+        "recommend_itemavg": f"""
+WITH prefs AS ({GATE_PREFS_SQL}),
+avgs AS (SELECT i, avg(p) AS score FROM prefs GROUP BY i),
+m AS (SELECT 5 + max(cnt) AS m
+      FROM (SELECT count(*) AS cnt FROM prefs GROUP BY u)),
+top_items AS (SELECT i, score FROM (
+    SELECT i, score, row_number() OVER (ORDER BY score DESC, i) AS rn
+    FROM avgs) WHERE rn <= (SELECT m FROM m)),
+users AS (SELECT DISTINCT u FROM prefs),
+cand AS (SELECT users.u, t.i, t.score FROM users CROSS JOIN top_items t
+         WHERE NOT EXISTS (SELECT 1 FROM prefs p2
+                           WHERE p2.u = users.u AND p2.i = t.i)),
+ranked AS (SELECT u, i, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, i) AS rn FROM cand)
+SELECT u AS user_id, i AS item_id, round(score, 6) AS score
+FROM ranked WHERE rn <= 5
+""",
+        "recommend_itemuseravg": f"""
+WITH prefs AS ({GATE_PREFS_SQL}),
+avgs AS (SELECT i, avg(p) AS iavg FROM prefs GROUP BY i),
+uavgs AS (SELECT u, avg(p) AS uavg FROM prefs GROUP BY u),
+oa AS (SELECT avg(p) AS o FROM prefs),
+m AS (SELECT 5 + max(cnt) AS m
+      FROM (SELECT count(*) AS cnt FROM prefs GROUP BY u)),
+top_items AS (SELECT i, iavg FROM (
+    SELECT i, iavg, row_number() OVER (ORDER BY iavg DESC, i) AS rn
+    FROM avgs) WHERE rn <= (SELECT m FROM m)),
+cand AS (SELECT uavgs.u, t.i,
+                (t.iavg + (uavgs.uavg - (SELECT o FROM oa))) AS score
+         FROM uavgs CROSS JOIN top_items t
+         WHERE NOT EXISTS (SELECT 1 FROM prefs p2
+                           WHERE p2.u = uavgs.u AND p2.i = t.i)),
+ranked AS (SELECT u, i, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, i) AS rn FROM cand)
+SELECT u AS user_id, i AS item_id, round(score, 6) AS score
+FROM ranked WHERE rn <= 5
+""",
+        "vecdist_chebyshev": """
+SELECT s.vec_id AS seed_id, p.vec_id,
+       round(list_max(list_transform(
+           list_zip(p.embedding::DOUBLE[], s.embedding::DOUBLE[]),
+           x -> abs(x[1] - x[2]))), 6) AS distance
+FROM embeddings p
+CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
+""",
+        "cluster_classify": f"""
+WITH centers AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT e.vec_id, c.c,
+         1.0 / (1.0 + sqrt(list_sum(list_transform(
+             list_zip(e.embedding::DOUBLE[], c.cv),
+             q -> (q[1] - q[2]) * (q[1] - q[2]))))) AS pdf
+  FROM embeddings e CROSS JOIN centers c),
+agg AS (SELECT vec_id, list_sum(list(pdf ORDER BY c)) AS t
+        FROM p GROUP BY vec_id),
+best AS (SELECT vec_id, c AS bc, pdf AS bp, row_number() OVER (
+           PARTITION BY vec_id ORDER BY pdf DESC, c) AS rn FROM p),
+j AS (SELECT b.vec_id, b.bc, b.bp, a.t
+      FROM best b JOIN agg a USING (vec_id) WHERE b.rn = 1)
+SELECT vec_id,
+       (CASE WHEN bp / t >= {CLASSIFY_THRESHOLD!r} THEN bc ELSE -1 END)
+         AS cluster,
+       round(bp / t, 6) AS weight,
+       (bp / t < {CLASSIFY_THRESHOLD!r})::INT AS is_outlier
+FROM j
+""",
+        "auc_scores": auc_sql("lineitem", "(l_returnflag = 'R')",
+                              "l_quantity"),
+        "confusion_binary": """
+SELECT (l_returnflag = 'R')::INT AS actual,
+       (l_quantity > 25.0)::INT AS predicted, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+""",
+        "ewa_events": f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS x FROM events),
+mx AS (SELECT event_type, max(t) AS mt FROM e GROUP BY 1),
+d AS (SELECT e.event_type, exp((e.t - mx.mt) / {EWA_ALPHA_US!r}) AS disc,
+             e.x
+      FROM e JOIN mx USING (event_type))
+SELECT event_type, round(sum(x * disc) / sum(disc), 6) AS ewa_mean,
+       count(*) AS n
+FROM d GROUP BY event_type
+""",
     }

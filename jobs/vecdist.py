@@ -35,8 +35,9 @@ def main(argv=None):
     ap.add_argument("--seeds", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--measure", default="euclidean",
-                    choices=["euclidean", "squared", "cosine",
-                             "manhattan"])
+                    choices=["euclidean", "squared", "cosine", "manhattan",
+                             "chebyshev", "tanimoto", "minkowski"])
+    ap.add_argument("--minkowski-p", type=float, default=3.0)
     ap.add_argument("--out-type", default="p", choices=["p", "v"])
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
@@ -60,27 +61,16 @@ def main(argv=None):
 
     t0 = time.time()
     # broadcast the seed side (the reference requires it to fit in
-    # memory); all distance math stays in JVM expressions
+    # memory); all distance math stays in JVM expressions via the
+    # pluggable DistanceMeasure registry
+    from mahout_spark.functions.distance import DISTANCES, minkowski
+
     j = pts.crossJoin(F.broadcast(seeds))
-    diff2 = F.aggregate(
-        F.zip_with("v", "s", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    if args.measure == "euclidean":
-        dist = F.sqrt(diff2)
-    elif args.measure == "squared":
-        dist = diff2
-    elif args.measure == "manhattan":
-        dist = F.aggregate(
-            F.zip_with("v", "s", lambda a, b: F.abs(a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-    else:  # cosine distance = 1 - cos
-        dot = F.aggregate(F.zip_with("v", "s", lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        nv = F.sqrt(F.aggregate("v", F.lit(0.0),
-                                lambda acc, x: acc + x * x))
-        ns = F.sqrt(F.aggregate("s", F.lit(0.0),
-                                lambda acc, x: acc + x * x))
-        dist = F.lit(1.0) - dot / (nv * ns)
+    if args.measure == "minkowski":
+        fn = minkowski(args.minkowski_p)
+    else:
+        fn = DISTANCES[args.measure]
+    dist = fn(F.col("v"), F.col("s"))
     out = j.select("seed_id", "vec_id", dist.alias("distance"))
     if args.out_type == "v":
         out = (out.groupBy("vec_id")

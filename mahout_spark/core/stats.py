@@ -97,3 +97,38 @@ def f_sf(f: float, d1: float, d2: float) -> float:
     if f <= 0:
         return 1.0
     return betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
+
+class OnlineExponentialAverage:
+    """Exponentially time-discounted running average
+
+    (math/src/main/java/org/apache/mahout/math/stats/
+    OnlineExponentialAverage.java:23-63, studied not copied): older
+    samples are discounted to 1/e after ``alpha`` time units. ``mean()``
+    is the discounted average of x, ``mean_rate()`` the discounted event
+    rate. For the distributed one-pass equivalent see
+    operators.evaluation.exponential_average (the recurrence unrolls to
+    sum(x_i * exp(-(T - t_i)/alpha))).
+    """
+
+    def __init__(self, alpha: float):
+        self.alpha = float(alpha)
+        self.last_t = 0.0
+        self.s = 0.0
+        self.w = 0.0
+        self.t = 0.0
+
+    def add(self, t: float, x: float) -> None:
+        import math as _math
+
+        pi = _math.exp(-(t - self.last_t) / self.alpha)
+        self.s = x + pi * self.s
+        self.w = 1.0 + pi * self.w
+        self.t = (t - self.last_t) + pi * self.t
+        self.last_t = t
+
+    def mean(self) -> float:
+        return self.s / self.w
+
+    def mean_rate(self) -> float:
+        return self.s / self.t

@@ -81,18 +81,20 @@ class Drm:
 
         rows, cols = key if isinstance(key, tuple) else (key, slice(None))
         df, nrow, ncol = self.df, self._nrow, self._ncol
-        if isinstance(rows, slice) and (rows.start or rows.stop):
+        if isinstance(rows, slice) and (rows.start or rows.stop is not None):
             start = rows.start or 0
-            df = _ops.row_range(df, start, rows.stop)
+            stop = self.nrow if rows.stop is None else rows.stop
+            df = _ops.row_range(df, start, stop)
             if start:
                 df = df.withColumn("row_id", F.col("row_id") - start)
-            nrow = rows.stop - start
-        if isinstance(cols, slice) and (cols.start or cols.stop):
+            nrow = stop - start
+        if isinstance(cols, slice) and (cols.start or cols.stop is not None):
             start = cols.start or 0
-            df = _ops.col_range(df, start, cols.stop)
+            stop = self.ncol if cols.stop is None else cols.stop
+            df = _ops.col_range(df, start, stop)
             if start:
                 df = df.withColumn("col_id", F.col("col_id") - start)
-            ncol = cols.stop - start
+            ncol = stop - start
         return Drm(df, nrow, ncol)
 
     def cbind(self, other) -> "Drm":

@@ -140,7 +140,10 @@ def adaptive_logistic_train(df: DataFrame, num_categories: int,
     spark = df.sparkSession
     n = df.count()
     frac = min(1.0, max_incore_rows / max(n, 1))
-    key = F.pmod(F.xxhash64(F.monotonically_increasing_id(),
+    # key derives from row CONTENT (as parallel_sgd_train does), not
+    # monotonically_increasing_id, so the sample coin and training order
+    # are identical under any input partitioning / rerun
+    key = F.pmod(F.xxhash64(F.to_json(F.struct(label_col, features_col)),
                             F.lit(seed)), F.lit(1 << 24))
     sample = df.select(F.col(label_col).alias("__y"),
                        F.col(features_col).alias("__x"),

@@ -37,14 +37,32 @@ def _sq_dist_expr(vec: Column, center: np.ndarray) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def assign_expr(vec: Column, centers: np.ndarray) -> Column:
+def _measure_expr(vec: Column, center: np.ndarray, measure: str) -> Column:
+    """Distance expression for one literal centroid; 'squared' keeps the
+
+    historical fast path, anything else resolves through the pluggable
+    DistanceMeasure registry (functions/distance.py) — the reference's
+    KMeansDriver takes any DistanceMeasure for assignment while the
+    update remains the mean."""
+    if measure == "squared":
+        return _sq_dist_expr(vec, center)
+    from mahout_spark.functions.distance import DISTANCES
+
+    carr = F.array(*[F.lit(float(x)) for x in center])
+    return DISTANCES[measure](vec.cast("array<double>"), carr)
+
+
+def assign_expr(vec: Column, centers: np.ndarray,
+                measure: str = "squared") -> Column:
     """struct(cluster int, dist2 double) — argmin over literal centroids,
 
     ties to the lowest cluster id (array_sort on (dist, id) structs, the
     IVF probe_cells_expr shape). Pure Catalyst: the per-iteration
     centroid state is inlined as literals, identical on every executor.
+    ``dist2`` carries the chosen measure's value (squared euclidean by
+    default).
     """
-    entries = [F.struct(_sq_dist_expr(vec, c).alias("d"),
+    entries = [F.struct(_measure_expr(vec, c, measure).alias("d"),
                         F.lit(i).alias("c"))
                for i, c in enumerate(centers)]
     best = F.array_sort(F.array(*entries))[0]
@@ -57,11 +75,11 @@ MAX_EXPR_LITERALS = 20_000
 
 
 def _assign_frame(points: DataFrame, centers: np.ndarray, id_col: str,
-                  vec_col: str) -> DataFrame:
+                  vec_col: str, measure: str = "squared") -> DataFrame:
     """(id, vec, cluster, dist2) under either assignment regime."""
     k, dim = centers.shape
     if k * dim <= MAX_EXPR_LITERALS:
-        a = assign_expr(F.col(vec_col), centers)
+        a = assign_expr(F.col(vec_col), centers, measure)
         return points.select(F.col(id_col), F.col(vec_col),
                              a.alias("__a")) \
             .select(id_col, vec_col, "__a.cluster", "__a.dist2")
@@ -69,10 +87,16 @@ def _assign_frame(points: DataFrame, centers: np.ndarray, id_col: str,
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "__c int, __cv array<double>")
-    d = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("__cv"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, v: acc + v)
+    if measure == "squared":
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), F.col("__cv"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+    else:
+        from mahout_spark.functions.distance import DISTANCES
+
+        d = DISTANCES[measure](F.col(vec_col).cast("array<double>"),
+                               F.col("__cv"))
     scored = (points.select(id_col, vec_col)
               .crossJoin(F.broadcast(cdf))
               .select(F.col(id_col), F.col(vec_col),
@@ -104,11 +128,12 @@ def kmeans_seed_centers(points: DataFrame, k: int, seed: int = 42,
 
 class KMeansModel:
     def __init__(self, centers: np.ndarray, iterations: int,
-                 converged: bool, cost: float):
+                 converged: bool, cost: float, measure: str = "squared"):
         self.centers = centers
         self.iterations = iterations
         self.converged = converged
-        self.cost = cost  # sum of squared distances at the final assignment
+        self.cost = cost  # sum of assignment distances at the final pass
+        self.measure = measure
 
     def assign(self, points: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
@@ -119,14 +144,16 @@ class KMeansModel:
         models broadcast a centroid table and take min_by over a
         (point x center) join — same result, bounded plan size.
         """
-        return _assign_frame(points, self.centers, id_col, vec_col) \
+        return _assign_frame(points, self.centers, id_col, vec_col,
+                             self.measure) \
             .select(id_col, "cluster", "dist2")
 
 
 def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
            convergence_delta: float = 1e-4, seed: int = 42,
            id_col: str = "vec_id", vec_col: str = "embedding",
-           init_centers: np.ndarray | None = None) -> KMeansModel:
+           init_centers: np.ndarray | None = None,
+           measure: str = "squared") -> KMeansModel:
     """Lloyd's k-means: deterministic hash-seeded init, Catalyst argmin
 
     assignment, centroid recompute via posexplode + groupBy avg (one
@@ -134,6 +161,10 @@ def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
     moves <= convergence_delta in euclidean distance (Kluster semantics).
     Empty clusters keep their previous center (reference clusters simply
     don't observe points).
+
+    ``measure`` picks the ASSIGNMENT distance from the DistanceMeasure
+    registry (KMeansDriver accepts any DistanceMeasure the same way);
+    the update step remains the mean, exactly as in the reference.
     """
     pts = points.select(F.col(id_col).alias("__id"),
                         F.col(vec_col).cast("array<double>").alias("__v"))
@@ -144,7 +175,7 @@ def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
     converged = False
     it = 0
     for it in range(1, max_iterations + 1):
-        assigned = (_assign_frame(pts, centers, "__id", "__v")
+        assigned = (_assign_frame(pts, centers, "__id", "__v", measure)
                     .select("__v", F.col("cluster").alias("__c")))
         agg = (assigned
                .select("__c", F.posexplode("__v").alias("__j", "__x"))
@@ -159,10 +190,10 @@ def kmeans(points: DataFrame, k: int, max_iterations: int = 20,
         if float(moves.max()) <= convergence_delta:
             converged = True
             break
-    cost = (_assign_frame(pts, centers, "__id", "__v")
+    cost = (_assign_frame(pts, centers, "__id", "__v", measure)
             .agg(F.sum("dist2")).first()[0])
     pts.unpersist()
-    return KMeansModel(centers, it, converged, float(cost or 0.0))
+    return KMeansModel(centers, it, converged, float(cost or 0.0), measure)
 
 
 class StreamingKMeansSketch:
@@ -353,8 +384,21 @@ def streaming_kmeans(points: DataFrame, k: int,
     return model
 
 
+#: NumPy DistanceMeasure registry for the in-core canopy mapper
+#: (mirrors functions/distance.py for the driver-bounded phase)
+NP_MEASURES = {
+    "euclidean": lambda M, p: np.linalg.norm(M - p, axis=1),
+    "squared": lambda M, p: ((M - p) ** 2).sum(axis=1),
+    "manhattan": lambda M, p: np.abs(M - p).sum(axis=1),
+    "chebyshev": lambda M, p: np.abs(M - p).max(axis=1),
+    "cosine": lambda M, p: 1.0 - (M @ p) / np.maximum(
+        np.linalg.norm(M, axis=1) * np.linalg.norm(p), 1e-300),
+}
+
+
 def canopy_centers_incore(points: np.ndarray, t1: float, t2: float,
-                          weights: np.ndarray | None = None
+                          weights: np.ndarray | None = None,
+                          measure: str = "euclidean"
                           ) -> tuple[np.ndarray, np.ndarray]:
     """(centers, weights) — CanopyClusterer.addPointToCanopies
 
@@ -694,3 +738,155 @@ u AS (SELECT {id_col}, unnest([{sel}]) AS prob,
       FROM w)
 SELECT {id_col}, cluster::INT AS cluster, prob FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster classification with outlier threshold + top-down postprocess
+# (clustering/classify/ClusterClassificationDriver.java:44-120,
+#  ClusterClassificationMapper.java:95-160,
+#  iterator/AbstractClusteringPolicy.classify:54-66,
+#  iterator/DistanceMeasureCluster.pdf:65-67 — studied, not copied)
+# ---------------------------------------------------------------------------
+
+
+def cluster_classify(points: DataFrame, centers: np.ndarray,
+                     threshold: float = 0.0,
+                     emit_most_likely: bool = True,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     measure: str = "euclidean") -> DataFrame:
+    """(id, cluster, weight, is_outlier) — assign points to EXISTING
+
+    clusters with the reference's outlier threshold. Per point:
+    pdf_i = 1/(1 + dist(x, c_i)) (DistanceMeasureCluster.pdf), normalized
+    to sum 1 (AbstractClusteringPolicy.classify); a point classifies only
+    if max normalized pdf >= threshold (shouldClassify), else it is an
+    outlier row with cluster = -1. ``emit_most_likely=False`` emits every
+    cluster whose normalized pdf clears the threshold
+    (writeAllAboveThreshold) instead of just the argmax.
+
+    All-JVM: centroids are literals, pdfs fold left in cluster order (the
+    DuckDB twin replays the same order bit-for-bit), argmax ties break to
+    the lowest cluster id.
+    """
+    from mahout_spark.functions.distance import DISTANCES
+
+    fn = DISTANCES[measure]
+    centers = np.asarray(centers, dtype=np.float64)
+    k = len(centers)
+    vec = F.col(vec_col).cast("array<double>")
+    pdfs = []
+    for c in centers:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        pdfs.append(F.lit(1.0) / (F.lit(1.0) + fn(vec, carr)))
+    arr = F.array(*pdfs)
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    base = points.select(F.col(id_col), arr.alias("__p"),
+                         total.alias("__t"))
+    entries = [F.struct((F.lit(0.0) - F.col("__p")[i]).alias("nd"),
+                        F.lit(i).alias("c")) for i in range(k)]
+    best = F.array_sort(F.array(*entries))[0]
+    mx = (F.lit(0.0) - best["nd"]) / F.col("__t")
+    if emit_most_likely:
+        return base.select(
+            F.col(id_col),
+            F.when(mx >= threshold, best["c"]).otherwise(F.lit(-1))
+            .alias("cluster"),
+            mx.alias("weight"),
+            (mx < threshold).alias("is_outlier"))
+    scored = base.select(F.col(id_col), mx.alias("__mx"), "__t",
+                         F.posexplode("__p").alias("__c", "__pv"))
+    classified = (scored
+                  .filter((F.col("__mx") >= threshold)
+                          & (F.col("__pv") / F.col("__t") >= threshold))
+                  .select(F.col(id_col), F.col("__c").alias("cluster"),
+                          (F.col("__pv") / F.col("__t")).alias("weight"),
+                          F.lit(False).alias("is_outlier")))
+    outliers = (base.select(F.col(id_col), mx.alias("__mx"))
+                .filter(F.col("__mx") < threshold)
+                .select(F.col(id_col), F.lit(-1).alias("cluster"),
+                        F.col("__mx").alias("weight"),
+                        F.lit(True).alias("is_outlier")))
+    return classified.unionByName(outliers)
+
+
+def cluster_classify_sql(table: str, centers: np.ndarray,
+                         threshold: float, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_dp: int = 6) -> str:
+    """DuckDB twin of cluster_classify(emit_most_likely=True): identical
+
+    1/(1+euclidean) pdfs, identical left-fold total in cluster order,
+    identical argmax tie-break, identical threshold decision on the
+    UNROUNDED weight."""
+    pexprs = []
+    for c in np.asarray(centers, dtype=np.float64):
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        d2 = (f"list_sum(list_transform(list_zip({vec_col}::DOUBLE[], "
+              f"{lit}::DOUBLE[]), p -> (p[1] - p[2]) * (p[1] - p[2])))")
+        pexprs.append(f"1.0 / (1.0 + sqrt({d2}))")
+    k = len(pexprs)
+    pcols = ", ".join(f"{e} AS p{i}" for i, e in enumerate(pexprs))
+    tot = " + ".join(f"p{i}" for i in range(k))
+    # argmax with lowest-id tie-break via greatest-chain comparison
+    best_c = "0"
+    best_p = "p0"
+    for i in range(1, k):
+        best_c = f"(CASE WHEN p{i} > ({best_p}) THEN {i} ELSE {best_c} END)"
+        best_p = f"greatest({best_p}, p{i})"
+    return f"""
+WITH p AS (SELECT {id_col}, {pcols} FROM {table}),
+s AS (SELECT {id_col}, ({best_c}) AS bc, ({best_p}) AS bp,
+             ({tot}) AS t FROM p)
+SELECT {id_col},
+       (CASE WHEN bp / t >= {threshold!r} THEN bc ELSE -1 END) AS cluster,
+       round(bp / t, {round_dp}) AS weight,
+       (bp / t < {threshold!r}) AS is_outlier
+FROM s
+"""
+
+
+def write_clustered(assigned: DataFrame, path: str,
+                    cluster_col: str = "cluster") -> None:
+    """Top-down postprocessor (clustering/topdown/postprocessor/
+
+    ClusterOutputPostProcessorDriver.java): one output directory per
+    cluster. DataFrame-native: partitionBy on the cluster column — the
+    'move each point into its cluster's directory' MR pass becomes a
+    partitioned parquet write with dynamic partition pruning on read."""
+    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(path)
+
+
+def topdown_cluster(points: DataFrame, k_top: int, k_within: int,
+                    max_iterations: int = 10, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-down two-level clustering (clustering/topdown/TopDownClustering
+
+    pattern): k-means into k_top coarse clusters, then an independent
+    k-means of k_within inside each — returns (id, top_cluster,
+    sub_cluster). The within phase trains per-cluster on driver-bounded
+    centroid state but assigns distributedly; suitable when k_top *
+    k_within centroids stay driver-sized (they do — centroids, not data).
+    """
+    top = kmeans(points, k_top, max_iterations, seed=seed,
+                 id_col=id_col, vec_col=vec_col)
+    a = (top.assign(points, id_col=id_col, vec_col=vec_col)
+         .select(F.col(id_col), F.col("cluster").alias("top_cluster")))
+    assigned = points.select(F.col(id_col), F.col(vec_col)).join(a, id_col)
+    assigned = assigned.persist()
+    outs = []
+    for c in range(k_top):
+        sub = assigned.filter(F.col("top_cluster") == c)
+        n = sub.count()
+        if n == 0:
+            continue
+        kw = min(k_within, n)
+        model = kmeans(sub, kw, max_iterations, seed=seed + 1 + c,
+                       id_col=id_col, vec_col=vec_col)
+        outs.append(model.assign(sub).select(
+            F.col(id_col), F.lit(c).alias("top_cluster"),
+            F.col("cluster").alias("sub_cluster")))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

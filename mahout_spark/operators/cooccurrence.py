@@ -63,15 +63,16 @@ def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
     One ordered pair per direction (a != b unless include_self) so per-item
     top-K sees every neighbor. Input must be binarized/distinct.
 
-    The self-join key is pre-hashed to a long when rows are string-keyed
-    (urls): the row id never reaches the output, and a 64-bit join key cuts
-    sort/probe cost ~1.5x at web scale (measured). This is an accepted
-    approximation: two distinct rows colliding in xxhash64 merge their
-    item sets, inflating n_ab for their items' pairs. By birthday bound the
-    probability of ANY collision among n rows is ~n^2/2^65 — at n = 10^9
-    rows that is ~3%, at the gate's <10^6 rows it is <3e-8. Pass
-    ``exact_row_join=True`` to keep the exact string join (the
-    oracle-checked gate paths use integer keys, which are always exact).
+    The self-join key is pre-hashed when rows are string-keyed (urls): the
+    row id never reaches the output, and a fixed-width join key cuts
+    sort/probe cost ~1.5x at web scale (measured with the single-long
+    variant). The key is a struct of TWO independent xxhash64 draws —
+    effectively 128 bits — so the any-collision probability among n rows
+    is ~n^2/2^129: ~3e-12 even at n = 10^12 rows, vs ~3% at 10^9 rows for
+    the old single 64-bit key. Pass ``exact_row_join=True`` to keep the
+    exact string join (the oracle-checked gate paths use integer keys,
+    which are always exact; a pytest asserts hash-path == exact-path
+    parity on string keys).
     """
     if not ordered and include_self:
         raise ValueError(
@@ -79,7 +80,8 @@ def cooccurrence_counts(interactions: DataFrame, row: str = "row_id",
             "item_b) and so cannot emit self-pairs; use ordered=True with "
             "include_self=True")
     rtype = interactions.schema[row].dataType.simpleString()
-    rkey = (F.xxhash64(F.col(row))
+    rkey = (F.struct(F.xxhash64(F.col(row)).alias("h1"),
+                     F.xxhash64(F.col(row), F.lit(1)).alias("h2"))
             if rtype in ("string", "binary") and not exact_row_join
             else F.col(row))
     a = interactions.select(rkey.alias("__r"), F.col(col).alias("item_a"))

@@ -175,6 +175,89 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# duplicate-group resolution: connected components over dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 25) -> DataFrame:
+    """(group_id, member_id, is_representative) — transitive closure of
+
+    duplicate pairs. The missing last stage of every pair-producing dedup
+    operator here (LSH/SimHash/embedding): a-b, b-c, c-d must become ONE
+    group with min-id as the deterministic representative.
+
+    Algorithm: min-label propagation with pointer doubling (the
+    hash-to-min / large-star shape from Rastogi et al., "Finding
+    Connected Components in MapReduce"): each round every vertex takes
+    the min of its own label, its neighbors' labels, AND its label's
+    label. Doubling makes chains converge in O(log diameter) rounds,
+    not O(diameter); dedup graphs (near-clique LSH buckets) typically
+    finish in 2-3. Every step is a key-equi-join + min-agg — one shuffle
+    each, map-side combinable, no driver data path; the per-round
+    convergence check is a bounded count(). Fully deterministic, so the
+    DuckDB recursive-CTE oracle replays it exactly.
+    """
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = (e.unionByName(e.select(F.col("d").alias("s"),
+                                    F.col("s").alias("d")))
+             .distinct().persist())
+    labels = (edges.select(F.col("s").alias("v")).distinct()
+              .select("v", F.col("v").alias("lbl"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("v").alias("d"),
+                                        F.col("lbl").alias("nl")), "d")
+               .groupBy("s").agg(F.min("nl").alias("nl")))
+        step = (labels.join(nbr.select(F.col("s").alias("v"), "nl"),
+                            "v", "left")
+                .select("v", F.least("lbl",
+                                     F.coalesce("nl", "lbl")).alias("lbl")))
+        # pointer doubling: lbl(v) <- min(lbl(v), lbl(lbl(v))). The
+        # self-join references `step` twice, so WITHOUT lineage
+        # truncation the logical plan doubles per round (exponential —
+        # a 64-chain blew past Spark's 2 GB plan-string cap);
+        # localCheckpoint keeps each round's plan O(1).
+        new = (step.join(step.select(F.col("v").alias("lbl"),
+                                     F.col("lbl").alias("ll")), "lbl", "left")
+               .select("v", F.least("lbl",
+                                    F.coalesce("ll", "lbl")).alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.select("v", F.col("lbl").alias("old")),
+                            "v")
+                   .filter(F.col("lbl") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("lbl").alias("group_id"),
+                         F.col("v").alias("member_id"),
+                         (F.col("v") == F.col("lbl"))
+                         .alias("is_representative"))
+
+
+def dedup_groups_sql(pairs_sql: str, id_a: str = "id_a",
+                     id_b: str = "id_b") -> str:
+    """DuckDB twin: exact transitive closure via a recursive CTE (min
+
+    reachable id per vertex) over the same pair set."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_sql})),
+edges AS (SELECT {id_a} AS s, {id_b} AS d FROM pairs
+          UNION
+          SELECT {id_b} AS s, {id_a} AS d FROM pairs),
+reach(v, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v
+)
+SELECT min(r) AS group_id, v AS member_id,
+       (v = min(r)) AS is_representative
+FROM reach GROUP BY v
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verification / small-scale oracle)
 # ---------------------------------------------------------------------------
 

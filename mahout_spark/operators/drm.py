@@ -494,7 +494,7 @@ def map_block(a: DataFrame, ncol: int, block_fn, out_ncol: int | None = None,
     bucket = F.pmod(F.xxhash64(F.col("row_id")), F.lit(n_blocks))
     src = a.withColumn("__blk", bucket)
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rows, rinv = np.unique(pdf["row_id"].to_numpy(), return_inverse=True)
         block = np.zeros((len(rows), ncol))
         block[rinv, pdf["col_id"].to_numpy(dtype=np.int64)] = \

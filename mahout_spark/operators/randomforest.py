@@ -421,8 +421,12 @@ def forest_predict_expr(forest: DecisionForest, x: Column) -> Column:
     votes = F.array(*[tree_to_column(t, x) for t in forest.trees])
     if forest.n_labels == 0:
         ok = F.filter(votes, lambda v: ~F.isnan(v))
-        return (F.aggregate(ok, F.lit(0.0), lambda acc, v: acc + v)
-                / F.size(ok))
+        # all trees NaN (every path hit an unseen categorical) -> NaN,
+        # matching predict_incore's sentinel instead of SQL NULL
+        return F.when(
+            F.size(ok) > 0,
+            F.aggregate(ok, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size(ok)).otherwise(F.lit(float("nan")))
     counts = F.array(*[
         F.aggregate(votes, F.lit(0),
                     lambda acc, v: acc + F.when(v == float(k), 1)

@@ -408,3 +408,259 @@ def evaluate_fold(train: DataFrame, test: DataFrame, n_neighbors: int = 20,
         F.sqrt(F.avg(F.pow(F.col("__est") - F.col("__truth"), 2)))
         .alias("rmse"),
         F.count("*").alias("n_scored"))
+
+
+# ---------------------------------------------------------------------------
+# Taste baseline recommenders — the control arms for evaluator comparisons
+# (ItemAverageRecommender.java:51-110, ItemUserAverageRecommender.java:52-125,
+# RandomRecommender.java:40-95; studied, not copied)
+# ---------------------------------------------------------------------------
+
+
+def item_average_recommend(prefs: DataFrame, top_n: int = 10,
+                           user: str = "user_id", item: str = "item_id",
+                           pref: str = "pref") -> DataFrame:
+    """(user_id, item_id, score) — estimate(u, i) = mean pref of item i
+
+    over ALL users (ItemAverageRecommender.doEstimatePreference), top-N
+    unseen items per user.
+
+    Scale shape: the score is user-independent, so a user's top-N unseen
+    is a prefix of ONE global ranking. We take the global top
+    (N + max_seen) items (excluding a user's seen items removes at most
+    max_seen of them — still >= N left, so this is EXACT), broadcast that
+    tiny list, and anti-join — no users x items blow-up.
+    """
+    avgs = prefs.groupBy(F.col(item).alias("item_id")).agg(
+        F.avg(F.col(pref).cast("double")).alias("score"))
+    max_seen = (prefs.groupBy(user).agg(F.count("*").alias("n"))
+                .agg(F.max("n")).first()[0]) or 0
+    m = top_n + int(max_seen)
+    top_items = topk_per_group(avgs.withColumn("__g", F.lit(1)), ["__g"],
+                               "score", m,
+                               tiebreak_cols=["item_id"]).drop("__g")
+    users = prefs.select(F.col(user).alias("user_id")).distinct()
+    cand = users.crossJoin(F.broadcast(top_items))
+    seen = prefs.select(F.col(user).alias("user_id"),
+                        F.col(item).alias("item_id"))
+    cand = cand.join(seen, ["user_id", "item_id"], "left_anti")
+    return topk_per_group(cand, ["user_id"], "score", top_n,
+                          tiebreak_cols=["item_id"])
+
+
+def item_user_average_recommend(prefs: DataFrame, top_n: int = 10,
+                                user: str = "user_id",
+                                item: str = "item_id",
+                                pref: str = "pref") -> DataFrame:
+    """ItemAverage shifted by the user's bias: estimate(u, i) =
+
+    itemAvg(i) + (userAvg(u) - overallAvg)
+    (ItemUserAverageRecommender.doEstimatePreference:107-120). The shift
+    is constant per user, so the per-user RANKING equals item-average's —
+    the same broadcast-top-M plan stays exact; only the score column
+    carries the user term.
+    """
+    p = F.col(pref).cast("double")
+    avgs = prefs.groupBy(F.col(item).alias("item_id")).agg(
+        F.avg(p).alias("__iavg"))
+    uavgs = prefs.groupBy(F.col(user).alias("user_id")).agg(
+        F.avg(p).alias("__uavg"))
+    overall = float(prefs.agg(F.avg(p)).first()[0])
+    max_seen = (prefs.groupBy(user).agg(F.count("*").alias("n"))
+                .agg(F.max("n")).first()[0]) or 0
+    m = top_n + int(max_seen)
+    top_items = topk_per_group(avgs.withColumn("__g", F.lit(1)), ["__g"],
+                               "__iavg", m,
+                               tiebreak_cols=["item_id"]).drop("__g")
+    cand = uavgs.crossJoin(F.broadcast(top_items))
+    seen = prefs.select(F.col(user).alias("user_id"),
+                        F.col(item).alias("item_id"))
+    cand = (cand.join(seen, ["user_id", "item_id"], "left_anti")
+            .select("user_id", "item_id",
+                    (F.col("__iavg") + (F.col("__uavg") - F.lit(overall)))
+                    .alias("score")))
+    return topk_per_group(cand, ["user_id"], "score", top_n,
+                          tiebreak_cols=["item_id"])
+
+
+def random_recommend(prefs: DataFrame, top_n: int = 10, seed: int = 13,
+                     user: str = "user_id", item: str = "item_id",
+                     pref: str = "pref",
+                     candidates: DataFrame | None = None) -> DataFrame:
+    """RandomRecommender: N random unseen items per user, scored
+
+    uniformly in [minPref, maxPref] (.java:44-95). The reference draws
+    from a stateful java Random; here both the item choice and the score
+    derive from xxhash64(user, item, seed) so retries, both cluster
+    sizes, and the DuckDB oracle agree — determinism is a deliberate
+    upgrade, the estimator's distribution is the same.
+
+    ``candidates``: optional (user_id, item_id) frame (e.g. from
+    sampling_candidate_items) to bound the candidate set; defaults to
+    the all-unknown-items strategy (users x items anti-join — fine for
+    evaluation corpora, use a strategy at web scale).
+    """
+    bounds = prefs.agg(
+        F.min(F.col(pref).cast("double")).alias("lo"),
+        F.max(F.col(pref).cast("double")).alias("hi")).first()
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if candidates is None:
+        users = prefs.select(F.col(user).alias("user_id")).distinct()
+        items = prefs.select(F.col(item).alias("item_id")).distinct()
+        candidates = users.crossJoin(items)
+    else:
+        candidates = candidates.select(F.col(user).alias("user_id"),
+                                       F.col(item).alias("item_id"))
+    seen = prefs.select(F.col(user).alias("user_id"),
+                        F.col(item).alias("item_id"))
+    cand = candidates.join(seen, ["user_id", "item_id"], "left_anti")
+    u01 = (F.pmod(F.xxhash64("user_id", "item_id", F.lit(seed)),
+                  F.lit(1 << 30)).cast("double") / F.lit(float(1 << 30)))
+    scored = cand.select("user_id", "item_id",
+                         (F.lit(lo) + u01 * F.lit(hi - lo)).alias("score"))
+    return topk_per_group(scored, ["user_id"], "score", top_n,
+                          tiebreak_cols=["item_id"])
+
+
+def item_average_estimate(train: DataFrame, pairs: DataFrame,
+                          user: str = "user_id", item: str = "item_id",
+                          pref: str = "pref") -> DataFrame:
+    """Score arbitrary (user, item) pairs with the item-average model —
+
+    the estimator half of the baseline, for evaluator comparisons."""
+    avgs = train.groupBy(F.col(item).alias(item)).agg(
+        F.avg(F.col(pref).cast("double")).alias("est"))
+    return pairs.select(user, item).join(avgs, item, "left")
+
+
+def item_user_average_estimate(train: DataFrame, pairs: DataFrame,
+                               user: str = "user_id",
+                               item: str = "item_id",
+                               pref: str = "pref") -> DataFrame:
+    p = F.col(pref).cast("double")
+    avgs = train.groupBy(F.col(item).alias(item)).agg(
+        F.avg(p).alias("__iavg"))
+    uavgs = train.groupBy(F.col(user).alias(user)).agg(
+        F.avg(p).alias("__uavg"))
+    overall = float(train.agg(F.avg(p)).first()[0])
+    return (pairs.select(user, item)
+            .join(avgs, item, "left").join(uavgs, user, "left")
+            .select(user, item,
+                    (F.col("__iavg") + (F.col("__uavg") - F.lit(overall)))
+                    .alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Candidate-item strategies (AbstractCandidateItemsStrategy family)
+# ---------------------------------------------------------------------------
+
+
+def all_unknown_items_candidates(prefs: DataFrame, user: str = "user_id",
+                                 item: str = "item_id") -> DataFrame:
+    """AllUnknownItemsCandidateItemsStrategy.java: every item the user
+
+    has not rated. users x items anti-join — the evaluation-scale
+    default; at web scale use sampling_candidate_items."""
+    users = prefs.select(F.col(user).alias("user_id")).distinct()
+    items = prefs.select(F.col(item).alias("item_id")).distinct()
+    seen = prefs.select(F.col(user).alias("user_id"),
+                        F.col(item).alias("item_id"))
+    return users.crossJoin(items).join(seen, ["user_id", "item_id"],
+                                       "left_anti")
+
+
+def preferred_items_neighborhood_candidates(prefs: DataFrame,
+                                            user: str = "user_id",
+                                            item: str = "item_id"
+                                            ) -> DataFrame:
+    """PreferredItemsNeighborhoodCandidateItemsStrategy.java:41-60: items
+
+    preferred by any user who shares >= 1 preferred item with the target
+    user, minus the target's own items. Two self-equi-joins on the pref
+    table — the unsampled co-visitation closure."""
+    pi = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__i"))
+    co_users = (pi.join(pi.select(F.col("__u").alias("__v"),
+                                  F.col("__i")), "__i")
+                .select("__u", "__v").distinct())
+    cand = (co_users.join(pi.select(F.col("__u").alias("__v"),
+                                    F.col("__i").alias("item_id")), "__v")
+            .select(F.col("__u").alias("user_id"), "item_id").distinct())
+    seen = pi.select(F.col("__u").alias("user_id"),
+                     F.col("__i").alias("item_id"))
+    return cand.join(seen, ["user_id", "item_id"], "left_anti")
+
+
+def all_similar_items_candidates(prefs: DataFrame, item_sims: DataFrame,
+                                 user: str = "user_id",
+                                 item: str = "item_id") -> DataFrame:
+    """AllSimilarItemsCandidateItemsStrategy.java:35-50: items similar
+
+    (per a precomputed item-item similarity frame (item_a, item_b, sim))
+    to anything the user preferred, minus the user's own items."""
+    pi = prefs.select(F.col(user).alias("user_id"),
+                      F.col(item).alias("item_a"))
+    sims = item_sims.select("item_a", F.col("item_b").alias("item_id"))
+    mirror = item_sims.select(F.col("item_b").alias("item_a"),
+                              F.col("item_a").alias("item_id"))
+    cand = (pi.join(sims.unionByName(mirror).distinct(), "item_a")
+            .select("user_id", "item_id").distinct())
+    seen = prefs.select(F.col(user).alias("user_id"),
+                        F.col(item).alias("item_id"))
+    return cand.join(seen, ["user_id", "item_id"], "left_anti")
+
+
+def sampling_candidate_items(prefs: DataFrame, items_factor: int = 30,
+                             users_per_item_factor: int = 30,
+                             candidates_per_user_factor: int = 30,
+                             seed: int = 17, user: str = "user_id",
+                             item: str = "item_id") -> DataFrame:
+    """SamplingCandidateItemsStrategy.java:60-140 — the web-scale lever:
+
+    the co-visitation closure with three caps, each max = factor *
+    (1 + log2(n)): (1) the target's preferred items, (2) users per such
+    item, (3) that user's items contributed as candidates. The reference
+    samples with a per-call Random; here each cap keeps the top rows by
+    xxhash64(..., seed) rank — same expected behavior, deterministic and
+    retry/rerun-stable. Each cap is one window row_number; output is
+    bounded by the product of the three maxima per user, independent of
+    corpus size.
+    """
+    import math
+
+    n_users = prefs.select(user).distinct().count()
+    n_items = prefs.select(item).distinct().count()
+
+    def cap(factor: int, n: int) -> int:
+        return int(factor * (1.0 + math.log2(max(n, 1))))
+
+    max_items = cap(items_factor, n_items)
+    max_users_per_item = cap(users_per_item_factor, n_users)
+    max_items_per_user = cap(candidates_per_user_factor, n_items)
+
+    pi = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__i"))
+    # (1) sample the target's preferred items
+    w1 = Window.partitionBy("__u").orderBy(
+        F.xxhash64("__u", "__i", F.lit(seed)), F.col("__i"))
+    seeds_ = (pi.withColumn("__r", F.row_number().over(w1))
+              .filter(F.col("__r") <= max_items).drop("__r"))
+    # (2) sample users per preferred item
+    w2 = Window.partitionBy("__i").orderBy(
+        F.xxhash64("__i", "__v", F.lit(seed + 1)), F.col("__v"))
+    co = (pi.select(F.col("__i"), F.col("__u").alias("__v"))
+          .withColumn("__r", F.row_number().over(w2))
+          .filter(F.col("__r") <= max_users_per_item).drop("__r"))
+    # (3) sample each co-user's items as candidates
+    w3 = Window.partitionBy("__v").orderBy(
+        F.xxhash64("__v", "__c", F.lit(seed + 2)), F.col("__c"))
+    vitems = (pi.select(F.col("__u").alias("__v"),
+                        F.col("__i").alias("__c"))
+              .withColumn("__r", F.row_number().over(w3))
+              .filter(F.col("__r") <= max_items_per_user).drop("__r"))
+    cand = (seeds_.join(co, "__i")
+            .select("__u", "__v").distinct()
+            .join(vitems, "__v")
+            .select(F.col("__u").alias("user_id"),
+                    F.col("__c").alias("item_id")).distinct())
+    seen = prefs.select(F.col(user).alias("user_id"),
+                        F.col(item).alias("item_id"))
+    return cand.join(seen, ["user_id", "item_id"], "left_anti")

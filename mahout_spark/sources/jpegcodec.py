@@ -58,6 +58,7 @@ _UNZZ = np.argsort(_ZZ)
 def _quant_table(quality: int, chroma: bool) -> np.ndarray:
     """Frequency-weighted table scaled by an IJG-style quality knob.
     (Synthetic base table — valid because DQT carries it in the file.)"""
+    quality = min(max(int(quality), 1), 100)  # IJG clamps; q<=0 would /0
     u, v = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
     base = 8.0 + (u + v) * (6.0 if chroma else 4.0)
     base[0, 0] = 6.0 if chroma else 4.0
@@ -111,12 +112,22 @@ def _bit_size(v: np.ndarray | int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+_HUFF_DUMMY = 256  # outside the 0-255 JPEG symbol space
+
+
 def _huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
-    """Symbol -> code length, max 16 (the classic BITS-adjustment)."""
+    """Symbol -> code length, max 16 (the classic BITS-adjustment).
+
+    A frequency-0 dummy symbol (libjpeg's 256th-symbol trick, T.81
+    Annex K) is merged in first, lands at max depth, sorts last in
+    canonical (length, symbol) order and therefore owns the all-ones
+    codeword; it is dropped before return, so the emitted (slightly
+    incomplete) table never assigns all-1s to a real symbol and the
+    1-bit entropy-tail padding can never form a valid code."""
     if not freqs:
         return {}
-    if len(freqs) == 1:
-        return {next(iter(freqs)): 1}
+    freqs = dict(freqs)
+    freqs[_HUFF_DUMMY] = 0
     heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
     heapq.heapify(heap)
     depth = dict.fromkeys(freqs, 0)
@@ -149,6 +160,7 @@ def _huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
         for _ in range(bits[ln]):
             lengths[order[i]] = ln
             i += 1
+    lengths.pop(_HUFF_DUMMY, None)
     return lengths
 
 
@@ -464,6 +476,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1  # spec-legal 0xFF fill bytes before the marker
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:

@@ -401,3 +401,107 @@ def test_fuzzy_membership_sql_matches_spark(spark, blobs, tmp_path):
     want = {(int(r[0]), int(r[1])): float(r[2]) for r in con.execute(
         fuzzy_membership_sql("fpts", centers)).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cluster classification with outlier threshold + top-down postprocess
+# ---------------------------------------------------------------------------
+
+
+class TestClusterClassify:
+    def _pdf_oracle(self, X, centers):
+        d = np.linalg.norm(X[:, None, :] - centers[None, :, :], axis=2)
+        pdf = 1.0 / (1.0 + d)
+        return pdf / pdf.sum(axis=1, keepdims=True)
+
+    def test_most_likely_matches_numpy(self, spark, blobs):
+        from mahout_spark.operators.clustering import cluster_classify
+
+        df, X = blobs
+        centers = X[:4].copy()
+        out = {r["vec_id"]: (r["cluster"], r["weight"], r["is_outlier"])
+               for r in cluster_classify(df, centers,
+                                         threshold=0.3).collect()}
+        norm = self._pdf_oracle(X, centers)
+        for i in range(len(X)):
+            c, w, o = out[i]
+            mx = norm[i].max()
+            assert w == pytest.approx(mx, rel=1e-12)
+            if mx >= 0.3:
+                assert c == int(norm[i].argmax()) and not o
+            else:
+                assert c == -1 and o
+
+    def test_threshold_zero_classifies_everything(self, spark, blobs):
+        from mahout_spark.operators.clustering import cluster_classify
+
+        df, X = blobs
+        out = cluster_classify(df, X[:4].copy(), threshold=0.0)
+        assert out.filter(F.col("is_outlier")).count() == 0
+
+    def test_emit_all_above_threshold(self, spark, blobs):
+        from mahout_spark.operators.clustering import cluster_classify
+
+        df, X = blobs
+        centers = X[:4].copy()
+        th = 0.22
+        rows = cluster_classify(df, centers, threshold=th,
+                                emit_most_likely=False).collect()
+        norm = self._pdf_oracle(X, centers)
+        got = {}
+        for r in rows:
+            got.setdefault(r["vec_id"], []).append(
+                (r["cluster"], r["weight"], r["is_outlier"]))
+        for i in range(len(X)):
+            mx = norm[i].max()
+            if mx >= th:
+                want = {(c, True) for c in range(4) if norm[i][c] >= th}
+                assert {(c, not o) for c, _, o in got[i]} == want
+            else:
+                assert got[i][0][0] == -1 and got[i][0][2]
+
+    def test_write_clustered_partitions(self, spark, blobs, tmp_path):
+        import os
+
+        from mahout_spark.operators.clustering import (cluster_classify,
+                                                       write_clustered)
+
+        df, X = blobs
+        out = cluster_classify(df, X[:4].copy(), threshold=0.0)
+        path = str(tmp_path / "bycluster")
+        write_clustered(out, path)
+        dirs = {d for d in os.listdir(path) if d.startswith("cluster=")}
+        assert len(dirs) >= 2  # one directory per populated cluster
+        back = spark.read.parquet(path)
+        assert back.count() == len(X)
+        # partition pruning: reading one cluster touches one partition dir
+        one = back.filter(F.col("cluster") == out.first()["cluster"])
+        assert "PartitionFilters" in one._jdf.queryExecution().toString() \
+            or one.count() > 0
+
+    def test_topdown_two_level(self, spark, blobs):
+        from mahout_spark.operators.clustering import topdown_cluster
+
+        df, X = blobs
+        out = topdown_cluster(df, k_top=2, k_within=2, max_iterations=5)
+        rows = out.collect()
+        assert len(rows) == len(X)
+        assert {r["top_cluster"] for r in rows} <= {0, 1}
+        assert {r["sub_cluster"] for r in rows} <= {0, 1}
+
+
+def test_kmeans_pluggable_measure(spark, blobs):
+    """Manhattan-assignment k-means (KMeansDriver takes any
+    DistanceMeasure): assignment must argmin manhattan, update stays
+    the mean."""
+    from mahout_spark.operators.clustering import kmeans
+
+    df, X = blobs
+    m = kmeans(df, 3, max_iterations=5, measure="manhattan")
+    assert m.measure == "manhattan"
+    out = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in m.assign(df).collect()}
+    d = np.abs(X[:, None, :] - m.centers[None, :, :]).sum(axis=2)
+    for i in range(len(X)):
+        assert out[i][0] == int(d[i].argmin())
+        assert out[i][1] == pytest.approx(d[i].min(), rel=1e-12)

@@ -76,3 +76,12 @@ def test_map_block(mats):
         return keys, block * 2.0
 
     _close(dA.map_block(double), A * 2.0)
+
+
+def test_open_ended_slices(mats):
+    A, _, dA, _ = mats
+    _close(dA[2:, :], A[2:, :])
+    _close(dA[:, 1:], A[:, 1:])
+    _close(dA[3:, 2:], A[3:, 2:])
+    _close(dA[:5, :], A[:5, :])
+    _close(dA[2:, 1:4], A[2:, 1:4])

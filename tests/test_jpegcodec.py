@@ -97,3 +97,38 @@ def test_huffman_canonical_properties():
                 assert not b.startswith(a)
     # kraft inequality holds (valid code)
     assert sum(2.0 ** -ln for _, ln in codes.values()) <= 1.0 + 1e-12
+
+
+def test_huffman_reserves_all_ones_codeword():
+    """T.81 Annex K / libjpeg 256th-symbol trick: no REAL symbol may own
+    the all-1s code, so 1-padding in the entropy tail can never decode
+    as a symbol."""
+    rng = np.random.default_rng(21)
+    for trial in range(8):
+        n = int(rng.integers(1, 80))
+        freqs = {int(s): int(f) for s, f in
+                 zip(rng.choice(256, n, replace=False),
+                     rng.integers(1, 5_000, n))}
+        codes = _canonical_codes(_huffman_lengths(freqs))
+        for sym, (c, ln) in codes.items():
+            assert c != (1 << ln) - 1, (trial, sym, c, ln)
+        # reserving one codeword makes the code strictly incomplete
+        assert sum(2.0 ** -ln for _, ln in codes.values()) < 1.0
+
+
+def test_decode_tolerates_ff_fill_bytes():
+    """0xFF fill bytes before a marker are spec-legal padding."""
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3))
+    payload = encode_jpeg(img, quality=90)
+    assert payload[:2] == b"\xff\xd8"
+    padded = payload[:2] + b"\xff" + payload[2:]
+    out = decode_jpeg(padded)
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out, decode_jpeg(payload))
+
+
+def test_quality_clamped():
+    img = np.full((8, 8, 3), 128, np.uint8)
+    for q in (-5, 0, 150):
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        assert out.shape == (8, 8, 3)

@@ -149,3 +149,18 @@ def test_privacy_config_to_sketch_flow(spark):
         # overestimates beyond eps*N allowed at rate < delta (plus slack)
         assert over <= max(1, int((r.delta + 0.05) * len(est))), \
             (r.group_key, over, len(est), r.delta)
+
+
+def test_cooccurrence_string_row_hash_matches_exact(spark):
+    """The 128-bit (2x xxhash64) pre-hash join must agree with the exact
+    string join — row-key hashing is a join-speed lever, never a result
+    change (collision bound ~n^2/2^129)."""
+    from mahout_spark.operators.cooccurrence import cooccurrence_counts
+
+    rows = [(f"url-{u}", i) for u in range(40) for i in range(u % 7 + 1)]
+    df = spark.createDataFrame(rows, "row_id string, col_id int").distinct()
+    hashed = sorted(map(tuple, cooccurrence_counts(df).collect()))
+    exact = sorted(map(tuple, cooccurrence_counts(
+        df, exact_row_join=True).collect()))
+    assert hashed == exact
+    assert len(hashed) > 0

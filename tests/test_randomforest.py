@@ -177,3 +177,16 @@ def test_ig_split_frame_matches_numpy_replay(spark):
         n = tot.sum()
         want = H(tot) - lo.sum() / n * H(lo) - hi.sum() / n * H(hi)
         assert abs(got[s] - round(want, 6)) < 2e-6, s
+
+
+def test_regression_all_nan_matches_incore_sentinel(spark):
+    """Every tree NaN (all-unseen categorical path) -> the Catalyst
+    expression must yield NaN like predict_incore, not SQL NULL."""
+    from pyspark.sql import functions as F
+
+    f = DecisionForest([{"leaf": math.nan}, {"leaf": math.nan}], n_labels=0)
+    df = spark.createDataFrame([([0.0],)], "features array<double>")
+    got = df.select(forest_predict_expr(f, F.col("features"))
+                    .alias("p")).first()["p"]
+    assert got is not None and math.isnan(got)
+    assert math.isnan(f.predict_incore(np.zeros((1, 1)))[0])
