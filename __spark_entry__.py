@@ -1096,6 +1096,31 @@ def _q_recommend_itemuseravg(spark, sf_dir) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _q_recommend_rescored(spark, sf_dir) -> DataFrame:
+    """IDRescorer gate: user-based recommend (the recommend_cooc plan)
+
+    with a rescorer that FILTERS items ≡ 0 (mod 7) and boosts items
+    ≡ 0 (mod 3) by ×1.5 (exact in binary — the rescored score is the
+    hash-exact base estimate times a power-of-two-scaled constant)."""
+    from mahout_spark.operators.recommender import (IDRescorer,
+                                                    nearest_n_neighborhood,
+                                                    recommend)
+
+    prefs = _gate_prefs(spark, sf_dir)
+    a = prefs.select(F.col("item_id").alias("__i"),
+                     F.col("user_id").alias("user_a"))
+    b = prefs.select(F.col("item_id").alias("__i"),
+                     F.col("user_id").alias("user_b"))
+    sims = (a.join(b, "__i").filter(F.col("user_a") != F.col("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.count("*").cast("double").alias("sim")))
+    nb = nearest_n_neighborhood(sims, 10)
+    resc = IDRescorer(
+        rescore=lambda i, s: F.when(i % 3 == 0, s * F.lit(1.5)).otherwise(s),
+        is_filtered=lambda i: i % 7 == 0)
+    return recommend(prefs, nb, top_n=5, min_evidence=2, rescorer=resc)
+
+
 def _q_vecdist_chebyshev(spark, sf_dir) -> DataFrame:
     """DistanceMeasure-family gate: chebyshev (max |a_i-b_i|) through the
 
@@ -1249,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "dedup_groups": _q_dedup_groups,
         "recommend_itemavg": _q_recommend_itemavg,
+        "recommend_rescored": _q_recommend_rescored,
         "recommend_itemuseravg": _q_recommend_itemuseravg,
         "vecdist_chebyshev": _q_vecdist_chebyshev,
         "cluster_classify": _q_cluster_classify,
@@ -1513,6 +1539,37 @@ est AS (SELECT u, it, sum(sim * p) / sum(sim) AS score,
 ranked AS (SELECT u, it, score, row_number() OVER (
     PARTITION BY u ORDER BY score DESC, it) AS rn
   FROM est WHERE n >= 2)
+SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
+"""
+
+    # IDRescorer twin of recommend_sql: filtered ids cut before the
+    # estimate agg (TopItems.java:62 checks isFiltered pre-estimate; the
+    # estimate only aggregates over the candidate's own rows, so cutting
+    # candidates never changes surviving scores), rescore applied before
+    # ranking (TopItems.java:70-73).
+    recommend_rescored_sql = """
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+sims AS (SELECT a.u AS ua, b.u AS ub, count(*)::DOUBLE AS sim
+         FROM prefs a JOIN prefs b ON a.i = b.i AND a.u <> b.u GROUP BY 1, 2),
+nb AS (SELECT *, row_number() OVER (
+    PARTITION BY ua ORDER BY sim DESC, ub) AS rn FROM sims),
+cand AS (
+  SELECT nb.ua AS u, pr.i AS it, nb.sim, pr.p
+  FROM nb JOIN prefs pr ON pr.u = nb.ub
+  WHERE nb.rn <= 10
+    AND pr.i % 7 <> 0
+    AND NOT EXISTS (SELECT 1 FROM prefs s WHERE s.u = nb.ua AND s.i = pr.i)),
+est AS (SELECT u, it, sum(sim * p) / sum(sim) AS score,
+               count(*) AS n FROM cand GROUP BY 1, 2),
+rescored AS (
+  SELECT u, it,
+         CASE WHEN it % 3 = 0 THEN score * 1.5 ELSE score END AS score
+  FROM est WHERE n >= 2),
+ranked AS (SELECT u, it, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, it) AS rn
+  FROM rescored)
 SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
 """
 
@@ -1795,6 +1852,7 @@ FROM ranked WHERE rn <= 5
         "dcol_mean_cov": dcol_cov_sql,
         "feature_hashing": feature_hashing_sql,
         "recommend_cooc": recommend_sql,
+        "recommend_rescored": recommend_rescored_sql,
         "recommend_itembased": recommend_itembased_sql,
         "recommend_svd": recommend_svd_sql,
         "factorization_rmse": factorization_rmse_sql,

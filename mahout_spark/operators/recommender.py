@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mahout_spark.operators.rescorer import (IDRescorer, apply_rescorer,
+                                             filter_candidates)
 from mahout_spark.operators.topk import topk_per_group
 from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
 from mahout_spark.sketch.queries import cms_pairwise
@@ -190,11 +192,17 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
               min_evidence: int = 2, user: str = "user_id",
               item: str = "item_id", pref: str = "pref",
               cap_range: tuple[float, float] | None = None,
-              boolean_pref: bool = False) -> DataFrame:
+              boolean_pref: bool = False,
+              rescorer: IDRescorer | None = None) -> DataFrame:
     """(user_id, item_id, score) — top-N unseen items per user, scored by
 
     similarity-weighted average of neighbor preferences
     (doEstimatePreference, GenericUserBasedRecommender.java:134-184).
+
+    ``rescorer`` is the IDRescorer hook (recommend(howMany, rescorer),
+    GenericUserBasedRecommender.java:116-129): filtered item ids are cut
+    from the candidate frame before estimation, estimates are rescored
+    before ranking, NaN rescored values dropped (TopItems.java:62-73).
 
     ``boolean_pref=True`` is GenericBooleanPrefUserBasedRecommender
     (.java:45-61): the estimate is the plain SUM of similarities of
@@ -212,6 +220,7 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
     seen = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__it"),
                         F.lit(1).alias("__seen"))
     cand = (cand.join(seen, ["__u", "__it"], "left_anti"))
+    cand = filter_candidates(cand, "__it", rescorer)
     # denominator is sum(sim), NOT sum(|sim|) — the reference's
     # doEstimatePreference divides totalSimilarity through unmodified
     # (GenericUserBasedRecommender.java:164-178), so estimates with
@@ -227,18 +236,20 @@ def recommend(prefs: DataFrame, neighborhood: DataFrame, top_n: int = 10,
         lo, hi = cap_range
         est = est.withColumn("score", F.least(F.lit(float(hi)), F.greatest(
             F.lit(float(lo)), F.col("score"))))
-    out = topk_per_group(est.select(F.col("__u").alias("user_id"),
-                                    F.col("__it").alias("item_id"), "score"),
-                         ["user_id"], "score", top_n,
-                         tiebreak_cols=["item_id"])
-    return out
+    scored = apply_rescorer(
+        est.select(F.col("__u").alias("user_id"),
+                   F.col("__it").alias("item_id"), "score"),
+        "item_id", "score", rescorer)
+    return topk_per_group(scored, ["user_id"], "score", top_n,
+                          tiebreak_cols=["item_id"])
 
 
 def recommend_cms(prefs: DataFrame, profiles: DataFrame,
                   neighborhood: DataFrame, top_n: int = 10,
                   min_evidence: int = 2, user: str = "user_id",
                   item: str = "item_id",
-                  cap_range: tuple[float, float] | None = None) -> DataFrame:
+                  cap_range: tuple[float, float] | None = None,
+                  rescorer: IDRescorer | None = None) -> DataFrame:
     """The fork's CMS branch of doEstimatePreference
 
     (GenericUserBasedRecommender.java:139-159): candidate items come from
@@ -257,6 +268,7 @@ def recommend_cms(prefs: DataFrame, profiles: DataFrame,
     seen = prefs.select(F.col(user).alias("__u"),
                         F.col(item).alias("__it")).distinct()
     cand = cand.join(seen, ["__u", "__it"], "left_anti")
+    cand = filter_candidates(cand, "__it", rescorer)
     est = cms_point_lookup(profiles, cand, F.col("__it").cast("long"),
                            join_cols=[user], out_col="__pref")
     est = est.filter(F.col("__pref") > 0)  # 0 ⇒ missing, reference :158
@@ -269,10 +281,12 @@ def recommend_cms(prefs: DataFrame, profiles: DataFrame,
         lo, hi = cap_range
         scored = scored.withColumn("score", F.least(
             F.lit(float(hi)), F.greatest(F.lit(float(lo)), F.col("score"))))
-    return topk_per_group(
+    out = apply_rescorer(
         scored.select(F.col("__u").alias("user_id"),
                       F.col("__it").alias("item_id"), "score"),
-        ["user_id"], "score", top_n, tiebreak_cols=["item_id"])
+        "item_id", "score", rescorer)
+    return topk_per_group(out, ["user_id"], "score", top_n,
+                          tiebreak_cols=["item_id"])
 
 
 def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
@@ -281,7 +295,8 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
                          pref: str = "pref",
                          cap_range: tuple[float, float] | None = None,
                          exclude_seen: bool = True,
-                         boolean_pref: bool = False) -> DataFrame:
+                         boolean_pref: bool = False,
+                         rescorer: IDRescorer | None = None) -> DataFrame:
     """(user_id, item_id, score) — GenericItemBasedRecommender.recommend
 
     as a DataFrame plan (GenericItemBasedRecommender.java:118-258):
@@ -312,6 +327,7 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
         seen = prefs.select(F.col(user).alias("__u"),
                             F.col(item).alias("__cand")).distinct()
         cand = cand.join(seen, ["__u", "__cand"], "left_anti")
+    cand = filter_candidates(cand, "__cand", rescorer)
     ib_score = (F.sum("__s") if boolean_pref
                 else F.sum(F.col("__s") * F.col("__p"))
                 / F.sum(F.col("__s")))
@@ -322,25 +338,34 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
         lo, hi = cap_range
         est = est.withColumn("score", F.least(F.lit(float(hi)), F.greatest(
             F.lit(float(lo)), F.col("score"))))
-    return topk_per_group(
+    scored = apply_rescorer(
         est.select(F.col("__u").alias("user_id"),
                    F.col("__cand").alias("item_id"), "score"),
-        ["user_id"], "score", top_n, tiebreak_cols=["item_id"])
+        "item_id", "score", rescorer)
+    return topk_per_group(scored, ["user_id"], "score", top_n,
+                          tiebreak_cols=["item_id"])
 
 
-def most_similar_items(item_sims: DataFrame, n: int) -> DataFrame:
+def most_similar_items(item_sims: DataFrame, n: int,
+                       rescorer: IDRescorer | None = None) -> DataFrame:
     """Top-N similar items per item (GenericItemBasedRecommender.
 
-    mostSimilarItems, :162-229 — TopItems over the similarity table)."""
-    return topk_per_group(item_sims, ["item_a"], "sim", n,
+    mostSimilarItems, :162-229 — TopItems over the similarity table;
+    the rescorer plays MostSimilarEstimator's Rescorer<LongPair> role
+    applied to the candidate item id)."""
+    s = apply_rescorer(item_sims, "item_b", "sim", rescorer)
+    return topk_per_group(s, ["item_a"], "sim", n,
                           tiebreak_cols=["item_b"])
 
 
-def most_similar_users(sims: DataFrame, n: int) -> DataFrame:
+def most_similar_users(sims: DataFrame, n: int,
+                       rescorer: IDRescorer | None = None) -> DataFrame:
     """Top-N users by similarity per user (mostSimilarUserIDs,
 
-    GenericUserBasedRecommender.java:119-132)."""
-    return topk_per_group(sims, ["user_a"], "sim", n,
+    GenericUserBasedRecommender.java:119-132; rescorer =
+    TopItems.getTopUsers' hook, TopItems.java:95-110)."""
+    s = apply_rescorer(sims, "user_b", "sim", rescorer)
+    return topk_per_group(s, ["user_a"], "sim", n,
                           tiebreak_cols=["user_b"])
 
 
@@ -419,7 +444,8 @@ def evaluate_fold(train: DataFrame, test: DataFrame, n_neighbors: int = 20,
 
 def item_average_recommend(prefs: DataFrame, top_n: int = 10,
                            user: str = "user_id", item: str = "item_id",
-                           pref: str = "pref") -> DataFrame:
+                           pref: str = "pref",
+                           rescorer: IDRescorer | None = None) -> DataFrame:
     """(user_id, item_id, score) — estimate(u, i) = mean pref of item i
 
     over ALL users (ItemAverageRecommender.doEstimatePreference), top-N
@@ -429,10 +455,14 @@ def item_average_recommend(prefs: DataFrame, top_n: int = 10,
     is a prefix of ONE global ranking. We take the global top
     (N + max_seen) items (excluding a user's seen items removes at most
     max_seen of them — still >= N left, so this is EXACT), broadcast that
-    tiny list, and anti-join — no users x items blow-up.
+    tiny list, and anti-join — no users x items blow-up. A rescorer
+    (ItemAverageRecommender.recommend:61) keeps that shape: rescore(item,
+    itemAvg) is still user-independent, so it is applied to the per-item
+    table BEFORE the global prefix.
     """
     avgs = prefs.groupBy(F.col(item).alias("item_id")).agg(
         F.avg(F.col(pref).cast("double")).alias("score"))
+    avgs = apply_rescorer(avgs, "item_id", "score", rescorer)
     max_seen = (prefs.groupBy(user).agg(F.count("*").alias("n"))
                 .agg(F.max("n")).first()[0]) or 0
     m = top_n + int(max_seen)
@@ -451,7 +481,9 @@ def item_average_recommend(prefs: DataFrame, top_n: int = 10,
 def item_user_average_recommend(prefs: DataFrame, top_n: int = 10,
                                 user: str = "user_id",
                                 item: str = "item_id",
-                                pref: str = "pref") -> DataFrame:
+                                pref: str = "pref",
+                                rescorer: IDRescorer | None = None
+                                ) -> DataFrame:
     """ItemAverage shifted by the user's bias: estimate(u, i) =
 
     itemAvg(i) + (userAvg(u) - overallAvg)
@@ -459,26 +491,39 @@ def item_user_average_recommend(prefs: DataFrame, top_n: int = 10,
     is constant per user, so the per-user RANKING equals item-average's —
     the same broadcast-top-M plan stays exact; only the score column
     carries the user term.
+
+    A rescorer's id FILTER keeps the prefix plan exact (it only removes
+    items); a rescore FUNCTION sees the user-shifted score, which can
+    reorder differently per user, so that case widens the prefix to the
+    full item set (all-unknown-items shape) before rescore + rank.
     """
     p = F.col(pref).cast("double")
     avgs = prefs.groupBy(F.col(item).alias("item_id")).agg(
         F.avg(p).alias("__iavg"))
+    avgs = filter_candidates(avgs, "item_id", rescorer)
     uavgs = prefs.groupBy(F.col(user).alias("user_id")).agg(
         F.avg(p).alias("__uavg"))
     overall = float(prefs.agg(F.avg(p)).first()[0])
     max_seen = (prefs.groupBy(user).agg(F.count("*").alias("n"))
                 .agg(F.max("n")).first()[0]) or 0
     m = top_n + int(max_seen)
-    top_items = topk_per_group(avgs.withColumn("__g", F.lit(1)), ["__g"],
-                               "__iavg", m,
-                               tiebreak_cols=["item_id"]).drop("__g")
-    cand = uavgs.crossJoin(F.broadcast(top_items))
+    if rescorer is not None and rescorer._rescore is not None:
+        top_items = avgs  # rescore is user-dependent: no exact prefix
+        top_items_b = top_items
+    else:
+        top_items = topk_per_group(avgs.withColumn("__g", F.lit(1)), ["__g"],
+                                   "__iavg", m,
+                                   tiebreak_cols=["item_id"]).drop("__g")
+        top_items_b = F.broadcast(top_items)
+    cand = uavgs.crossJoin(top_items_b)
     seen = prefs.select(F.col(user).alias("user_id"),
                         F.col(item).alias("item_id"))
     cand = (cand.join(seen, ["user_id", "item_id"], "left_anti")
             .select("user_id", "item_id",
                     (F.col("__iavg") + (F.col("__uavg") - F.lit(overall)))
                     .alias("score")))
+    if rescorer is not None and rescorer._rescore is not None:
+        cand = apply_rescorer(cand, "item_id", "score", rescorer)
     return topk_per_group(cand, ["user_id"], "score", top_n,
                           tiebreak_cols=["item_id"])
 

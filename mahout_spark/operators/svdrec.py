@@ -160,7 +160,8 @@ def svd_recommend(user_factors: DataFrame, item_factors: DataFrame,
                   prefs: DataFrame, top_n: int = 10,
                   user: str = "user_id", item: str = "item_id",
                   include_known: bool = False,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  rescorer=None) -> DataFrame:
     """(user, item, score) — top-N per user by factor dot product,
 
     known (already-preferred) items excluded unless ``include_known``
@@ -178,7 +179,13 @@ def svd_recommend(user_factors: DataFrame, item_factors: DataFrame,
     if not include_known:
         candidates = candidates.join(
             prefs.select(user, item), [user, item], "left_anti")
+    if rescorer is not None:
+        from mahout_spark.operators.rescorer import filter_candidates
+        candidates = filter_candidates(candidates, item, rescorer)
     scored = svd_estimate(user_factors, item_factors, candidates, user, item)
+    if rescorer is not None:
+        from mahout_spark.operators.rescorer import apply_rescorer
+        scored = apply_rescorer(scored, item, "estimate", rescorer)
     return (topk_per_group(scored, [user], "estimate", top_n,
                            tiebreak_cols=[item])
             .select(user, item, F.col("estimate").alias("score")))
