@@ -159,6 +159,146 @@ class RatingSGD:
         return float(self.users[u_id] @ self.items[i_id])
 
 
+class SVDPlusPlus(RatingSGD):
+    """SVD++ (Koren, KDD 2008) — SVDPlusPlusFactorizer.java:58-177,
+
+    faithfully including its quirks:
+    * the trained user-side vector is ``p`` (slots 0..2 init 0), while
+      ``userVectors`` keeps its RatingSGD init untouched until the final
+      fold-in (factorize():100-112);
+    * the per-step prediction uses pPlusY = float32(Σ y_j / √n + p)
+      (the reference narrows to float at :137 — reproduced with
+      np.float32 so trajectories match);
+    * implicit item factors y_j of EVERY item the user rated get the
+      normalized-error update each step (:158-165);
+    * final user factor = float32((init_userVector + Σ y_j) / √n + p).
+    Defaults mirror the 3-arg ctor: bias_learning_rate 0.7,
+    bias_reg 0.33 (.java:46-48).
+
+    Replicated quirk worth knowing: the fold-in divides the WHOLE init
+    userVector by √n — including slot 0, the global-average slot — while
+    the training-time estimate (pPlusY · itemVector) never contains that
+    term at all (p's slot 0 stays 0). Served dot-product estimates are
+    therefore offset by ~globalAvg/√n relative to the residuals SGD
+    minimized; per-user RANKING (what recommend() consumes) is
+    unaffected, and parity with the reference requires keeping it.
+    """
+
+    def __init__(self, num_features: int = 8, learning_rate: float = 0.01,
+                 prevent_overfitting: float = 0.1,
+                 random_noise: float = 0.01, num_iterations: int = 10,
+                 learning_rate_decay: float = 1.0, seed: int = 101,
+                 bias_learning_rate: float = 0.7, bias_reg: float = 0.33):
+        super().__init__(num_features, learning_rate, prevent_overfitting,
+                         random_noise, num_iterations, learning_rate_decay,
+                         seed, bias_learning_rate, bias_reg)
+        self.p: dict = {}
+        self.y: dict = {}
+        self.items_by_user: dict = {}
+
+    def _aux_vec(self, store: dict, eid, salt: str) -> np.ndarray:
+        v = store.get(eid)
+        if v is None:
+            v = np.zeros(self.k)
+            rng = np.random.default_rng(
+                _entity_seed((salt, eid), self.seed))
+            v[FEATURE_OFFSET:] = rng.standard_normal(
+                self.k - FEATURE_OFFSET) * self.noise
+            store[eid] = v
+        return v
+
+    def fit(self, triples, global_avg: float | None = None
+            ) -> "SVDPlusPlus":
+        rows = [(_norm_id(u), _norm_id(i), float(p)) for u, i, p in triples]
+        if not rows:
+            return self
+        if global_avg is None:
+            global_avg = float(sum(r[2] for r in rows)) / len(rows)
+        self._ga = global_avg
+        order = sorted(range(len(rows)),
+                       key=lambda i: _entity_seed((rows[i][0], rows[i][1]),
+                                                  self.seed + 1))
+        # rated lists in hash order: Σ y_j float-addition order is then
+        # independent of the caller's row order (parity across shards)
+        for idx in order:
+            u_id, i_id = rows[idx][0], rows[idx][1]
+            self.items_by_user.setdefault(u_id, [])
+            if i_id not in self.items_by_user[u_id]:
+                self.items_by_user[u_id].append(i_id)
+        lr = self.lr
+        for _ in range(self.iters):
+            for idx in order:
+                u_id, i_id, rating = rows[idx]
+                self._update_pp(u_id, i_id, rating, lr)
+            lr *= self.decay
+        self._fold_in(global_avg)
+        return self
+
+    def _update_pp(self, u_id, i_id, rating: float, lr: float) -> None:
+        p_u = self._aux_vec(self.p, u_id, "p")
+        v = self._vec(self.items, i_id, False, 0.0)
+        rated = self.items_by_user[u_id]
+        y_sum = np.zeros(self.k)
+        for j in rated:
+            y_sum[FEATURE_OFFSET:] += self._aux_vec(
+                self.y, j, "y")[FEATURE_OFFSET:]
+        denom = np.sqrt(len(rated))
+        p_plus_y = (y_sum / denom + p_u).astype(np.float32).astype(
+            np.float64)  # the reference's (float) narrowing, :137
+        err = rating - float(p_plus_y @ v)
+        norm_err = err / denom
+        p_u[USER_BIAS] += self.bias_lr * lr * (
+            err - self.bias_reg * self.reg * p_u[USER_BIAS])
+        v[ITEM_BIAS] += self.bias_lr * lr * (
+            err - self.bias_reg * self.reg * v[ITEM_BIAS])
+        pf = p_u[FEATURE_OFFSET:].copy()
+        vf = v[FEATURE_OFFSET:].copy()
+        p_u[FEATURE_OFFSET:] += lr * (err * vf - self.reg * pf)
+        v[FEATURE_OFFSET:] += lr * (err * p_plus_y[FEATURE_OFFSET:]
+                                    - self.reg * vf)
+        common = norm_err * vf  # pre-update item features, :157
+        for j in rated:
+            y_j = self._aux_vec(self.y, j, "y")
+            y_j[FEATURE_OFFSET:] += self.lr * (
+                common - self.reg * y_j[FEATURE_OFFSET:])
+
+    def _fold_in(self, global_avg: float) -> None:
+        """factorize():100-112 — user factor = float32((init userVector
+
+        + Σ y_j)/√n + p). The RatingSGD ``userVectors`` never trained
+        (updateParameters is overridden), so its INIT is the base."""
+        for u_id, rated in self.items_by_user.items():
+            base = _init_vec(u_id, self.k, self.noise, self.seed, True,
+                             global_avg)
+            for j in rated:
+                base[FEATURE_OFFSET:] += self.y[j][FEATURE_OFFSET:]
+            denom = np.sqrt(len(rated))
+            self.users[u_id] = (base / denom + self.p[u_id]).astype(
+                np.float32).astype(np.float64)
+
+
+def svdpp_factorize(prefs: DataFrame, num_features: int = 8,
+                    learning_rate: float = 0.01,
+                    prevent_overfitting: float = 0.1,
+                    random_noise: float = 0.01, num_iterations: int = 10,
+                    learning_rate_decay: float = 1.0,
+                    n_shards: int | None = None, seed: int = 101,
+                    user: str = "user_id", item: str = "item_id",
+                    pref: str = "pref") -> tuple[DataFrame, DataFrame]:
+    """Distributed SVD++ — same shard-train + weighted-average shape as
+
+    rating_sgd_factorize (ParallelSGDFactorizer's scale-out, one-shot
+    parameter averaging). Note the y-update fan-out makes each SGD step
+    O(|R(u)| · k); shards only see their own rows, so |R(u)| inside a
+    shard shrinks as shards grow — the averaging bound degrades
+    gracefully. ``n_shards=1`` = the sequential reference exactly.
+    """
+    return _factorize_with(SVDPlusPlus, prefs, num_features, learning_rate,
+                           prevent_overfitting, random_noise,
+                           num_iterations, learning_rate_decay, n_shards,
+                           seed, user, item, pref)
+
+
 def rating_sgd_factorize(prefs: DataFrame, num_features: int = 8,
                          learning_rate: float = 0.01,
                          prevent_overfitting: float = 0.02,
@@ -179,6 +319,18 @@ def rating_sgd_factorize(prefs: DataFrame, num_features: int = 8,
     reproduces the sequential reference exactly (in deterministic hash
     order) without collecting the ratings to the driver.
     """
+    return _factorize_with(RatingSGD, prefs, num_features, learning_rate,
+                           prevent_overfitting, random_noise,
+                           num_iterations, learning_rate_decay, n_shards,
+                           seed, user, item, pref)
+
+
+def _factorize_with(model_cls, prefs: DataFrame, num_features: int,
+                    learning_rate: float, prevent_overfitting: float,
+                    random_noise: float, num_iterations: int,
+                    learning_rate_decay: float, n_shards: int | None,
+                    seed: int, user: str, item: str,
+                    pref: str) -> tuple[DataFrame, DataFrame]:
     spark = prefs.sparkSession
     if n_shards is None:
         n_shards = spark.sparkContext.defaultParallelism
@@ -199,7 +351,7 @@ def rating_sgd_factorize(prefs: DataFrame, num_features: int = 8,
 
     def fit_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__h", kind="mergesort")
-        m = RatingSGD(num_features=k, learning_rate=learning_rate,
+        m = model_cls(num_features=k, learning_rate=learning_rate,
                       prevent_overfitting=prevent_overfitting,
                       random_noise=random_noise,
                       num_iterations=num_iterations,

@@ -109,3 +109,53 @@ def test_persistence_round_trip(spark, prefs, tmp_path):
 def test_rejects_too_few_features():
     with pytest.raises(ValueError):
         RatingSGD(num_features=3)
+
+
+def test_svdpp_incore_learns():
+    from mahout_spark.operators.ratingsgd import SVDPlusPlus
+
+    m = SVDPlusPlus(num_features=8, num_iterations=100,
+                    learning_rate=0.02, prevent_overfitting=0.02).fit(ROWS)
+    # the reference's fold-in divides the global-average slot by sqrt(n)
+    # (SVDPlusPlusFactorizer.factorize():100-112), so served estimates
+    # carry a constant shift the training loop never saw; rank/learning
+    # quality is the CENTERED residual
+    resid = [m.predict(u, i) - p for u, i, p in ROWS]
+    mean_r = sum(resid) / len(resid)
+    centered = math.sqrt(sum((r - mean_r) ** 2 for r in resid)
+                         / len(resid))
+    mean = sum(p for _, _, p in ROWS) / len(ROWS)
+    base = math.sqrt(sum((p - mean) ** 2 for _, _, p in ROWS) / len(ROWS))
+    assert centered < base * 0.3  # implicit-feedback model fits the matrix
+
+
+def test_svdpp_single_shard_matches_incore(spark, prefs):
+    from mahout_spark.operators.ratingsgd import SVDPlusPlus, svdpp_factorize
+
+    uf, vf = svdpp_factorize(prefs, num_features=6, num_iterations=3,
+                             n_shards=1, seed=101)
+    row = prefs.agg(
+        F.sum(F.col("pref").cast("decimal(30,15)")).alias("s"),
+        F.count("*").alias("n")).first()
+    ga = float(row["s"] / row["n"])
+    m = SVDPlusPlus(num_features=6, num_iterations=3, seed=101).fit(
+        ROWS, global_avg=ga)
+    got_u = {(r["row_id"], r["col_id"]): r["value"] for r in uf.collect()}
+    for uid, vec in m.users.items():
+        for j, v in enumerate(vec):
+            assert got_u[(uid, j)] == pytest.approx(v, rel=0, abs=0)
+    got_v = {(r["row_id"], r["col_id"]): r["value"] for r in vf.collect()}
+    for iid, vec in m.items.items():
+        for j, v in enumerate(vec):
+            assert got_v[(iid, j)] == pytest.approx(v, rel=0, abs=0)
+
+
+def test_svdpp_sharded_deterministic(spark, prefs):
+    from mahout_spark.operators.ratingsgd import svdpp_factorize
+
+    a_u, _ = svdpp_factorize(prefs.repartition(5), num_features=6,
+                             num_iterations=2, n_shards=3)
+    b_u, _ = svdpp_factorize(prefs.repartition(3, "user_id"),
+                             num_features=6, num_iterations=2, n_shards=3)
+    assert sorted(map(tuple, a_u.collect())) == \
+        sorted(map(tuple, b_u.collect()))
