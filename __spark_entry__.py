@@ -424,6 +424,68 @@ def _q_user_similarity_tanimoto(spark, sf_dir) -> DataFrame:
                           tiebreak_cols=["user_b"])
 
 
+def _q_user_similarity_spearman(spark, sf_dir) -> DataFrame:
+    """Taste SpearmanCorrelationSimilarity: per-pair ranks over common
+
+    items (deterministic (pref, item) order), 1 − 6Σd²/(n(n²−1)). Ranks
+    are integers, so d² sums are exact and the single division is
+    bit-reproducible; n ≤ 1 pairs (NaN in the reference) are dropped so
+    the gate compares finite values only."""
+    from mahout_spark.operators.recommender import exact_user_similarity
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 150)
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").alias("pref")))
+    sims = exact_user_similarity(prefs, measure="spearman")
+    return sims.filter(F.col("n") >= 2).select(
+        "user_a", "user_b", "sim", "n")
+
+
+def _q_abt_product(spark, sf_dir) -> DataFrame:
+    """OpABt gate (blas/ABt.scala semantics, drm.abt): A·Bᵗ over
+
+    integer-valued matrices — products and sums stay exact, so the full
+    join+groupBy matrix multiply is hash-verifiable."""
+    from mahout_spark.operators.drm import abt
+
+    li = _read(spark, sf_dir, "lineitem")
+    a = (li.filter(F.col("l_orderkey") < 2000)
+         .groupBy(F.col("l_orderkey").alias("row_id"),
+                  F.col("l_linenumber").cast("long").alias("col_id"))
+         .agg(F.sum("l_quantity").alias("value")))
+    b = (li.groupBy((F.col("l_partkey") % 50).alias("row_id"),
+                    F.col("l_linenumber").cast("long").alias("col_id"))
+         .agg(F.sum("l_quantity").alias("value")))
+    return abt(a, b)
+
+
+def _q_rating_sgd_recommend(spark, sf_dir) -> DataFrame:
+    """RatingSGDFactorizer → svd_recommend. NO DuckDB oracle: iterative
+
+    SGD trajectories are not ANSI-SQL-replayable, so the driver records
+    the weaker rows-only check; bit-level correctness is covered by
+    pytest (single-shard == in-core trainer exactly, determinism under
+    repartition — tests/test_ratingsgd.py)."""
+    from mahout_spark.operators.ratingsgd import rating_sgd_factorize
+    from mahout_spark.operators.svdrec import svd_recommend
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .filter(F.col("o_custkey") < 100)
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").cast("double").alias("pref")))
+    uf, vf = rating_sgd_factorize(prefs, num_features=6, num_iterations=3,
+                                  n_shards=4)
+    return svd_recommend(uf, vf, prefs, top_n=3).select(
+        "user_id", "item_id", F.round("score", 6).alias("score"))
+
+
 def _q_recommend_itembased(spark, sf_dir) -> DataFrame:
     """GenericItemBasedRecommender with cooccurrence-count item similarity
 
@@ -1258,6 +1320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fp_growth": _q_fp_growth,
         "recommend_boolean": _q_recommend_boolean,
         "user_similarity_tanimoto": _q_user_similarity_tanimoto,
+        "user_similarity_spearman": _q_user_similarity_spearman,
+        "abt_product": _q_abt_product,
+        "rating_sgd_recommend": _q_rating_sgd_recommend,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,
@@ -1685,6 +1750,44 @@ ranked AS (SELECT *, row_number() OVER (
 SELECT user_a, user_b, sim, n FROM ranked WHERE rn <= {TOPK}
 """
 
+    # Spearman: both engines rank the pair's common items by (pref, item)
+    # with row_number -> integer ranks -> exact d² sums; one final
+    # division. n ≤ 1 (NaN in the reference) filtered on both sides.
+    user_spearman_sql = """
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey < 150 GROUP BY 1, 2),
+joined AS (SELECT a.u AS ua, b.u AS ub, a.i AS i, a.p AS pa, b.p AS pb
+           FROM prefs a JOIN prefs b ON a.i = b.i AND a.u <> b.u),
+ranked AS (SELECT ua, ub,
+                  row_number() OVER (PARTITION BY ua, ub
+                                     ORDER BY pa, i)::DOUBLE AS ra,
+                  row_number() OVER (PARTITION BY ua, ub
+                                     ORDER BY pb, i)::DOUBLE AS rb
+           FROM joined),
+agg AS (SELECT ua AS user_a, ub AS user_b,
+               sum((ra - rb) * (ra - rb)) AS d2, count(*) AS n
+        FROM ranked GROUP BY 1, 2)
+SELECT user_a, user_b,
+       1.0 - 6.0 * d2 / (n::DOUBLE * (n::DOUBLE * n::DOUBLE - 1.0)) AS sim,
+       n
+FROM agg WHERE n >= 2
+"""
+
+    # OpABt over integer-valued matrices: sums of integer products are
+    # order-independent, so the matrix multiply hashes exactly.
+    abt_product_sql = """
+WITH a AS (SELECT l_orderkey AS r, l_linenumber AS c,
+                  sum(l_quantity)::DOUBLE AS v
+           FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1, 2),
+b AS (SELECT l_partkey % 50 AS r, l_linenumber AS c,
+             sum(l_quantity)::DOUBLE AS v
+      FROM lineitem GROUP BY 1, 2)
+SELECT a.r AS row_id, b.r AS col_id, sum(a.v * b.v) AS value
+FROM a JOIN b ON a.c = b.c GROUP BY 1, 2
+"""
+
     recommend_itembased_sql = """
 WITH prefs AS (
   SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
@@ -1875,6 +1978,8 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
         "fp_growth": _fp_growth_oracle(),
         "recommend_boolean": recommend_boolean_sql,
         "user_similarity_tanimoto": user_tanimoto_sql,
+        "user_similarity_spearman": user_spearman_sql,
+        "abt_product": abt_product_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
                            variant="mahout"),
