@@ -12,7 +12,10 @@ Reference anchors (studied, not copied):
 Usage:
   spark-submit --py-files dist/mahout_spark.zip jobs/als.py \
       factorize --input ratings.parquet --output /tmp/als \
-      [--num-features 10] [--lambda 0.065] [--num-iterations 10]
+      [--num-features 10] [--lambda 0.065] [--num-iterations 10] \
+      [--factorizer als|sgd|svdpp]  (sgd = RatingSGDFactorizer,
+      svdpp = SVDPlusPlusFactorizer; both accept --learning-rate and
+      --n-shards)
   ... recommend --input ratings.parquet --factors /tmp/als \
       --output /tmp/recs [--num-recommendations 10]
   ... evaluate --probes probe.parquet --factors /tmp/als
@@ -44,6 +47,13 @@ def main(argv=None):
     ap.add_argument("--lambda", dest="lambda_", type=float, default=0.065)
     ap.add_argument("--num-iterations", type=int, default=10)
     ap.add_argument("--num-recommendations", type=int, default=10)
+    ap.add_argument("--factorizer", choices=["als", "sgd", "svdpp"],
+                    default="als",
+                    help="als = ALS-WR (ALSWRFactorizer); sgd = biased "
+                    "SGD (RatingSGDFactorizer); svdpp = SVD++ "
+                    "(SVDPlusPlusFactorizer)")
+    ap.add_argument("--learning-rate", type=float, default=0.01)
+    ap.add_argument("--n-shards", type=int, default=None)
     ap.add_argument("--user-col", default="user_id")
     ap.add_argument("--item-col", default="item_id")
     ap.add_argument("--pref-col", default="pref")
@@ -66,11 +76,23 @@ def main(argv=None):
         if not (args.input and args.output):
             ap.error("factorize requires --input --output")
         prefs = spark.read.parquet(args.input)
-        u, m = alswr_factorize(prefs, k=args.num_features,
-                               lambda_=args.lambda_,
-                               iterations=args.num_iterations,
-                               user=args.user_col, item=args.item_col,
-                               pref=args.pref_col, seed=args.seed)
+        if args.factorizer == "als":
+            u, m = alswr_factorize(prefs, k=args.num_features,
+                                   lambda_=args.lambda_,
+                                   iterations=args.num_iterations,
+                                   user=args.user_col, item=args.item_col,
+                                   pref=args.pref_col, seed=args.seed)
+        else:
+            from mahout_spark.operators.ratingsgd import (
+                rating_sgd_factorize, svdpp_factorize)
+            fac = (rating_sgd_factorize if args.factorizer == "sgd"
+                   else svdpp_factorize)
+            u, m = fac(prefs, num_features=args.num_features,
+                       learning_rate=args.learning_rate,
+                       num_iterations=args.num_iterations,
+                       n_shards=args.n_shards, seed=args.seed,
+                       user=args.user_col, item=args.item_col,
+                       pref=args.pref_col)
         u.write.mode("overwrite").parquet(f"{args.output}/U")
         m.write.mode("overwrite").parquet(f"{args.output}/M")
         print(json.dumps({"wall_s": round(time.time() - t0, 2),
