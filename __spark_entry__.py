@@ -463,6 +463,24 @@ def _q_abt_product(spark, sf_dir) -> DataFrame:
     return abt(a, b)
 
 
+def _q_projection_search(spark, sf_dir) -> DataFrame:
+    """ProjectionSearch gate (math/neighborhood/ProjectionSearch.java):
+
+    4 deterministic unit projections, ±20 ball per projection via the
+    banded window join, exact euclidean re-rank. Integer window ranks +
+    bit-identical dot folds (list_dot_product == zip_with/aggregate)
+    make the full ANN pipeline hash-exact."""
+    from mahout_spark.operators.ann import projection_search_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = projection_search_topk(emb, q, k=10, n_projections=4,
+                                 search_size=20, seed=23, dim=64)
+    return out.select("query_id", "neighbor_id",
+                      F.round("distance", 6).alias("distance"))
+
+
 def _q_rating_sgd_recommend(spark, sf_dir) -> DataFrame:
     """RatingSGDFactorizer → svd_recommend. NO DuckDB oracle: iterative
 
@@ -1323,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity_spearman": _q_user_similarity_spearman,
         "abt_product": _q_abt_product,
         "rating_sgd_recommend": _q_rating_sgd_recommend,
+        "projection_search_topk": _q_projection_search,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,
@@ -1775,6 +1794,47 @@ SELECT user_a, user_b,
 FROM agg WHERE n >= 2
 """
 
+    # ProjectionSearch: replay the window-rank + ±search_size ball + exact
+    # euclidean re-rank. Ranks are integers; dots are bit-identical
+    # (list_dot_product == the Spark left fold); ranking runs on the
+    # UNROUNDED distance in both engines, rounding only in the final
+    # projection.
+    from mahout_spark.operators.ann import _basis_normal
+    _ps_basis = _basis_normal(64, 4, 23)
+    _ps_rows = ", ".join(
+        "(" + str(p) + ", [" + ", ".join(repr(float(x)) for x in b)
+        + "]::DOUBLE[])" for p, b in enumerate(_ps_basis))
+    projection_search_sql = f"""
+WITH basis(p, b) AS (VALUES {_ps_rows}),
+cp AS (SELECT e.vec_id, basis.p,
+              list_dot_product(e.embedding::DOUBLE[], basis.b) AS proj
+       FROM embeddings e CROSS JOIN basis),
+cr AS (SELECT vec_id, p, proj,
+              row_number() OVER (PARTITION BY p ORDER BY proj, vec_id) AS r
+       FROM cp),
+qp AS (SELECT vec_id AS query_id, p, proj FROM cp WHERE vec_id < 5),
+pos AS (SELECT q.query_id, q.p,
+               (SELECT count(*) FROM cr
+                WHERE cr.p = q.p AND cr.proj <= q.proj) AS qpos
+        FROM qp q),
+cand AS (SELECT DISTINCT pos.query_id, cr.vec_id AS neighbor_id
+         FROM pos JOIN cr ON cr.p = pos.p
+                         AND cr.r BETWEEN pos.qpos - 19 AND pos.qpos + 20),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  sqrt(list_sum(list_transform(
+                      list_zip(q.embedding::DOUBLE[],
+                               e.embedding::DOUBLE[]),
+                      x -> (x[1] - x[2]) * (x[1] - x[2])))) AS d
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings e ON e.vec_id = c.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, round(d, 6) AS distance
+FROM ranked WHERE rn <= 10
+"""
+
     # OpABt over integer-valued matrices: sums of integer products are
     # order-independent, so the matrix multiply hashes exactly.
     abt_product_sql = """
@@ -1980,6 +2040,7 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
         "user_similarity_tanimoto": user_tanimoto_sql,
         "user_similarity_spearman": user_spearman_sql,
         "abt_product": abt_product_sql,
+        "projection_search_topk": projection_search_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
                            variant="mahout"),

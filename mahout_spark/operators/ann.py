@@ -272,3 +272,107 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cosine_expr(F.col("__qv"), F.col("__cv")).alias("score")).distinct()
     return topk_per_group(scored, [query_id], "score", k,
                           tiebreak_cols=["neighbor_id"])
+
+
+def _basis_normal(dim: int, n_projections: int, seed: int) -> np.ndarray:
+    """RandomProjector.generateBasisNormal twin: gaussian rows, each
+
+    normalized to unit length — deterministic (seeded NumPy, inlined as
+    literals) instead of the reference's java Random."""
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal((n_projections, dim))
+    return b / np.linalg.norm(b, axis=1, keepdims=True)
+
+
+def projection_search_topk(corpus: DataFrame, queries: DataFrame,
+                           k: int = 10, n_projections: int = 4,
+                           search_size: int = 10, seed: int = 23,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           query_id: str = "query_id",
+                           metric: str = "euclidean",
+                           dim: int | None = None) -> DataFrame:
+    """(query_id, neighbor_id, distance|score) — ProjectionSearch
+
+    (math/neighborhood/ProjectionSearch.java:40-120: project onto
+    ``n_projections`` random unit vectors; per projection take the
+    ``search_size`` corpus vectors on EACH side of the query's scalar
+    projection; union candidates; exact re-rank). FastProjectionSearch
+    (.java — same data structure with lazily-merged pending adds) has
+    identical query semantics, so this operator covers both.
+
+    Distributed shape — exact, no per-query driver work:
+    1. one projection pass each side (dot with literal basis rows);
+    2. ONE window per projection partition ranks corpus scalars and
+       positions every query between them (cumulative corpus count);
+    3. the ±search_size ball becomes a BANDED equi-join: corpus rows
+       carry band = (rank-1) div search_size, each query probes its ≤4
+       adjacent bands, then the exact rank range filters — join fan-out
+       is ≤ 4·search_size per (query, projection), independent of
+       corpus size;
+    4. distinct candidates, exact distance, Window top-k.
+    Everything is JVM column math; ranks are integers, so the candidate
+    set — and with a deterministic measure the full result — is
+    bit-reproducible (DuckDB-replayable; gate projection_search_topk).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    basis = _basis_normal(dim, n_projections, seed)
+    s = int(search_size)
+
+    def proj_rows(df, idc, tag):
+        projs = F.array(*[
+            dot_expr(F.col(vec_col),
+                     F.array(*[F.lit(float(x)) for x in b]))
+            for b in basis])
+        return (df.select(F.col(idc).alias("__id"),
+                          projs.alias("__ps"))
+                .select("__id", F.posexplode("__ps").alias("__p", "__proj"))
+                .withColumn("__tag", F.lit(tag)))
+
+    from pyspark.sql import Window
+
+    both = proj_rows(corpus, id_col, 0).unionByName(
+        proj_rows(queries, query_id, 1))
+    w = (Window.partitionBy("__p")
+         .orderBy("__proj", "__tag", "__id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pos = both.withColumn("__crank",
+                          F.sum(1 - F.col("__tag")).over(w))
+    c_side = (pos.filter(F.col("__tag") == 0)
+              .select(F.col("__p"), F.col("__id").alias("neighbor_id"),
+                      F.col("__crank").alias("__r"))
+              .withColumn("__band",
+                          F.floor((F.col("__r") - 1) / F.lit(s))))
+    q_side = (pos.filter(F.col("__tag") == 1)
+              .select(F.col("__p"), F.col("__id").alias(query_id),
+                      F.col("__crank").alias("__q")))
+    lo = F.col("__q") - F.lit(s) + 1
+    hi = F.col("__q") + F.lit(s)
+    bands = F.array_distinct(F.array(
+        F.floor((lo - 1) / F.lit(s)), F.floor((F.col("__q")) / F.lit(s)),
+        F.floor((hi - 1) / F.lit(s))))
+    q_side = (q_side.withColumn("__band", F.explode(bands))
+              .withColumn("__lo", lo).withColumn("__hi", hi))
+    cand = (c_side.join(q_side, ["__p", "__band"])
+            .filter((F.col("__r") >= F.col("__lo"))
+                    & (F.col("__r") <= F.col("__hi")))
+            .select(query_id, "neighbor_id").distinct())
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cv"))
+    qv = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    pairs = cand.join(cv, "neighbor_id").join(qv, query_id)
+    if metric == "cosine":
+        scored = pairs.select(
+            query_id, "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("score"))
+        return topk_per_group(scored, [query_id], "score", k,
+                              tiebreak_cols=["neighbor_id"])
+    d = F.sqrt(F.aggregate(
+        F.zip_with(F.col("__qv").cast("array<double>"),
+                   F.col("__cv").cast("array<double>"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v))
+    scored = pairs.select(query_id, "neighbor_id", d.alias("distance"))
+    return topk_per_group(scored, [query_id], "distance", k,
+                          tiebreak_cols=["neighbor_id"], descending=False)

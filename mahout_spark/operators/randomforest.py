@@ -294,8 +294,13 @@ class DecisionForest:
     def predict_incore(self, X: np.ndarray) -> np.ndarray:
         preds = np.stack([tree_predict(t, X) for t in self.trees])
         if self.n_labels == 0:  # regression: mean of non-NaN
-            with np.errstate(invalid="ignore"):
-                return np.nanmean(preds, axis=0)
+            ok = ~np.isnan(preds)
+            n_ok = ok.sum(axis=0)
+            sums = np.where(ok, preds, 0.0).sum(axis=0)
+            # all-NaN columns -> NaN without the nanmean empty-slice
+            # RuntimeWarning (matches forest_predict_expr's sentinel)
+            return np.where(n_ok > 0, sums / np.maximum(n_ok, 1),
+                            np.nan)
         votes = np.zeros((X.shape[0], self.n_labels))
         for row in preds:
             ok = ~np.isnan(row)
