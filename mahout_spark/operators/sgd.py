@@ -46,7 +46,8 @@ class OnlineLogisticRegression:
                  mu0: float = 1.0, decay_factor: float = 1 - 1.0e-3,
                  step_offset: int = 10, forgetting_exponent: float = -0.5,
                  per_term_offset: int = 20, lambda_: float = 1.0e-5,
-                 prior: str = "L2"):
+                 prior: str = "L2", prior_df: float = 1.0,
+                 prior_alpha: float = 1.0):
         if num_categories < 2:
             raise ValueError("need >= 2 categories")
         self.n_cat = num_categories
@@ -58,9 +59,12 @@ class OnlineLogisticRegression:
         self.forget = forgetting_exponent
         self.per_term_offset = per_term_offset
         self.lambda_ = lambda_
-        if prior not in ("L1", "L2"):
-            raise ValueError(f"prior must be L1 or L2, got {prior}")
+        if prior not in ("L1", "L2", "uniform", "t", "elastic"):
+            raise ValueError("prior must be one of L1, L2, uniform, t, "
+                             f"elastic — got {prior}")
         self.prior = prior
+        self.prior_df = prior_df  # TPrior degrees of freedom
+        self.prior_alpha = prior_alpha  # ElasticBandPrior alphaByLambda
         self.step = 0
         self.update_steps = np.zeros(num_features)
         self.update_counts = np.full(num_features, float(per_term_offset))
@@ -96,8 +100,28 @@ class OnlineLogisticRegression:
         if self.prior == "L2":
             # L2.age: value * (1 - lambda*rate)^missing
             return b * (1.0 - rate) ** missing
-        # L1.age: soft-threshold toward 0 by missing*rate
-        return np.sign(b) * np.maximum(0.0, np.abs(b) - rate * missing)
+        if self.prior == "L1":
+            # L1.age: soft-threshold toward 0 by missing*rate
+            return np.sign(b) * np.maximum(0.0, np.abs(b) - rate * missing)
+        if self.prior == "uniform":
+            # UniformPrior.age: no regularization (logP = 0)
+            return b
+        if self.prior == "elastic":
+            # ElasticBandPrior.age:30-39 — L2 shrink by alphaByLambda,
+            # then an L1 step that may not cross zero
+            old = b * (1.0 - self.prior_alpha * rate) ** missing
+            new = old - np.sign(old) * rate * missing
+            return np.where(new * old < 0.0, 0.0, new)
+        # TPrior.age:33-38 — one gradient-of-log-t step per missed
+        # generation (the reference loops; vectorized with a mask)
+        v = np.array(b, dtype=np.float64, copy=True)
+        gens = np.broadcast_to(np.asarray(missing), v.shape)
+        r = np.broadcast_to(np.asarray(rate), v.shape)
+        df = self.prior_df
+        for i in range(int(gens.max()) if gens.size else 0):
+            m = gens > i
+            v[m] -= r[m] * v[m] * (df + 1.0) / (df + v[m] * v[m])
+        return v
 
     def regularize(self, nz: np.ndarray) -> None:
         """Lazy prior application on the touched features
