@@ -337,8 +337,12 @@ def projection_search_topk(corpus: DataFrame, queries: DataFrame,
     w = (Window.partitionBy("__p")
          .orderBy("__proj", "__tag", "__id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # persisted: both the corpus side and the query side read this frame
+    # — without it the projection + rank window executes twice (plan
+    # audit showed doubled scans); (id, p, proj, rank) is 4 narrow
+    # columns, n_projections rows per vector
     pos = both.withColumn("__crank",
-                          F.sum(1 - F.col("__tag")).over(w))
+                          F.sum(1 - F.col("__tag")).over(w)).persist()
     c_side = (pos.filter(F.col("__tag") == 0)
               .select(F.col("__p"), F.col("__id").alias("neighbor_id"),
                       F.col("__crank").alias("__r"))
