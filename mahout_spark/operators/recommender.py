@@ -346,6 +346,74 @@ def recommend_item_based(prefs: DataFrame, item_sims: DataFrame,
                           tiebreak_cols=["item_id"])
 
 
+def recommend_anonymous(prefs: DataFrame, anon_prefs: list,
+                        top_n: int = 10, n_neighbors: int = 10,
+                        min_evidence: int = 2, measure: str = "cosine",
+                        user: str = "user_id", item: str = "item_id",
+                        pref: str = "pref",
+                        rescorer: IDRescorer | None = None) -> DataFrame:
+    """(item_id, score) — cold-start recommendations for a user NOT in
+
+    the model (PlusAnonymousUserDataModel.java:81-200: inject a TEMP
+    user's preferences, run the plain user-based recommender, remove
+    the temp user). The Spark twin never rebuilds the all-pairs
+    similarity table: the anonymous vector enters as a broadcast
+    literal, one pass over the preference table computes its cosine /
+    cooccurrence similarity to every co-rated user, and the usual
+    neighborhood estimate follows — O(|prefs|), zero quadratic work.
+
+    ``anon_prefs``: list of (item_id, pref) for the anonymous user.
+    ``measure``: 'cosine' (UncenteredCosineSimilarity) or
+    'cooccurrence' (shared-item counts).
+    """
+    spark = prefs.sparkSession
+    anon = spark.createDataFrame(
+        [(i, float(p)) for i, p in anon_prefs],
+        schema=prefs.select(F.col(item).alias("__it"),
+                            F.col(pref).cast("double").alias("__ap"))
+        .schema)
+    p_ = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__it"),
+                      F.col(pref).cast("double").alias("__p"))
+    co = p_.join(F.broadcast(anon), "__it")
+    if measure == "cosine":
+        # AbstractSimilarity.java:110-223 accumulates ONLY over co-rated
+        # items — both norms come from the shared rows
+        agg = co.groupBy("__u").agg(
+            F.sum(F.col("__p") * F.col("__ap")).alias("__sxy"),
+            F.sum(F.col("__p") * F.col("__p")).alias("__syy"),
+            F.sum(F.col("__ap") * F.col("__ap")).alias("__sxx"),
+            F.count("*").alias("__n"))
+        sims = agg.select(
+            "__u",
+            (F.col("__sxy") / (F.sqrt(F.col("__sxx"))
+                               * F.sqrt(F.col("__syy")))).alias("sim"),
+            "__n")
+    elif measure == "cooccurrence":
+        sims = (co.groupBy("__u")
+                .agg(F.count("*").cast("double").alias("sim"),
+                     F.count("*").alias("__n")))
+    else:
+        raise ValueError(measure)
+    nb = topk_per_group(
+        sims.filter(~F.isnan(F.col("sim"))).withColumn("__g", F.lit(1)),
+        ["__g"], "sim", n_neighbors, tiebreak_cols=["__u"]).drop("__g")
+    cand = p_.join(F.broadcast(nb.select("__u", "sim")), "__u")
+    seen = spark.createDataFrame([(i,) for i, _ in anon_prefs],
+                                 anon.select("__it").schema)
+    cand = cand.join(F.broadcast(seen), "__it", "left_anti")
+    cand = filter_candidates(cand, "__it", rescorer)
+    est = (cand.groupBy("__it")
+           .agg((F.sum(F.col("sim") * F.col("__p"))
+                 / F.sum("sim")).alias("score"),
+                F.count("*").alias("__n"))
+           .filter(F.col("__n") >= min_evidence)
+           .select(F.col("__it").alias("item_id"), "score"))
+    est = apply_rescorer(est, "item_id", "score", rescorer)
+    return topk_per_group(est.withColumn("__g", F.lit(1)), ["__g"],
+                          "score", top_n,
+                          tiebreak_cols=["item_id"]).drop("__g")
+
+
 def most_similar_items(item_sims: DataFrame, n: int,
                        rescorer: IDRescorer | None = None) -> DataFrame:
     """Top-N similar items per item (GenericItemBasedRecommender.

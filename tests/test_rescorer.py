@@ -133,3 +133,41 @@ def test_filter_candidates_noop_without_filter(golden):
     resc = IDRescorer(rescore=lambda i, s: s)
     assert filter_candidates(golden, "item_id", resc) is golden
     assert filter_candidates(golden, "item_id", None) is golden
+
+
+def test_recommend_anonymous_matches_injected_user(spark, golden):
+    """PlusAnonymousUserDataModel semantics: the anonymous path must
+    produce the same result as physically injecting a temp user and
+    running the standard user-based recommender."""
+    from mahout_spark.operators.recommender import (exact_user_similarity,
+                                                    recommend,
+                                                    recommend_anonymous)
+
+    anon = [(10, 5.0), (13, 4.0)]
+    fast = {(r["item_id"], round(r["score"], 9))
+            for r in recommend_anonymous(golden, anon, top_n=3,
+                                         n_neighbors=3,
+                                         min_evidence=1).collect()}
+    # inject TEMP user id -1 and run the stock pipeline
+    injected = golden.unionByName(golden.sparkSession.createDataFrame(
+        [(-1, i, p) for i, p in anon],
+        "user_id long, item_id long, pref double"))
+    sims = exact_user_similarity(injected, "cosine")
+    from mahout_spark.operators.recommender import nearest_n_neighborhood
+    nb = nearest_n_neighborhood(
+        sims.filter(~F.isnan(F.col("sim"))), 3)
+    recs = recommend(injected, nb, top_n=3, min_evidence=1)
+    slow = {(r["item_id"], round(r["score"], 9))
+            for r in recs.filter(F.col("user_id") == -1).collect()}
+    assert fast == slow
+
+
+def test_recommend_anonymous_excludes_seen_and_bounds(spark, golden):
+    from mahout_spark.operators.recommender import recommend_anonymous
+
+    anon = [(10, 5.0), (11, 1.0)]
+    out = recommend_anonymous(golden, anon, top_n=2, n_neighbors=4,
+                              min_evidence=1, measure="cooccurrence")
+    rows = out.collect()
+    assert 0 < len(rows) <= 2
+    assert all(r["item_id"] not in (10, 11) for r in rows)
