@@ -463,6 +463,22 @@ def _q_abt_product(spark, sf_dir) -> DataFrame:
     return abt(a, b)
 
 
+ANON_PREFS = [(1, 10.0), (2, 5.0), (3, 8.0), (5, 2.0)]
+
+
+def _q_recommend_anonymous(spark, sf_dir) -> DataFrame:
+    """PlusAnonymousUserDataModel gate: cold-start top-N for a user not
+
+    in the model, cooccurrence similarity (integer counts → the
+    similarity-weighted average is exact)."""
+    from mahout_spark.operators.recommender import recommend_anonymous
+
+    prefs = _gate_prefs(spark, sf_dir)
+    return recommend_anonymous(prefs, ANON_PREFS, top_n=25,
+                               n_neighbors=20, min_evidence=2,
+                               measure="cooccurrence")
+
+
 def _q_projection_search(spark, sf_dir) -> DataFrame:
     """ProjectionSearch gate (math/neighborhood/ProjectionSearch.java):
 
@@ -1342,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abt_product": _q_abt_product,
         "rating_sgd_recommend": _q_rating_sgd_recommend,
         "projection_search_topk": _q_projection_search,
+        "recommend_anonymous": _q_recommend_anonymous,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,
@@ -1794,6 +1811,26 @@ SELECT user_a, user_b,
 FROM agg WHERE n >= 2
 """
 
+    _anon_vals = ", ".join(f"({i}, {p})" for i, p in ANON_PREFS)
+    recommend_anonymous_sql = f"""
+WITH prefs AS (
+  SELECT o_custkey AS u, l_partkey AS i, sum(l_quantity)::DOUBLE AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+anon(i, ap) AS (VALUES {_anon_vals}),
+sims AS (SELECT pr.u, count(*)::DOUBLE AS sim
+         FROM prefs pr JOIN anon ON pr.i = anon.i GROUP BY 1),
+nb AS (SELECT u, sim, row_number() OVER (ORDER BY sim DESC, u) AS rn
+       FROM sims),
+cand AS (SELECT pr.i, nb.sim, pr.p
+         FROM nb JOIN prefs pr ON pr.u = nb.u
+         WHERE nb.rn <= 20 AND pr.i NOT IN (SELECT i FROM anon)),
+est AS (SELECT i, sum(sim * p) / sum(sim) AS score, count(*) AS n
+        FROM cand GROUP BY 1),
+ranked AS (SELECT i, score, row_number() OVER (
+    ORDER BY score DESC, i) AS rn FROM est WHERE n >= 2)
+SELECT i AS item_id, score FROM ranked WHERE rn <= 25
+"""
+
     # ProjectionSearch: replay the window-rank + ±search_size ball + exact
     # euclidean re-rank. Ranks are integers; dots are bit-identical
     # (list_dot_product == the Spark left fold); ranking runs on the
@@ -2041,6 +2078,7 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
         "user_similarity_spearman": user_spearman_sql,
         "abt_product": abt_product_sql,
         "projection_search_topk": projection_search_sql,
+        "recommend_anonymous": recommend_anonymous_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
                            variant="mahout"),
