@@ -466,6 +466,42 @@ def _q_abt_product(spark, sf_dir) -> DataFrame:
 ANON_PREFS = [(1, 10.0), (2, 5.0), (3, 8.0), (5, 2.0)]
 
 
+def _q_dsq_dist(spark, sf_dir) -> DataFrame:
+    """dsqDist gate: pairwise squared row distances via the sparse
+
+    Gramian (|xi|² + |xj|² − 2·xi·xj) over an integer-valued matrix —
+    every term exact, absent Gramian pairs coalesce to 0."""
+    from mahout_spark.operators.drm import dsq_dist
+
+    li = _read(spark, sf_dir, "lineitem")
+    a = (li.filter(F.col("l_orderkey") < 300)
+         .groupBy(F.col("l_orderkey").alias("row_id"),
+                  F.col("l_linenumber").cast("long").alias("col_id"))
+         .agg(F.sum("l_quantity").alias("value")))
+    return dsq_dist(a)
+
+
+def _q_drm_colstats(spark, sf_dir) -> DataFrame:
+    """colSums / colMeans / nnzPerColumn / dcolMeanVars gate over the
+
+    lineitem triple matrix (integer sums → exact means; variance
+    rounded at the final projection only)."""
+    from mahout_spark.operators.drm import (col_mean_vars, col_sums,
+                                            nnz_per_column)
+
+    li = _read(spark, sf_dir, "lineitem")
+    a = (li.groupBy(F.col("l_orderkey").alias("row_id"),
+                    F.col("l_linenumber").cast("long").alias("col_id"))
+         .agg(F.sum("l_quantity").alias("value")))
+    nrow = a.select("row_id").distinct().count()
+    sums = col_sums(a).select("col_id", F.col("value").alias("sum"))
+    nnz = nnz_per_column(a).select("col_id", F.col("value").alias("nnz"))
+    mv = col_mean_vars(a, nrow)
+    return (sums.join(nnz, "col_id").join(mv, "col_id")
+            .select("col_id", "sum", "nnz", F.round("mean", 6).alias("mean"),
+                    F.round("var", 6).alias("var")))
+
+
 def _q_recommend_anonymous(spark, sf_dir) -> DataFrame:
     """PlusAnonymousUserDataModel gate: cold-start top-N for a user not
 
@@ -1359,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rating_sgd_recommend": _q_rating_sgd_recommend,
         "projection_search_topk": _q_projection_search,
         "recommend_anonymous": _q_recommend_anonymous,
+        "dsq_dist": _q_dsq_dist,
+        "drm_colstats": _q_drm_colstats,
         "doc_token_stats": _q_doc_token_stats,
         "tfidf": _q_tfidf,
         "bigram_collocations": _q_bigram_collocations,
@@ -1811,6 +1849,32 @@ SELECT user_a, user_b,
 FROM agg WHERE n >= 2
 """
 
+    dsq_dist_sql = """
+WITH a AS (SELECT l_orderkey AS r, l_linenumber AS c,
+                  sum(l_quantity)::DOUBLE AS v
+           FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2),
+sq AS (SELECT r, sum(v * v) AS s FROM a GROUP BY 1),
+gram AS (SELECT x.r AS i, y.r AS j, sum(x.v * y.v) AS dot
+         FROM a x JOIN a y ON x.c = y.c AND x.r <> y.r GROUP BY 1, 2)
+SELECT si.r AS row_id, sj.r AS col_id,
+       si.s + sj.s - 2 * coalesce(gram.dot, 0) AS value
+FROM sq si CROSS JOIN sq sj
+LEFT JOIN gram ON gram.i = si.r AND gram.j = sj.r
+WHERE si.r <> sj.r
+"""
+
+    drm_colstats_sql = """
+WITH a AS (SELECT l_orderkey AS r, l_linenumber AS c,
+                  sum(l_quantity)::DOUBLE AS v
+           FROM lineitem GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT r)::DOUBLE AS nrow FROM a)
+SELECT c AS col_id, sum(v) AS sum,
+       sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)::DOUBLE AS nnz,
+       round(sum(v) / n.nrow, 6) AS mean,
+       round(sum(v * v) / n.nrow - pow(sum(v) / n.nrow, 2), 6) AS var
+FROM a CROSS JOIN n GROUP BY c, n.nrow
+"""
+
     _anon_vals = ", ".join(f"({i}, {p})" for i, p in ANON_PREFS)
     recommend_anonymous_sql = f"""
 WITH prefs AS (
@@ -2079,6 +2143,8 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
         "abt_product": abt_product_sql,
         "projection_search_topk": projection_search_sql,
         "recommend_anonymous": recommend_anonymous_sql,
+        "dsq_dist": dsq_dist_sql,
+        "drm_colstats": drm_colstats_sql,
         "doc_token_stats": stats_sql,
         "tfidf": tfidf_sql("(SELECT * FROM documents WHERE doc_id < 200)",
                            variant="mahout"),
