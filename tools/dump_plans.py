@@ -90,6 +90,21 @@ def main():
         "assignment has this same shape",
         formatted(KMeansModel(centers, 0, True, 0.0).assign(emb8))))
 
+    from mahout_spark.operators.ann import projection_search_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    sections.append((
+        "projection_search_topk — ProjectionSearch's ±searchSize ball as "
+        "a banded window join",
+        "one window per projection partition ranks corpus scalars; the "
+        "ball is an equi-join on (projection, band) + an integer range "
+        "filter (fan-out ≤ 4·search_size per query·projection, corpus-"
+        "size independent); no cartesian, all small sides broadcast, "
+        "exact re-rank is pure column math",
+        formatted(projection_search_topk(emb, q, k=5, n_projections=2,
+                                         search_size=8, dim=64))))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
