@@ -1,0 +1,102 @@
+"""Hadoop SequenceFile + VectorWritable codec round-trips."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.sources.seqfile import (decode_vector_writable,
+                                          drm_to_seqfile,
+                                          encode_vector_writable,
+                                          read_sequence_file, read_vint,
+                                          seqfile_to_drm,
+                                          write_sequence_file, write_vint)
+
+
+@pytest.mark.parametrize("v", [0, 1, -1, 127, -112, 128, -113, 5000,
+                               -5000, 2 ** 31 - 1, -2 ** 31])
+def test_hadoop_vint_round_trip(v):
+    buf = io.BytesIO()
+    write_vint(buf, v)
+    buf.seek(0)
+    assert read_vint(buf) == v
+
+
+def test_vector_writable_dense_and_sparse_round_trip():
+    dense = np.array([1.5, 0.0, -2.25, 3.0])
+    d = decode_vector_writable(encode_vector_writable(dense))
+    assert d["indices"] is None and np.array_equal(d["values"], dense)
+    assert d["size"] == 4
+    idx = np.array([2, 7, 40])
+    vals = np.array([0.5, -1.0, 9.75])
+    s = decode_vector_writable(
+        encode_vector_writable(vals, idx, size=100))
+    assert s["size"] == 100
+    assert np.array_equal(s["indices"], idx)
+    assert np.array_equal(s["values"], vals)
+
+
+def test_vector_writable_decodes_reference_layout():
+    # hand-built RANDOM-access (non-sequential) sparse with lax floats
+    buf = io.BytesIO()
+    buf.write(bytes([0x08]))  # sparse, random access, lax
+    buf.write(bytes([5]))  # size 5 (uvarint)
+    buf.write(bytes([2]))  # nnz 2
+    buf.write(bytes([3]))
+    buf.write(struct.pack(">f", 1.5))
+    buf.write(bytes([1]))
+    buf.write(struct.pack(">f", -2.0))
+    out = decode_vector_writable(buf.getvalue())
+    got = dict(zip(out["indices"].tolist(), out["values"].tolist()))
+    assert got == {3: 1.5, 1: -2.0}
+
+
+def test_sequence_file_round_trip_with_sync():
+    recs = [(i, encode_vector_writable(np.array([float(i), 2.0 * i])))
+            for i in range(250)]  # > sync_interval, exercises escapes
+    blob = write_sequence_file(recs, "org.apache.hadoop.io.LongWritable",
+                               "org.apache.mahout.math.VectorWritable",
+                               sync_interval=64)
+    out = list(read_sequence_file(blob))
+    assert len(out) == 250
+    for i, (k, v) in enumerate(out):
+        assert k == i
+        assert np.array_equal(v["values"], [float(i), 2.0 * i])
+
+
+def test_text_keys_and_rejects():
+    blob = write_sequence_file([("a", "x"), ("b", "y")],
+                               "org.apache.hadoop.io.Text",
+                               "org.apache.hadoop.io.Text")
+    assert list(read_sequence_file(blob)) == [("a", "x"), ("b", "y")]
+    with pytest.raises(ValueError, match="SEQ magic"):
+        list(read_sequence_file(b"garbage bytes here"))
+    # compressed flag set -> clear error
+    bad = bytearray(blob)
+    # compression byte sits right after the two class names
+    buf = io.BytesIO(blob)
+    buf.read(4)
+    for _ in range(2):
+        n = read_vint(buf)
+        buf.read(n)
+    bad[buf.tell()] = 1
+    with pytest.raises(ValueError, match="compressed"):
+        list(read_sequence_file(bytes(bad)))
+
+
+def test_drm_seqfile_spark_round_trip(spark, tmp_path):
+    triples = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 3, 4.0), (1, 0, -1.5), (2, 2, 7.25)],
+        "row_id long, col_id long, value double")
+    out = str(tmp_path / "drm_seq")
+    drm_to_seqfile(triples, out)
+    back = seqfile_to_drm(spark, out)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, triples.collect()))
+    # and the round-tripped DRM feeds the algebra layer
+    from mahout_spark.operators.drm import ata
+
+    g = ata(back).collect()
+    assert len(g) > 0
