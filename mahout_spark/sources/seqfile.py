@@ -361,3 +361,36 @@ def drm_to_seqfile(triples, out_dir: str, dense: bool = False) -> None:
     # repartition by row so each row's cells land in one part file
     parts = triples.repartition(triples.rdd.getNumPartitions(), "row_id")
     list(parts.rdd.mapPartitionsWithIndex(write_part).collect())
+
+
+def read_seqfile_df(spark, path: str):
+    """Generic DataFrame over (key, VectorWritable) part files:
+
+    (key string, size long, indices array<long>, values array<double>,
+    name string) — for seq2sparse outputs, cluster dumps, and anything
+    else keyed by Text/Int/Long. Dense vectors surface with
+    indices = [0..size) so downstream code never branches."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            keys, sizes, idxs, vals, names = [], [], [], [], []
+            for blob in pdf["content"]:
+                for key, vec in read_sequence_file(bytes(blob)):
+                    keys.append(str(key))
+                    sizes.append(int(vec["size"]))
+                    if vec["indices"] is None:
+                        idxs.append(list(range(len(vec["values"]))))
+                    else:
+                        idxs.append([int(i) for i in vec["indices"]])
+                    vals.append([float(v) for v in vec["values"]])
+                    names.append(vec["name"])
+            yield pd.DataFrame({"key": keys, "size": sizes,
+                                "indices": idxs, "values": vals,
+                                "name": names})
+
+    return files.select("content").mapInPandas(
+        parse, schema="key string, size long, indices array<long>, "
+        "values array<double>, name string")

@@ -100,3 +100,23 @@ def test_drm_seqfile_spark_round_trip(spark, tmp_path):
 
     g = ata(back).collect()
     assert len(g) > 0
+
+
+def test_read_seqfile_df_generic(spark, tmp_path):
+    import os
+
+    from mahout_spark.sources.seqfile import read_seqfile_df
+
+    recs = [("docA", encode_vector_writable(np.array([1.0, 0.0, 2.0]))),
+            ("docB", encode_vector_writable(np.array([5.0]),
+                                            np.array([7]), size=10))]
+    blob = write_sequence_file(recs, "org.apache.hadoop.io.Text",
+                               "org.apache.mahout.math.VectorWritable")
+    d = tmp_path / "seq"
+    os.makedirs(d)
+    (d / "part-r-00000.seq").write_bytes(blob)
+    out = {r["key"]: r for r in read_seqfile_df(spark, str(d)).collect()}
+    assert out["docA"]["values"] == [1.0, 0.0, 2.0]
+    assert out["docA"]["indices"] == [0, 1, 2]
+    assert out["docB"]["size"] == 10
+    assert out["docB"]["indices"] == [7] and out["docB"]["values"] == [5.0]
