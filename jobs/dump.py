@@ -54,6 +54,9 @@ def main(argv=None):
     ap.add_argument("--actual-col", default="label")
     ap.add_argument("--predicted-col", default="predicted")
     ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--seqfile", action="store_true",
+                    help="input is a dir of Hadoop SequenceFile parts "
+                    "(Mahout VectorWritable) instead of parquet")
     ap.add_argument("--output", default=None)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -135,7 +138,13 @@ def main(argv=None):
     elif args.mode == "vectordump":
         if not args.input:
             ap.error("vectordump requires --input")
-        df = spark.read.parquet(args.input)
+        if args.input.endswith(".seq") or args.seqfile:
+            # the reference's native on-disk format (VectorWritable)
+            from mahout_spark.sources.seqfile import read_seqfile_df
+
+            df = read_seqfile_df(spark, args.input)
+        else:
+            df = spark.read.parquet(args.input)
         lines = [str(r.asDict()) for r in df.limit(args.limit).collect()]
         _emit("\n".join(lines), args.output)
 
