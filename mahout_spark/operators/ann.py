@@ -303,8 +303,13 @@ def projection_search_topk(corpus: DataFrame, queries: DataFrame,
 
     Distributed shape — exact, no per-query driver work:
     1. one projection pass each side (dot with literal basis rows);
-    2. ONE window per projection partition ranks corpus scalars and
-       positions every query between them (cumulative corpus count);
+    2. per-projection cumulative corpus ranks via RANGE partitioning on
+       (projection, scalar) + a per-partition window + literal offsets
+       (the global_sorted_rank pattern, drm.py): the sort parallelizes
+       across the whole cluster instead of one task per projection, so
+       the rank phase survives corpora that do not fit one executor;
+       the offsets are exact integers, so partition boundaries cannot
+       change the result;
     3. the ±search_size ball becomes a BANDED equi-join: corpus rows
        carry band = (rank-1) div search_size, each query probes its ≤4
        adjacent bands, then the exact rank range filters — join fan-out
@@ -334,15 +339,41 @@ def projection_search_topk(corpus: DataFrame, queries: DataFrame,
 
     both = proj_rows(corpus, id_col, 0).unionByName(
         proj_rows(queries, query_id, 1))
-    w = (Window.partitionBy("__p")
+    # range-partition on the full sort key so every executor sorts a
+    # slice (one window per projection would funnel the WHOLE corpus
+    # through n_projections tasks); localCheckpoint pins the sampled
+    # range boundaries AND serves both downstream branches (without it
+    # the projection pass executed twice — plan audit)
+    spark = corpus.sparkSession
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    sort_cols = [F.col("__p"), F.col("__proj"), F.col("__tag"),
+                 F.col("__id")]
+    arranged = (both.repartitionByRange(n_part, *sort_cols)
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint(eager=True))
+    # corpus-row counts per (partition, projection) -> exact cumulative
+    # offsets; tiny driver state (n_part x n_projections longs)
+    counts = (arranged.groupBy("__pid", "__p")
+              .agg(F.sum(1 - F.col("__tag")).alias("n")).collect())
+    by_p: dict = {}
+    for r in counts:
+        by_p.setdefault(int(r["__p"]), []).append(
+            (int(r["__pid"]), int(r["n"])))
+    off_expr = F.lit(0).cast("long")
+    for p, lst in by_p.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            if acc:
+                off_expr = F.when((F.col("__p") == p)
+                                  & (F.col("__pid") == pid),
+                                  F.lit(acc).cast("long")).otherwise(
+                    off_expr)
+            acc += n
+    w = (Window.partitionBy("__pid", "__p")
          .orderBy("__proj", "__tag", "__id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    # persisted: both the corpus side and the query side read this frame
-    # — without it the projection + rank window executes twice (plan
-    # audit showed doubled scans); (id, p, proj, rank) is 4 narrow
-    # columns, n_projections rows per vector
-    pos = both.withColumn("__crank",
-                          F.sum(1 - F.col("__tag")).over(w)).persist()
+    pos = arranged.withColumn(
+        "__crank", F.sum(1 - F.col("__tag")).over(w) + off_expr)
     c_side = (pos.filter(F.col("__tag") == 0)
               .select(F.col("__p"), F.col("__id").alias("neighbor_id"),
                       F.col("__crank").alias("__r"))

@@ -97,8 +97,10 @@ def main():
     sections.append((
         "projection_search_topk — ProjectionSearch's ±searchSize ball as "
         "a banded window join",
-        "one window per projection partition ranks corpus scalars; the "
-        "ball is an equi-join on (projection, band) + an integer range "
+        "range-partitioned parallel rank (global_sorted_rank pattern — "
+        "no one-task-per-projection sort; building this plan runs the "
+        "small rank job) ; the ball is an equi-join on (projection, band) "
+        "+ an integer range "
         "filter (fan-out ≤ 4·search_size per query·projection, corpus-"
         "size independent); no cartesian, all small sides broadcast, "
         "exact re-rank is pure column math",
