@@ -726,7 +726,8 @@ def sampling_candidate_items(prefs: DataFrame, items_factor: int = 30,
                              users_per_item_factor: int = 30,
                              candidates_per_user_factor: int = 30,
                              seed: int = 17, user: str = "user_id",
-                             item: str = "item_id") -> DataFrame:
+                             item: str = "item_id",
+                             skew_guard: bool = False) -> DataFrame:
     """SamplingCandidateItemsStrategy.java:60-140 — the web-scale lever:
 
     the co-visitation closure with three caps, each max = factor *
@@ -737,6 +738,16 @@ def sampling_candidate_items(prefs: DataFrame, items_factor: int = 30,
     retry/rerun-stable. Each cap is one window row_number; output is
     bounded by the product of the three maxima per user, independent of
     corpus size.
+
+    ``skew_guard=True`` protects the window sorts from pathological
+    keys (one item with 10^8 raters concentrates that key's sort in a
+    single task): rows are pre-filtered to hash values below a per-key
+    threshold of ~4·cap expected survivors, computed from exact per-key
+    counts. Because the threshold cuts on the SAME hash the window
+    orders by, the surviving top-cap set is IDENTICAL to the unguarded
+    one whenever ≥ cap rows survive — P(fewer) ≈ exp(−cap/2) per key,
+    negligible at the log-scaled caps; the guard costs one count-agg +
+    join per stage, so it defaults off for ordinary inputs.
     """
     import math
 
@@ -750,23 +761,36 @@ def sampling_candidate_items(prefs: DataFrame, items_factor: int = 30,
     max_users_per_item = cap(users_per_item_factor, n_users)
     max_items_per_user = cap(candidates_per_user_factor, n_items)
 
+    def guard(df, key: str, hash_expr, cap_n: int):
+        if not skew_guard:
+            return df
+        cnt = df.groupBy(key).agg(F.count("*").alias("__cnt"))
+        u01 = hash_expr.cast("double") / F.lit(float(2 ** 64)) + 0.5
+        return (df.join(cnt, key)
+                .filter(u01 < F.lit(4.0) * F.lit(float(cap_n))
+                        / F.col("__cnt"))
+                .drop("__cnt"))
+
     pi = prefs.select(F.col(user).alias("__u"), F.col(item).alias("__i"))
     # (1) sample the target's preferred items
-    w1 = Window.partitionBy("__u").orderBy(
-        F.xxhash64("__u", "__i", F.lit(seed)), F.col("__i"))
-    seeds_ = (pi.withColumn("__r", F.row_number().over(w1))
+    h1 = F.xxhash64("__u", "__i", F.lit(seed))
+    w1 = Window.partitionBy("__u").orderBy(h1, F.col("__i"))
+    seeds_ = (guard(pi, "__u", h1, max_items)
+              .withColumn("__r", F.row_number().over(w1))
               .filter(F.col("__r") <= max_items).drop("__r"))
     # (2) sample users per preferred item
-    w2 = Window.partitionBy("__i").orderBy(
-        F.xxhash64("__i", "__v", F.lit(seed + 1)), F.col("__v"))
-    co = (pi.select(F.col("__i"), F.col("__u").alias("__v"))
+    h2 = F.xxhash64("__i", "__v", F.lit(seed + 1))
+    w2 = Window.partitionBy("__i").orderBy(h2, F.col("__v"))
+    co = (guard(pi.select(F.col("__i"), F.col("__u").alias("__v")),
+                "__i", h2, max_users_per_item)
           .withColumn("__r", F.row_number().over(w2))
           .filter(F.col("__r") <= max_users_per_item).drop("__r"))
     # (3) sample each co-user's items as candidates
-    w3 = Window.partitionBy("__v").orderBy(
-        F.xxhash64("__v", "__c", F.lit(seed + 2)), F.col("__c"))
-    vitems = (pi.select(F.col("__u").alias("__v"),
-                        F.col("__i").alias("__c"))
+    h3 = F.xxhash64("__v", "__c", F.lit(seed + 2))
+    w3 = Window.partitionBy("__v").orderBy(h3, F.col("__c"))
+    vitems = (guard(pi.select(F.col("__u").alias("__v"),
+                              F.col("__i").alias("__c")),
+                    "__v", h3, max_items_per_user)
               .withColumn("__r", F.row_number().over(w3))
               .filter(F.col("__r") <= max_items_per_user).drop("__r"))
     cand = (seeds_.join(co, "__i")

@@ -177,3 +177,25 @@ def test_baselines_lose_to_real_recommender(spark):
     # item-average ignores the user entirely; the collaborative signal
     # must buy a strictly better RMSE on the pairs it can score
     assert real["rmse"] < base["rmse"]
+
+
+def test_sampling_skew_guard_matches_unguarded(spark):
+    """The hash-threshold prefilter cuts on the same hash the window
+    orders by, so guarded == unguarded whenever >= cap rows survive
+    (virtually always at the log-scaled caps)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    prefs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .groupBy(F.col("o_custkey").alias("user_id"),
+                      F.col("l_partkey").alias("item_id"))
+             .agg(F.sum("l_quantity").alias("pref"))).persist()
+    plain = sampling_candidate_items(prefs, items_factor=2,
+                                     users_per_item_factor=2,
+                                     candidates_per_user_factor=2)
+    guarded = sampling_candidate_items(prefs, items_factor=2,
+                                       users_per_item_factor=2,
+                                       candidates_per_user_factor=2,
+                                       skew_guard=True)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, guarded.collect()))
+    prefs.unpersist()
