@@ -885,6 +885,54 @@ def _q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
                                family="parity")
 
 
+def _q_streaming_minhash(spark, sf_dir) -> DataFrame:
+    """Streaming incremental MinHash-LSH gate — the documents table
+
+    replayed as a TWO-micro-batch availableNow stream through
+    applyInPandasWithState bucket state (streaming/dedup.py); the
+    DuckDB twin rebuilds the per-(band, pair) emissions from the
+    parity-family signatures. The first stateful-streaming gate beyond
+    the windowed sketches."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_spark.streaming.dedup import streaming_minhash_pairs
+
+    docs = (_read(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    tmp = tempfile.mkdtemp(prefix="gate_smh_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(tmp, "c0"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(tmp, "c1"))
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for i, f in enumerate(sorted(glob.glob(
+            os.path.join(tmp, "c*", "part-*.parquet")))):
+        shutil.copy(f, os.path.join(src, f"{i:02d}.parquet"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    pairs = streaming_minhash_pairs(stream, num_perm=MINHASH_PERM,
+                                    bands=8, seed=MINHASH_SEED,
+                                    max_bucket=10 ** 9, family="parity")
+    qname = "gate_streaming_minhash"
+    q = (pairs.writeStream.format("memory").queryName(qname)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    # the state layer canonicalizes pairs as STRINGS (generic id type);
+    # re-normalize numerically for the oracle's id_a < id_b convention
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
+    return (spark.table(qname)
+            .select("band", F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                    F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
 def _q_ann_topk(spark, sf_dir) -> DataFrame:
     from mahout_spark.operators.ann import brute_force_topk
 
@@ -1406,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "streaming_minhash_pairs": _q_streaming_minhash,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
@@ -2001,6 +2050,25 @@ WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.3
     eq_terms = " + ".join(
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(MINHASH_PERM))
+    # streaming incremental LSH twin: one row per (band, colliding
+    # pair) — exactly what the state function emits (each unordered
+    # pair once per band), est = fraction of agreeing components
+    stream_sigs_sql = minhash_signatures_sql(
+        "(SELECT * FROM documents WHERE doc_id < 300)", "doc_id", "text",
+        num_perm=MINHASH_PERM, seed=MINHASH_SEED)
+    streaming_minhash_sql = f"""
+WITH sigs AS ({stream_sigs_sql}),
+bands AS ({band_selects}),
+pairs AS (SELECT a.b::BIGINT AS band, a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM bands a JOIN bands b2
+            ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+SELECT p.band, p.id_a, p.id_b,
+       round(({eq_terms})::DOUBLE / {float(MINHASH_PERM)}, 6)
+           AS est_jaccard
+FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a
+             JOIN sigs sb ON sb.doc_id = p.id_b
+"""
+
     minhash_lsh_sql = f"""
 WITH sigs AS ({sigs_sql}),
 bands AS ({band_selects}),
@@ -2164,6 +2232,7 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
             "documents", "doc_id", "text", num_perm=MINHASH_PERM,
             seed=MINHASH_SEED),
         "minhash_lsh_pairs": minhash_lsh_sql,
+        "streaming_minhash_pairs": streaming_minhash_sql,
         "simhash": simhash_sql("documents", "doc_id", "text"),
         "ngram_jaccard": ngram_jaccard_pairs_sql(
             "documents", "doc_id", "text", threshold=0.2),

@@ -47,11 +47,14 @@ from mahout_spark.functions.text import shingles_from_tokens, tokens_array
 
 def rowlocal_minhash_sigs(docs: DataFrame, id_col: str, text_col: str,
                           num_perm: int = 16, shingle_n: int = 3,
-                          seed: int = 1) -> DataFrame:
+                          seed: int = 1,
+                          family: str = "fast") -> DataFrame:
     """(id, sigs array<long>) — per-row MinHash, no aggregation.
 
-    Value-identical to minhash_signatures(family='fast'): min of
-    xxhash64(shingle, perm_seed) over the doc's DISTINCT shingles."""
+    Value-identical to minhash_signatures(family=...): min over the
+    doc's DISTINCT shingles of xxhash64(shingle, perm_seed) ('fast') or
+    the affine permutations of the md5-derived 60-bit key ('parity' —
+    the DuckDB-replayable family the streaming gate uses)."""
     sh = F.array_distinct(shingles_from_tokens(
         tokens_array(F.col(text_col)), shingle_n))
 
@@ -60,8 +63,21 @@ def rowlocal_minhash_sigs(docs: DataFrame, id_col: str, text_col: str,
         # F.transform pass the ARRAY INDEX as the second argument
         return lambda s: F.xxhash64(s, F.lit(seed * 1_000_003 + i))
 
-    sigs = F.array(*[F.array_min(F.transform(sh, perm(i)))
-                     for i in range(num_perm)])
+    if family == "fast":
+        sigs = F.array(*[F.array_min(F.transform(sh, perm(i)))
+                         for i in range(num_perm)])
+    else:
+        from mahout_spark.functions.hashutil import (affine_minhash,
+                                                     md5_long60,
+                                                     minhash_params)
+        params = minhash_params(num_perm, seed)
+        hs = F.transform(sh, lambda s: md5_long60(s))
+
+        def aff(a, b):
+            return lambda h: affine_minhash(h, a, b)
+
+        sigs = F.array(*[F.array_min(F.transform(hs, aff(a, b)))
+                         for a, b in params])
     return (docs.select(F.col(id_col).alias("doc_id"),
                         sigs.alias("sigs"))
             .filter(F.size(F.col("sigs")) > 0)
@@ -71,8 +87,8 @@ def rowlocal_minhash_sigs(docs: DataFrame, id_col: str, text_col: str,
 def streaming_minhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 16,
                             bands: int = 4, shingle_n: int = 3,
-                            seed: int = 1,
-                            max_bucket: int = 1000) -> DataFrame:
+                            seed: int = 1, max_bucket: int = 1000,
+                            family: str = "fast") -> DataFrame:
     """Streaming (band, id_a, id_b, est_jaccard) near-dup pairs.
 
     ``docs`` may be a streaming OR batch DataFrame (the state function
@@ -83,7 +99,7 @@ def streaming_minhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
     sigs = rowlocal_minhash_sigs(docs, id_col, text_col, num_perm,
-                                 shingle_n, seed)
+                                 shingle_n, seed, family=family)
     band_frames = []
     for b in range(bands):
         cols = [F.col("sigs")[b * rows + r].cast("string")

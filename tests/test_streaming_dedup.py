@@ -106,3 +106,14 @@ def test_each_pair_once_per_band_and_cross_batch(spark, docs, tmp_path):
     assert len(got) == PARAMS["bands"]
     assert all((r["id_a"], r["id_b"]) == ("1", "6") for r in got)
     assert all(r["est_jaccard"] == 1.0 for r in got)
+
+
+def test_rowlocal_parity_family_matches_batch(spark, docs):
+    batch = minhash_signatures(docs, "doc_id", "text", num_perm=8,
+                               shingle_n=3, seed=1, family="parity")
+    row = rowlocal_minhash_sigs(docs, "doc_id", "text", num_perm=8,
+                                shingle_n=3, seed=1, family="parity")
+    b = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)]
+         for r in batch.collect()}
+    a = {r["doc_id"]: list(r["sigs"]) for r in row.collect()}
+    assert a == b
