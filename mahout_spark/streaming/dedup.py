@@ -88,13 +88,16 @@ def streaming_minhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 16,
                             bands: int = 4, shingle_n: int = 3,
                             seed: int = 1, max_bucket: int = 1000,
-                            family: str = "fast") -> DataFrame:
+                            family: str = "fast",
+                            output_mode: str = "update") -> DataFrame:
     """Streaming (band, id_a, id_b, est_jaccard) near-dup pairs.
 
     ``docs`` may be a streaming OR batch DataFrame (the state function
     is identical; batch mode is how the parity tests replay it).
-    Write with outputMode('update'); dedup pairs across bands at the
-    sink (or pipe into dedup_groups for group resolution).
+    Write with the matching outputMode (emitted pairs are final
+    either way — pass output_mode='append' for file sinks); dedup pairs
+    across bands at the sink (or pipe into dedup_groups for group
+    resolution).
     """
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
@@ -161,5 +164,5 @@ def streaming_minhash_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     return banded.groupBy("band", "bh").applyInPandasWithState(
         update, outputStructType=out_schema,
-        stateStructType=state_schema, outputMode="update",
+        stateStructType=state_schema, outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout)
