@@ -1394,6 +1394,98 @@ def _q_ewa_events(spark, sf_dir) -> DataFrame:
                       "n")
 
 
+# -- webtext quality / C4 gates ---------------------------------------------
+
+# deterministic re-lining of the (single-line) synthetic documents:
+# chunks of CHUNK_TOKENS tokens become "lines"; every 3rd line gets no
+# terminal '.', so the C4 line filter has real variance to act on.
+CHUNK_TOKENS = 8
+
+
+def _chunked_docs(spark, sf_dir) -> DataFrame:
+    from mahout_spark.functions.text import tokens_array
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_array(F.col("text"))
+    n_chunks = F.floor((F.size(toks) + (CHUNK_TOKENS - 1)) / CHUNK_TOKENS) \
+        .cast("int")
+    lines = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+                         " "),
+            F.when(i % 3 < 2, F.lit(".")).otherwise(F.lit(""))))
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def _chunked_text_sql() -> str:
+    from mahout_spark.functions.text import tokens_array_sql
+
+    toks = tokens_array_sql("text")
+    c = CHUNK_TOKENS
+    lines = (f"CASE WHEN len({toks}) > 0 THEN "
+             f"list_transform(range(0, (len({toks}) + {c - 1}) // {c}), "
+             f"i -> array_to_string(list_slice({toks}, i * {c} + 1, "
+             f"i * {c} + {c}), ' ') || "
+             f"(CASE WHEN i % 3 < 2 THEN '.' ELSE '' END)) "
+             f"ELSE [] END")
+    return f"coalesce(array_to_string({lines}, chr(10)), '')"
+
+
+def _q_gopher_quality(spark, sf_dir) -> DataFrame:
+    """Gopher (Rae et al. 2021) quality+repetition signals and the keep
+    decision per document — the materialized-arrays scale path
+    (gopher_signals_df): map-only, every unit array evaluated once per
+    row, every signal an exact int/int quotient."""
+    from mahout_spark.functions.webquality import gopher_signals_df
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = gopher_signals_df(docs, "text", with_keep=True)
+    return sig.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_length", "symbol_to_word_ratio", "frac_words_alpha",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "dup_line_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "dup_5gram_char_frac",
+        F.col("keep").cast("int").alias("keep"))
+
+
+def _q_c4_line_filter(spark, sf_dir) -> DataFrame:
+    """C4 (Raffel et al. 2020) line filter + document gate over the
+    deterministically re-lined documents (terminal-punct rule, ≥5-word
+    rule, blocklist on the CLEANED text, ≥3-sentence minimum)."""
+    from mahout_spark.functions import webquality as wq
+
+    docs = _chunked_docs(spark, sf_dir)
+    out = wq.c4_clean(docs)
+    return out.select(
+        "doc_id",
+        F.size(wq.lines_array(F.col("text"))).cast("long").alias("n_lines"),
+        F.size(wq.lines_array(F.col("c4_text"))).cast("long")
+        .alias("n_lines_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("c4_keep").cast("int").alias("c4_keep"),
+        F.md5(F.col("c4_text")).alias("c4_text_md5"))
+
+
+def _q_line_dedup(spark, sf_dir) -> DataFrame:
+    """Corpus-level exact line dedup (C4 span-dedup analog): every
+    distinct line survives once at its first (doc_id, pos) occurrence;
+    one groupBy on the line key + one reassembly groupBy — two
+    shuffles, no window over a low-cardinality key."""
+    from mahout_spark.functions.webquality import line_dedup
+
+    docs = _chunked_docs(spark, sf_dir)
+    out = line_dedup(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.md5(F.col("text_dedup")).alias("text_dedup_md5"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1469,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_scores": _q_auc_scores,
         "confusion_binary": _q_confusion_binary,
         "ewa_events": _q_ewa_events,
+        "gopher_quality": _q_gopher_quality,
+        "c4_line_filter": _q_c4_line_filter,
+        "line_dedup_corpus": _q_line_dedup,
     }
 
 
@@ -2146,6 +2241,61 @@ SELECT u AS user_id, it AS item_id, round(score, 6) AS score
 FROM ranked WHERE rn <= 5
 """
 
+    from mahout_spark.functions.webquality import (c4_clean_sql,
+                                                   gopher_signals_sql,
+                                                   lines_array_sql)
+
+    gopher_quality_sql_text = f"""
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       mean_word_length, symbol_to_word_ratio, frac_words_alpha,
+       n_stopwords::BIGINT AS n_stopwords,
+       dup_line_frac, top_2gram_char_frac, top_3gram_char_frac,
+       dup_5gram_char_frac,
+       keep::INT AS keep
+FROM ({gopher_signals_sql('documents', 'doc_id', 'text')}) g
+"""
+
+    c4 = c4_clean_sql("text")
+    c4_line_filter_sql_text = f"""
+WITH chunked AS (SELECT doc_id, {_chunked_text_sql()} AS text
+                 FROM documents)
+SELECT doc_id,
+       (len({lines_array_sql('text')}))::BIGINT AS n_lines,
+       (len({lines_array_sql(c4['c4_text'])}))::BIGINT AS n_lines_kept,
+       ({c4['n_sentences']})::BIGINT AS n_sentences,
+       ({c4['c4_keep']})::INT AS c4_keep,
+       md5({c4['c4_text']}) AS c4_text_md5
+FROM chunked
+"""
+
+    lines_expr = lines_array_sql("text")
+    line_dedup_sql_text = f"""
+WITH chunked AS (SELECT doc_id, {_chunked_text_sql()} AS text
+                 FROM documents),
+lines AS (SELECT doc_id, unnest({lines_expr}) AS line,
+                 generate_subscripts({lines_expr}, 1) - 1 AS pos
+          FROM chunked),
+winners AS (SELECT line, min(doc_id) AS wid FROM lines GROUP BY line),
+wpos AS (SELECT l.line, l.doc_id AS wid, min(l.pos) AS wp
+         FROM lines l JOIN winners w
+           ON l.line = w.line AND l.doc_id = w.wid
+         GROUP BY l.line, l.doc_id),
+kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         JOIN wpos w ON l.line = w.line
+         WHERE l.doc_id = w.wid AND l.pos = w.wp),
+rebuilt AS (SELECT doc_id,
+                   coalesce(array_to_string(list(line ORDER BY pos),
+                                            chr(10)), '') AS text_dedup,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT c.doc_id,
+       (len({lines_array_sql("c.text")}))::BIGINT AS n_lines,
+       coalesce(r.n_kept, 0)::BIGINT AS n_lines_kept,
+       md5(coalesce(r.text_dedup, '')) AS text_dedup_md5
+FROM chunked c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+"""
+
     return {
         "cms_point_frequency": cms_point_oracle_sql(
             toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
@@ -2331,4 +2481,7 @@ SELECT event_type, round(sum(x * disc) / sum(disc), 6) AS ewa_mean,
        count(*) AS n
 FROM d GROUP BY event_type
 """,
+        "gopher_quality": gopher_quality_sql_text,
+        "c4_line_filter": c4_line_filter_sql_text,
+        "line_dedup_corpus": line_dedup_sql_text,
     }
