@@ -1486,6 +1486,69 @@ def _q_line_dedup(spark, sf_dir) -> DataFrame:
         F.md5(F.col("text_dedup")).alias("text_dedup_md5"))
 
 
+# -- URL layer gate -----------------------------------------------------------
+
+# deterministic synthetic URL per document (messy on purpose: mixed
+# case, userinfo, default/explicit ports, unsorted queries, fragments,
+# multi-label public suffixes) — no testdata column is URL-shaped.
+URL_TLDS = ["com", "co.uk", "github.io", "de", "org"]
+
+
+def _synth_url_expr() -> F.Column:
+    d = F.col("doc_id")
+    scheme = F.element_at(F.array(F.lit("HTTP"), F.lit("https"),
+                                  F.lit("HTTPS"), F.lit("http")),
+                          (d % 4 + 1).cast("int"))
+    user = F.when(d % 7 == 0, F.lit("user:pw@")).otherwise(F.lit(""))
+    www = F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    tld = F.element_at(F.array(*[F.lit(t) for t in URL_TLDS]),
+                       (d % 5 + 1).cast("int"))
+    port = F.element_at(F.array(F.lit(":80"), F.lit(":443"),
+                                F.lit(":8080"), F.lit("")),
+                        (d % 4 + 1).cast("int"))
+    path = F.when(d % 3 == 0, F.lit("/")) \
+        .when(d % 3 == 1, F.concat(F.lit("/a/"), d.cast("string"))) \
+        .otherwise(F.lit(""))
+    query = F.when(d % 2 == 0,
+                   F.concat(F.lit("?b=2&a=1&m="), F.col("lang"))) \
+        .otherwise(F.lit(""))
+    frag = F.when(d % 3 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), user, www, F.col("source"),
+                    F.lit(".Example."), tld, port, path, query, frag)
+
+
+def _synth_url_sql() -> str:
+    tlds = ", ".join(f"'{t}'" for t in URL_TLDS)
+    return (
+        "list_extract(['HTTP','https','HTTPS','http'], "
+        "(doc_id % 4 + 1)::INT) || '://' || "
+        "(CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) || "
+        "source || '.Example.' || "
+        f"list_extract([{tlds}], (doc_id % 5 + 1)::INT) || "
+        "list_extract([':80',':443',':8080',''], (doc_id % 4 + 1)::INT) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '/' WHEN doc_id % 3 = 1 "
+        "THEN '/a/' || doc_id::VARCHAR ELSE '' END) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&m=' || lang "
+        "ELSE '' END) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)")
+
+
+def _q_url_canonicalize(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + registrable-domain (eTLD+1) extraction —
+    pure column expressions (functions/urls.py), map-only; PSL
+    longest-suffix match as a literal-array membership test."""
+    from mahout_spark.functions import urls as U
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", _synth_url_expr().alias("url"))
+    return docs.select(
+        "doc_id", "url",
+        U.canonicalize_url(F.col("url")).alias("canon"),
+        U.url_host(F.col("url")).alias("host"),
+        U.url_domain(F.col("url")).alias("domain"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1564,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup_corpus": _q_line_dedup,
+        "url_canonicalize": _q_url_canonicalize,
     }
 
 
@@ -2296,6 +2360,18 @@ SELECT c.doc_id,
 FROM chunked c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
 """
 
+    from mahout_spark.functions.urls import (canonicalize_url_sql,
+                                             url_domain_sql, url_host_sql)
+
+    url_canonicalize_sql_text = f"""
+WITH u AS (SELECT doc_id, {_synth_url_sql()} AS url FROM documents)
+SELECT doc_id, url,
+       {canonicalize_url_sql('url')} AS canon,
+       {url_host_sql('url')} AS host,
+       {url_domain_sql('url')} AS domain
+FROM u
+"""
+
     return {
         "cms_point_frequency": cms_point_oracle_sql(
             toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
@@ -2484,4 +2560,5 @@ FROM d GROUP BY event_type
         "gopher_quality": gopher_quality_sql_text,
         "c4_line_filter": c4_line_filter_sql_text,
         "line_dedup_corpus": line_dedup_sql_text,
+        "url_canonicalize": url_canonicalize_sql_text,
     }
