@@ -752,7 +752,8 @@ def _q_vecdist_euclidean(spark, sf_dir) -> DataFrame:
 
 
 def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
-    from mahout_spark.functions.text import (content_fingerprint, detect_lang,
+    from mahout_spark.functions.text import (bpe_token_count,
+                                             content_fingerprint, detect_lang,
                                              quality_score, token_count,
                                              tokens_array)
 
@@ -761,6 +762,7 @@ def _q_doc_token_stats(spark, sf_dir) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(t).cast("long").alias("n_tokens"),
+        bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(tokens_array(t))).cast("long")
         .alias("n_distinct"),
         detect_lang(t).alias("lang_detected"),
@@ -2179,9 +2181,12 @@ ranked AS (SELECT u, it, score, row_number() OVER (
 SELECT u AS user_id, it AS item_id, score FROM ranked WHERE rn <= 5
 """
 
+    from mahout_spark.functions.text import bpe_token_count_sql
+
     stats_sql = f"""
 SELECT doc_id,
        ({token_count_sql('text')})::BIGINT AS n_tokens,
+       ({bpe_token_count_sql('text')})::BIGINT AS n_bpe_tokens,
        (len(list_distinct({tokens_array_sql('text')})))::BIGINT AS n_distinct,
        {detect_lang_sql('text')} AS lang_detected,
        {quality_score_sql('text')} AS quality,

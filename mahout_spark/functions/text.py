@@ -71,6 +71,33 @@ def token_count_sql(text: str) -> str:
     return f"len({tokens_array_sql(text)})"
 
 
+# GPT-2-style pre-tokenizer pattern, ASCII approximation: contraction
+# suffixes, space-prefixed letter/digit runs, other-char runs, whitespace
+# runs. Counting these segments estimates BPE token budgets without a
+# merges table (real BPE only splits WITHIN segments, so this is a lower
+# bound that tracks actual counts closely on natural text). Explicit
+# [ \t\n\r] instead of \s — Java \s includes \x0B, RE2's doesn't; with
+# this class Java regex (Spark) and RE2 (DuckDB) match identically
+# (leftmost-first alternation in both).
+BPE_SPLIT_RE = ("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+                "| ?[^ \\t\\n\\ra-zA-Z0-9]+|[ \\t\\n\\r]+")
+
+
+def bpe_segments(text: Column) -> Column:
+    """array<string> of GPT-2-style pre-tokenizer segments."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token-count estimate — one regexp pass, JVM-side."""
+    return F.size(bpe_segments(text))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{pat}', 0))"
+
+
 # -- language ID -------------------------------------------------------------
 
 def lang_scores(text: Column) -> dict[str, Column]:

@@ -40,6 +40,27 @@ def test_token_count_matches_duckdb(docs):
     assert (s["n"].to_numpy() == d["n"].to_numpy()).all()
 
 
+def test_bpe_token_count_matches_duckdb(docs):
+    from mahout_spark.functions.text import (bpe_token_count,
+                                             bpe_token_count_sql)
+
+    s = _spark_one_col(docs, bpe_token_count(F.col("text")), "n")
+    d = _duck_one_col(bpe_token_count_sql("text"), "n")
+    assert (s["n"].to_numpy() == d["n"].to_numpy()).all()
+
+
+def test_bpe_segments_golden(spark):
+    from mahout_spark.functions.text import bpe_segments, bpe_token_count
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world! don't 123 foo_bar")], "id long, t string")
+    row = df.select(bpe_segments(F.col("t")).alias("s"),
+                    bpe_token_count(F.col("t")).alias("n")).collect()[0]
+    assert list(row["s"]) == ["Hello", ",", " world", "!", " don", "'t",
+                              " 123", " foo", "_", "bar"]
+    assert row["n"] == 10
+
+
 def test_tokens_match_duckdb(docs):
     s = _spark_one_col(docs, tokens_array(F.col("text")), "toks")
     d = _duck_one_col(tokens_array_sql("text"), "toks")
