@@ -1488,6 +1488,28 @@ def _q_line_dedup(spark, sf_dir) -> DataFrame:
         F.md5(F.col("text_dedup")).alias("text_dedup_md5"))
 
 
+def _q_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """End-to-end dedup with QUALITY-based representative selection:
+    LSH pair set → transitive groups → argmax(n_chars) winner per group
+    (ties → min id) — the keep-the-best-copy policy a real corpus dedup
+    uses instead of min-id (dedup.pick_representatives)."""
+    from mahout_spark.operators.dedup import (dedup_groups,
+                                              minhash_dedup_pairs,
+                                              pick_representatives)
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text",
+                                num_perm=MINHASH_PERM, bands=8,
+                                seed=MINHASH_SEED, threshold=0.125,
+                                max_bucket=10 ** 9, family="parity")
+    groups = dedup_groups(pairs.select("id_a", "id_b"))
+    out = pick_representatives(groups, docs.select("doc_id", "n_chars"),
+                               "doc_id", "n_chars")
+    return out.select("group_id", "member_id",
+                      F.col("is_representative").cast("int")
+                      .alias("is_representative"))
+
+
 # -- URL layer gate -----------------------------------------------------------
 
 # deterministic synthetic URL per document (messy on purpose: mixed
@@ -1630,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup_corpus": _q_line_dedup,
         "url_canonicalize": _q_url_canonicalize,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -1696,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
                                               exact_dedup_groups_sql,
                                               minhash_signatures_sql,
                                               ngram_jaccard_pairs_sql,
+                                              pick_representatives_sql,
                                               simhash_sql)
     from mahout_spark.operators.evaluation import auc_sql
     from mahout_spark.operators.naivebayes import (nb_classify_sql,
@@ -2475,6 +2499,13 @@ CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) s
         "dedup_groups": f"""
 SELECT group_id, member_id, is_representative::INT AS is_representative
 FROM ({dedup_groups_sql(minhash_lsh_sql)})
+""",
+        "dedup_keep_best": f"""
+SELECT group_id, member_id, is_representative::INT AS is_representative
+FROM ({pick_representatives_sql(
+        dedup_groups_sql(minhash_lsh_sql),
+        'SELECT doc_id, n_chars FROM documents',
+        'doc_id', 'n_chars')})
 """,
         "recommend_itemavg": f"""
 WITH prefs AS ({GATE_PREFS_SQL}),

@@ -476,3 +476,71 @@ FROM cand JOIN {table} ea ON ea.{id_col} = id_a
           JOIN {table} eb ON eb.{id_col} = id_b
 WHERE {cos} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# representative selection / corpus filtering on resolved groups
+# ---------------------------------------------------------------------------
+
+def pick_representatives(groups: DataFrame, scores: DataFrame,
+                         id_col: str, score_col: str) -> DataFrame:
+    """Re-designate each group's representative by QUALITY instead of
+    min-id: argmax score, ties broken by min member id — what a real
+    corpus dedup keeps (e.g. the Gopher-filtered / longest page).
+
+    ``groups`` is ``dedup_groups`` output; ``scores`` maps id → score
+    (members missing from ``scores`` score -inf and can never win
+    unless the whole group is unscored, where min-id wins).
+
+    Shape: groupBy-max then min-id among the argmax rows — two
+    map-side-combinable aggregations + one equi-join, no window, works
+    for any id type, deterministic.
+    """
+    g = groups.join(
+        scores.select(F.col(id_col).alias("member_id"),
+                      F.col(score_col).cast("double").alias("__score")),
+        "member_id", "left") \
+        .withColumn("__score", F.coalesce(
+            F.col("__score"), F.lit(float("-inf"))))
+    best = g.groupBy("group_id").agg(F.max("__score").alias("__best"))
+    winner = (g.join(best, "group_id")
+              .where(F.col("__score") == F.col("__best"))
+              .groupBy("group_id").agg(F.min("member_id").alias("__rep")))
+    return (g.join(winner, "group_id")
+            .select("group_id", "member_id",
+                    (F.col("member_id") == F.col("__rep"))
+                    .alias("is_representative")))
+
+
+def pick_representatives_sql(groups_sql: str, scores_sql: str,
+                             id_col: str, score_col: str) -> str:
+    """DuckDB twin of ``pick_representatives`` (same tie rules)."""
+    return f"""
+WITH __pr_g0 AS ({groups_sql}),
+__pr_sc AS (SELECT {id_col} AS member_id, ({score_col})::DOUBLE AS s
+            FROM ({scores_sql})),
+__pr_g AS (SELECT __pr_g0.group_id, __pr_g0.member_id,
+                  coalesce(__pr_sc.s, '-infinity'::DOUBLE) AS s
+           FROM __pr_g0 LEFT JOIN __pr_sc USING (member_id)),
+__pr_best AS (SELECT group_id, max(s) AS b FROM __pr_g GROUP BY group_id),
+__pr_winner AS (SELECT __pr_g.group_id, min(__pr_g.member_id) AS rep
+                FROM __pr_g JOIN __pr_best
+                  ON __pr_g.group_id = __pr_best.group_id
+                WHERE __pr_g.s = __pr_best.b GROUP BY __pr_g.group_id)
+SELECT __pr_g.group_id, __pr_g.member_id,
+       (__pr_g.member_id = __pr_winner.rep) AS is_representative
+FROM __pr_g JOIN __pr_winner ON __pr_g.group_id = __pr_winner.group_id
+"""
+
+
+def dedup_filter(df: DataFrame, groups: DataFrame, id_col: str,
+                 score_col: str | None = None) -> DataFrame:
+    """Corpus minus duplicate copies: keeps each group's representative
+    (min-id, or best-``score_col`` via ``pick_representatives``) and
+    every row that is in no group. One anti-join against the loser set
+    — the loser frame is the small side (duplicates only)."""
+    if score_col is not None:
+        groups = pick_representatives(groups, df, id_col, score_col)
+    losers = groups.where(~F.col("is_representative")) \
+        .select(F.col("member_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
