@@ -1510,6 +1510,22 @@ def _q_dedup_keep_best(spark, sf_dir) -> DataFrame:
                       .alias("is_representative"))
 
 
+STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 1.0}
+
+
+def _q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic per-language rate sampling + train/val/test split —
+    one md5-coin per row (retry-stable, engine-exact integer compare),
+    literal CASE thresholds, map-only (functions/sampling.py)."""
+    from mahout_spark.functions.sampling import (split_fractions,
+                                                 stratified_sample)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(docs, "lang", STRAT_RATES, "doc_id", seed=5)
+    return split_fractions(kept, "doc_id", [0.8, 0.1, 0.1], seed=9) \
+        .select("doc_id", "lang", F.col("split").cast("int").alias("split"))
+
+
 # -- URL layer gate -----------------------------------------------------------
 
 # deterministic synthetic URL per document (messy on purpose: mixed
@@ -1653,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_corpus": _q_line_dedup,
         "url_canonicalize": _q_url_canonicalize,
         "dedup_keep_best": _q_dedup_keep_best,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -2389,6 +2406,28 @@ SELECT c.doc_id,
 FROM chunked c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
 """
 
+    from mahout_spark.functions.sampling import (_threshold,
+                                                 hash_coin_u60_sql,
+                                                 stratified_sample_sql)
+
+    _coin9 = hash_coin_u60_sql("doc_id", 9)
+    # bounds via the SAME float accumulation as split_fractions —
+    # int((0.8+0.1)*2^60) can differ from int(0.9*2^60) by ulps
+    _cum, _cases = 0.0, []
+    for _i, _f in enumerate([0.8, 0.1, 0.1]):
+        _lo = _threshold(_cum)
+        _cum += _f
+        _cases.append(f"WHEN {_coin9} >= {_lo} AND "
+                      f"{_coin9} < {_threshold(_cum)} THEN {_i}")
+    stratified_sample_sql_text = f"""
+WITH kept AS ({stratified_sample_sql(
+        '(SELECT doc_id, lang FROM documents)', 'lang', STRAT_RATES,
+        'doc_id', seed=5)})
+SELECT doc_id, lang,
+       (CASE {' '.join(_cases)} ELSE -1 END)::INT AS split
+FROM kept
+"""
+
     from mahout_spark.functions.urls import (canonicalize_url_sql,
                                              url_domain_sql, url_host_sql)
 
@@ -2597,4 +2636,5 @@ FROM d GROUP BY event_type
         "c4_line_filter": c4_line_filter_sql_text,
         "line_dedup_corpus": line_dedup_sql_text,
         "url_canonicalize": url_canonicalize_sql_text,
+        "stratified_sample": stratified_sample_sql_text,
     }
