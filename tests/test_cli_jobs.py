@@ -62,3 +62,25 @@ def test_resplit_cli(tiny):
                 "--output", str(tiny / "resplit"), "--num-splits", "3"])
     assert sum(res["splits"].values()) == 30
     assert set(res["splits"]) == {"0", "1", "2"}
+
+
+def test_curate_cli(tmp_path):
+    out = str(tmp_path / "curated")
+    res = _run(["jobs/curate.py",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", out, "--no-gopher",
+                "--rates", "en=0.5,de=0.5,fr=0.5,es=0.5,zh=0.5",
+                "--seed", "1"])
+    assert res["counts"]["input"] == 500
+    # near-dup removal dropped something; sampling halved the rest
+    assert 0 < res["counts"]["neardup"] <= 500
+    assert 0 < res["counts"]["sampled"] < res["counts"]["neardup"]
+    assert res["output_rows"] == res["counts"]["sampled"]
+    assert json.load(open(f"{out}/RESULT.json")) == res
+    # deterministic: same seed, same counts
+    res2 = _run(["jobs/curate.py",
+                 "--input", "/root/testdata/sf0.001/documents.parquet",
+                 "--output", str(tmp_path / "c2"), "--no-gopher",
+                 "--rates", "en=0.5,de=0.5,fr=0.5,es=0.5,zh=0.5",
+                 "--seed", "1"])
+    assert res2["counts"] == res["counts"]
