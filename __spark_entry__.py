@@ -1510,6 +1510,31 @@ def _q_dedup_keep_best(spark, sf_dir) -> DataFrame:
                       .alias("is_representative"))
 
 
+def _q_thin_qr_r(spark, sf_dir) -> DataFrame:
+    """Thin-QR gate: R factor of a tall-skinny A (lineitem quantity /
+    linenumber / ones columns) via the distributed Gramian + Cholesky
+    (decompositions.dqr_thin ← DQR.scala:39-76). The Gramian entries
+    are integer-valued sums (order-independent → exact == SQL sums);
+    the oracle replays Cholesky in closed form — LAPACK differs by
+    ≤1 ulp on 3×3, bridged by round(6) at the final select only."""
+    from mahout_spark.operators.decompositions import dqr_thin
+
+    li = _read(spark, sf_dir, "lineitem")
+    # (orderkey, partkey, linenumber, suppkey) is the table's unique key
+    # — the synthetic lineitem repeats (orderkey, linenumber) pairs, and
+    # DRM triples require one value per (row, col)
+    trip = li.select(
+        F.concat_ws("|", "l_orderkey", "l_partkey", "l_linenumber",
+                    "l_suppkey").alias("row_id"),
+        F.posexplode(F.array(F.col("l_quantity").cast("double"),
+                             F.col("l_linenumber").cast("double"),
+                             F.lit(1.0))).alias("col_id", "value"))
+    _, r_mat = dqr_thin(trip, 3)
+    rows = [(i, j, round(float(r_mat[i, j]), 6))
+            for i in range(3) for j in range(3) if j >= i]
+    return spark.createDataFrame(rows, "i int, j int, r double")
+
+
 STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 1.0}
 
 
@@ -1670,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
+        "thin_qr_r": _q_thin_qr_r,
     }
 
 
@@ -2637,4 +2663,34 @@ FROM d GROUP BY event_type
         "line_dedup_corpus": line_dedup_sql_text,
         "url_canonicalize": url_canonicalize_sql_text,
         "stratified_sample": stratified_sample_sql_text,
+        "thin_qr_r": """
+WITH g AS (
+  SELECT sum(l_quantity * l_quantity) AS g00,
+         sum(l_quantity * l_linenumber) AS g01,
+         sum(l_quantity) AS g02,
+         sum(l_linenumber * l_linenumber) AS g11,
+         sum(l_linenumber) AS g12,
+         count(*)::DOUBLE AS g22
+  FROM lineitem),
+c AS (
+  SELECT sqrt(g00) AS l11, g01 / sqrt(g00) AS l21, g02 / sqrt(g00) AS l31,
+         g00, g01, g02, g11, g12, g22
+  FROM g),
+c2 AS (
+  SELECT l11, l21, l31, sqrt(g11 - l21 * l21) AS l22, g12, g22
+  FROM c),
+c3 AS (
+  SELECT l11, l21, l31, l22, (g12 - l31 * l21) / l22 AS l32, g22
+  FROM c2),
+c4 AS (
+  SELECT l11, l21, l31, l22, l32,
+         sqrt(g22 - l31 * l31 - l32 * l32) AS l33
+  FROM c3)
+SELECT 0 AS i, 0 AS j, round(l11, 6) AS r FROM c4
+UNION ALL SELECT 0, 1, round(l21, 6) FROM c4
+UNION ALL SELECT 0, 2, round(l31, 6) FROM c4
+UNION ALL SELECT 1, 1, round(l22, 6) FROM c4
+UNION ALL SELECT 1, 2, round(l32, 6) FROM c4
+UNION ALL SELECT 2, 2, round(l33, 6) FROM c4
+""",
     }
