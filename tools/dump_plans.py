@@ -107,6 +107,30 @@ def main():
         formatted(projection_search_topk(emb, q, k=5, n_projections=2,
                                          search_size=8, dim=64))))
 
+    from mahout_spark.functions.webquality import (gopher_signals_df,
+                                                   line_dedup)
+
+    sections.append((
+        "gopher_signals_df — the Gopher quality/repetition filter as a "
+        "map-only scan",
+        "no Exchange anywhere: unit arrays materialize in chained "
+        "projections (each split()/n-gram expression evaluated once per "
+        "row — the naive expression form re-tokenizes per lambda element, "
+        "measured 42x slower), all 20 signals + keep are one projection "
+        "over attributes; zero Python stages",
+        formatted(gopher_signals_df(docs.select("doc_id", "text")))))
+
+    sections.append((
+        "line_dedup — corpus-level first-occurrence line dedup in two "
+        "shuffles",
+        "posexplode → one hash-partition groupBy on the LINE key (the "
+        "winner min-struct agg gets map-side partial aggregation; "
+        "boilerplate lines collapse in the combine, no skew pile-up) → "
+        "equi-join back → one reassembly groupBy by doc; no window over "
+        "a low-cardinality key, no Python",
+        formatted(line_dedup(docs.select("doc_id", "text"), "doc_id",
+                             "text"))))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
