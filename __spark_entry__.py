@@ -1510,6 +1510,36 @@ def _q_dedup_keep_best(spark, sf_dir) -> DataFrame:
                       .alias("is_representative"))
 
 
+def _q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII scrubbing gate: deterministic emails/IPs/phones injected per
+    document, then webquality.scrub_pii (chained regexp_replace, Java
+    regex == RE2 on the ASCII rule set) + per-rule counts."""
+    from mahout_spark.functions import webquality as wq
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.concat(F.lit(" contact user"),
+                                    d.cast("string"),
+                                    F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit(" host 10.0."),
+                                    (d % 256).cast("string"),
+                                    F.lit(".1")))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" tel 555-12"),
+                                    (d % 10).cast("string"),
+                                    F.lit("-4567")))
+        .otherwise(F.lit("")))
+    docs = _read(spark, sf_dir, "documents") \
+        .select("doc_id", injected.alias("text"))
+    counts = wq.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(wq.scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+        *[v.cast("long").alias(k) for k, v in counts.items()])
+
+
 def _q_thin_qr_r(spark, sf_dir) -> DataFrame:
     """Thin-QR gate: R factor of a tall-skinny A (lineitem quantity /
     linenumber / ones columns) via the distributed Gramian + Cholesky
@@ -1696,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -2454,6 +2485,25 @@ SELECT doc_id, lang,
 FROM kept
 """
 
+    from mahout_spark.functions.webquality import (pii_counts_sql,
+                                                   scrub_pii_sql)
+
+    _pii_inject = (
+        "text || "
+        "(CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id::VARCHAR"
+        " || '@example.com' ELSE '' END) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' host 10.0.' || "
+        "(doc_id % 256)::VARCHAR || '.1' ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN ' tel 555-12' || "
+        "(doc_id % 10)::VARCHAR || '-4567' ELSE '' END)")
+    _pii_csql = pii_counts_sql("text")
+    pii_scrub_sql_text = f"""
+WITH inj AS (SELECT doc_id, {_pii_inject} AS text FROM documents)
+SELECT doc_id, md5({scrub_pii_sql('text')}) AS scrubbed_md5,
+       {', '.join(f'({v})::BIGINT AS {k}' for k, v in _pii_csql.items())}
+FROM inj
+"""
+
     from mahout_spark.functions.urls import (canonicalize_url_sql,
                                              url_domain_sql, url_host_sql)
 
@@ -2663,6 +2713,7 @@ FROM d GROUP BY event_type
         "line_dedup_corpus": line_dedup_sql_text,
         "url_canonicalize": url_canonicalize_sql_text,
         "stratified_sample": stratified_sample_sql_text,
+        "pii_scrub": pii_scrub_sql_text,
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

@@ -736,3 +736,75 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                     "n_lines",
                     F.coalesce("n_lines_kept", F.lit(0))
                     .cast("long").alias("n_lines_kept")))
+
+
+# -- PII scrubbing ---------------------------------------------------------------
+#
+# Standard curation stage before training-data release: replace emails,
+# IPv4 addresses, and phone-like digit runs with typed placeholder
+# tokens. ASCII-only regexes chosen for identical Java-regex/RE2
+# semantics (\d and \b are ASCII in both when written as [0-9] and \\b);
+# map-only, chained regexp_replace, no UDF. Patterns are deliberately
+# conservative (precision over recall) and pluggable via the PII_RULES
+# list — a production deployment swaps in its legal team's rules, the
+# plan shape (N chained regexp_replace over one scan) is unchanged.
+
+PII_RULES: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement)
+    ("email",
+     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+     "<EMAIL>"),
+    ("ipv4",
+     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+     "<IP>"),
+    ("phone",
+     "(\\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?"
+     "[0-9]{2,4})|([0-9]{3}[-.][0-9]{3}[-.][0-9]{4})",
+     "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column,
+              rules: list[tuple[str, str, str]] | None = None) -> Column:
+    """Text with PII spans replaced by typed placeholders (rule order
+    matters: earlier rules consume their spans first)."""
+    out = text
+    for _, pat, repl in (rules if rules is not None else PII_RULES):
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii_sql(text: str,
+                  rules: list[tuple[str, str, str]] | None = None) -> str:
+    out = text
+    for _, pat, repl in (rules if rules is not None else PII_RULES):
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+def pii_counts(text: Column,
+               rules: list[tuple[str, str, str]] | None = None
+               ) -> dict[str, Column]:
+    """Per-rule match counts (sequential semantics: each rule counts on
+    the text AFTER earlier rules ran, matching scrub_pii's consumption
+    order) — audit/reporting signal alongside the scrub."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in (rules if rules is not None else PII_RULES):
+        out[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def pii_counts_sql(text: str,
+                   rules: list[tuple[str, str, str]] | None = None
+                   ) -> dict[str, str]:
+    out: dict[str, str] = {}
+    cur = text
+    for name, pat, repl in (rules if rules is not None else PII_RULES):
+        p = pat.replace("'", "''")
+        out[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{p}', 0))"
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    return out

@@ -248,3 +248,67 @@ def test_gopher_filter_on_documents(spark):
         F.col("text"))["top_2gram_char_frac"].alias("f"))
     mx = sig.agg(F.max("f")).first()[0]
     assert mx > 0.0
+
+
+# -- PII scrubbing ---------------------------------------------------------------
+
+PII_TEXTS = [
+    "email me at john.doe+spam@example.co.uk or admin@sub.example.com",
+    "server at 192.168.0.1 and 8.8.8.8; version 1.2.3.4.5 stays? no",
+    "call +1 (555) 123-4567 or 555-123-4567 now",
+    "date 2026-08-18 should stay; no phone here",
+    "no pii here at all",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], "id long, text string")
+
+
+def test_scrub_pii_golden(pii_df):
+    got = {r["id"]: r["s"] for r in pii_df.select(
+        "id", wq.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert got[0] == "email me at <EMAIL> or <EMAIL>"
+    assert got[1] == "server at <IP> and <IP>; version <IP>.5 stays? no"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "date 2026-08-18 should stay; no phone here"
+    assert got[4] == PII_TEXTS[4] and got[5] == ""
+
+
+def test_pii_counts_golden(pii_df):
+    c = wq.pii_counts(F.col("text"))
+    got = {r["id"]: r for r in pii_df.select(
+        "id", *[v.alias(k) for k, v in c.items()]).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == \
+        (2, 0, 0)
+    assert got[1]["n_ipv4"] == 3
+    assert got[2]["n_phone"] == 2
+    assert got[3]["n_phone"] == 0
+
+
+def test_pii_matches_duckdb(pii_df):
+    c = wq.pii_counts(F.col("text"))
+    sp = pii_df.select("id", wq.scrub_pii(F.col("text")).alias("s"),
+                       *[v.alias(k) for k, v in c.items()]) \
+        .orderBy("id").collect()
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], columns=["id", "text"]))
+    csql = wq.pii_counts_sql("text")
+    du = con.execute(
+        f"SELECT id, {wq.scrub_pii_sql('text')} AS s, "
+        + ", ".join(f"{v} AS {k}" for k, v in csql.items())
+        + " FROM p ORDER BY id").fetchall()
+    for s, d in zip(sp, du):
+        assert tuple(s) == tuple(d)
+
+
+def test_scrub_custom_rules(pii_df):
+    rules = [("digits", "[0-9]+", "<N>")]
+    got = pii_df.select(wq.scrub_pii(F.col("text"), rules).alias("s")) \
+        .collect()
+    assert all("<N>" in r["s"] or not any(ch.isdigit() for ch in r["s"])
+               for r in got)
