@@ -187,7 +187,9 @@ def content_fingerprint(text: Column) -> Column:
 
 
 def content_fingerprint_sql(text: str) -> str:
-    return (f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))")
+    # explicit class = Java's \s ([ \t\n\x0B\f\r]); RE2's \s misses \x0B
+    return (f"md5(regexp_replace(trim(lower({text})), "
+            f"'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))")
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -68,13 +68,20 @@ def words_array(text: Column) -> Column:
 
 
 def words_array_sql(text: str) -> str:
-    return (f"list_filter(regexp_split_to_array({text}, '\\s+'), "
-            f"w -> w <> '')")
+    # explicit class = Java's \s ([ \t\n\x0B\f\r]); RE2's \s misses \x0B
+    return (f"list_filter(regexp_split_to_array({text}, "
+            f"'[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')")
 
 
 def lines_array(text: Column) -> Column:
-    """Newline-split lines, trimmed, empties removed."""
-    return F.filter(F.transform(F.split(text, "\n"), F.trim),
+    """Newline-split lines, trimmed, empties removed.
+
+    NB: the trim MUST be a lambda — ``F.trim`` itself has an optional
+    second parameter, so ``F.transform`` would call it as
+    ``trim(element, index)`` and the index becomes the trim-character
+    set (a silent no-op trim; caught by the seeded fuzz parity test).
+    """
+    return F.filter(F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
                     lambda l: l != "")
 
 
@@ -241,9 +248,7 @@ def gopher_repetition_signals(
     n_text_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
     for unit_name, units in (
             ("line", lines_array(text)),
-            ("paragraph", F.filter(
-                F.transform(F.split(text, "\n\\s*\n"), F.trim),
-                lambda p: p != ""))):
+            ("paragraph", paragraphs_array(text))):
         n = F.size(units)
         n_distinct = F.size(F.array_distinct(units))
         out[f"dup_{unit_name}_frac"] = \
@@ -274,10 +279,8 @@ def gopher_repetition_signals_sql(
     out: dict[str, str] = {}
     words = words_array_sql(text)
     n_text_chars = f"greatest(length({text}), 1)::DOUBLE"
-    para = (f"list_filter(list_transform(regexp_split_to_array({text}, "
-            f"'\\n\\s*\\n'), p -> trim(p)), p -> p <> '')")
     for unit_name, units in (("line", lines_array_sql(text)),
-                             ("paragraph", para)):
+                             ("paragraph", paragraphs_array_sql(text))):
         n = f"len({units})"
         n_distinct = f"len(list_distinct({units}))"
         out[f"dup_{unit_name}_frac"] = \
@@ -386,13 +389,16 @@ def gopher_keep_sql(text: str, thresholds: dict | None = None) -> str:
 
 
 def paragraphs_array(text: Column) -> Column:
-    return F.filter(F.transform(F.split(text, "\n\\s*\n"), F.trim),
+    # lambda, not bare F.trim — see lines_array for the arity trap
+    return F.filter(F.transform(F.split(text, "\n\\s*\n"),
+                                lambda p: F.trim(p)),
                     lambda p: p != "")
 
 
 def paragraphs_array_sql(text: str) -> str:
+    # [ \t\n\x0B\f\r] = Java's \s exactly (RE2's \s misses \x0B)
     return (f"list_filter(list_transform(regexp_split_to_array({text}, "
-            f"'\\n\\s*\\n'), p -> trim(p)), p -> p <> '')")
+            f"'\\n[ \\t\\n\\x0B\\f\\r]*\\n'), p -> trim(p)), p -> p <> '')")
 
 
 # -- hot-path DataFrame form ---------------------------------------------------
@@ -743,11 +749,26 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
 # Standard curation stage before training-data release: replace emails,
 # IPv4 addresses, and phone-like digit runs with typed placeholder
 # tokens. ASCII-only regexes chosen for identical Java-regex/RE2
-# semantics (\d and \b are ASCII in both when written as [0-9] and \\b);
-# map-only, chained regexp_replace, no UDF. Patterns are deliberately
-# conservative (precision over recall) and pluggable via the PII_RULES
-# list — a production deployment swaps in its legal team's rules, the
-# plan shape (N chained regexp_replace over one scan) is unchanged.
+# semantics; map-only, chained regexp_replace, no UDF. Patterns are
+# deliberately conservative (precision over recall) and pluggable via
+# the PII_RULES list — a production deployment swaps in its legal
+# team's rules, the plan shape (N chained regexp_replace over one scan)
+# is unchanged.
+#
+# Boundary contract: rule patterns are written in RE2-safe syntax and
+# \b means RE2's ASCII word boundary ([0-9A-Za-z_] vs not). Java's \b
+# is Unicode-aware even without UNICODE_CHARACTER_CLASS ('é' is a word
+# char, so 'à1.2.3.4' has no Java boundary — caught by the seeded fuzz
+# parity test), so the Spark side mechanically rewrites \b to the
+# equivalent ASCII lookaround before compiling.
+
+_ASCII_B = ("(?:(?<=[0-9A-Za-z_])(?![0-9A-Za-z_])"
+            "|(?<![0-9A-Za-z_])(?=[0-9A-Za-z_]))")
+
+
+def _java_pat(pat: str) -> str:
+    """RE2-style pattern → Java pattern (ASCII \\b)."""
+    return pat.replace("\\b", _ASCII_B)
 
 PII_RULES: list[tuple[str, str, str]] = [
     # (name, pattern, replacement)
@@ -770,7 +791,7 @@ def scrub_pii(text: Column,
     matters: earlier rules consume their spans first)."""
     out = text
     for _, pat, repl in (rules if rules is not None else PII_RULES):
-        out = F.regexp_replace(out, pat, repl)
+        out = F.regexp_replace(out, _java_pat(pat), repl)
     return out
 
 
@@ -792,9 +813,10 @@ def pii_counts(text: Column,
     out: dict[str, Column] = {}
     cur = text
     for name, pat, repl in (rules if rules is not None else PII_RULES):
+        jpat = _java_pat(pat)
         out[f"n_{name}"] = F.size(
-            F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
-        cur = F.regexp_replace(cur, pat, repl)
+            F.regexp_extract_all(cur, F.lit(jpat), F.lit(0)))
+        cur = F.regexp_replace(cur, jpat, repl)
     return out
 
 

@@ -312,3 +312,50 @@ def test_scrub_custom_rules(pii_df):
         .collect()
     assert all("<N>" in r["s"] or not any(ch.isdigit() for ch in r["s"])
                for r in got)
+
+
+# -- seeded fuzz: every signal, adversarial random strings ------------------------
+
+def test_fuzz_parity_all_signals(spark):
+    """150 seeded random strings over an adversarial alphabet (newlines,
+    bullets, ellipses, '#', quotes, digits, unicode) — every Gopher
+    signal + keep + C4 + PII scrub must match DuckDB bit-exactly."""
+    import random
+
+    rng = random.Random(20260818)
+    alphabet = ["the", "cat", "42", "#", "...", "…", "•", "-", "*", "!",
+                "?", '"', ".", "a@b.io", "1.2.3.4", "déjà", "\n", "\n\n",
+                " ", "  ", "\t", "\x0b", "{", "lorem ipsum", "javascript",
+                "555-123-4567", "word", "be", "to"]
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(0, 40)))
+             for _ in range(150)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    counts = wq.pii_counts(F.col("text"))
+    sp = (wq.gopher_signals_df(df)
+          .withColumn("scrub_md5", F.md5(wq.scrub_pii(F.col("text"))))
+          .withColumns({k: v for k, v in counts.items()})
+          .join(wq.c4_clean(df.select("id", "text")).select(
+              "id", "c4_text", F.col("c4_keep").cast("int")
+              .alias("c4_keep")), "id")
+          .drop("text").orderBy("id").collect())
+    con = duckdb.connect()
+    con.register("fz", pd.DataFrame(rows, columns=["id", "text"]))
+    gsql = wq.gopher_signals_sql("fz", "id", "text")
+    c4 = wq.c4_clean_sql("text")
+    csql = wq.pii_counts_sql("text")
+    du = con.execute(f"""
+SELECT g.*, md5({wq.scrub_pii_sql('fz.text')}) AS scrub_md5,
+       {', '.join(f'{v} AS {k}' for k, v in csql.items())},
+       {c4['c4_text']} AS c4_text, ({c4['c4_keep']})::INT AS c4_keep
+FROM ({gsql}) g JOIN fz ON g.id = fz.id ORDER BY g.id""").fetchdf()
+    cols = [c for c in sp[0].asDict() if c != "id"]
+    for i, srow in enumerate(sp):
+        for nm in cols:
+            a, b = srow[nm], du.iloc[i][nm]
+            if nm == "keep":
+                b = bool(b)
+            elif hasattr(b, "item"):
+                b = b.item()
+            assert a == b, (srow["id"], nm, a, b)
