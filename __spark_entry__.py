@@ -121,6 +121,59 @@ def _q_cms_point_merged(spark, sf_dir) -> DataFrame:
     return cms_point_lookup(merged, probe, md5_long60(F.col("token")))
 
 
+def _q_checkpoint_resume(spark, sf_dir) -> DataFrame:
+    """North-rule resumability, gate-verified end-to-end: an 8-shard CMS
+
+    build over (lang, token) is preempted after 3 shards (run #1 returns
+    None, leaving only lineage + partials on disk), a FRESH job object
+    resumes from the lineage table, computes only the 5 missing shards,
+    and the cross-shard + cross-lang merged sketch answers the same 25
+    probe lookups as a never-killed build. The DuckDB oracle rebuilds the
+    CMS from scratch, so a hash match proves the kill/resume cycle is
+    numerically invisible (integer-weight float sums are order-
+    independent). Reference anchor: the reference's only memoization is
+    CountMinSketchConfig's ser/ files (CountMinSketchConfig.java:74-113);
+    plans/checkpoint.py is the distributed generalization the north rule
+    asks for ("every partition emits lineage + counter metrics to a
+    checkpoint table so jobs resume mid-scan")."""
+    import shutil
+    import tempfile
+
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.plans.checkpoint import CheckpointedSketchJob
+    from mahout_spark.sketch.agg import (cms_spec_shape, merge_sketch_rows,
+                                         sketch_by_key)
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    root = tempfile.mkdtemp(prefix="mahout_ckpt_gate_")
+    try:
+        job1 = CheckpointedSketchJob(spark, root, "gate", n_shards=8)
+        first = job1.run(toks, ["lang"], spec,
+                         key_expr=md5_long60(F.col("token")),
+                         shard_key="doc_id", max_shards=3)
+        if first is not None:
+            raise AssertionError("expected mid-scan preemption")
+        job2 = CheckpointedSketchJob(spark, root, "gate", n_shards=8)
+        per_lang = job2.run(toks, ["lang"], spec,
+                            key_expr=md5_long60(F.col("token")),
+                            shard_key="doc_id")
+        if len(job2.shards_computed) != 8 - 3:
+            raise AssertionError(
+                f"resume recomputed {job2.shards_computed} — expected "
+                f"exactly the 5 missing shards")
+        merged = merge_sketch_rows(per_lang, spec)
+        probe = (toks.groupBy("token").count()
+                 .orderBy(F.desc("count"), "token").limit(25)
+                 .select("token"))
+        out = cms_point_lookup(merged, probe, md5_long60(F.col("token")))
+        # materialize before the checkpoint dir is removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_cms_cosine_lang(spark, sf_dir) -> DataFrame:
     from mahout_spark.functions.hashutil import md5_long60
     from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
@@ -1653,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cms_point_frequency": _q_cms_point_frequency,
         "cms_point_merged": _q_cms_point_merged,
+        "checkpoint_resume_cms": _q_checkpoint_resume,
         "cms_cosine_lang": _q_cms_cosine_lang,
         "cms_inner_lang": _q_cms_inner_lang,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -2520,6 +2574,9 @@ FROM u
         "cms_point_frequency": cms_point_oracle_sql(
             toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
         "cms_point_merged": cms_point_oracle_sql(
+            toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
+        # resume == from-scratch: same oracle as the one-shot builds
+        "checkpoint_resume_cms": cms_point_oracle_sql(
             toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED),
         "cms_cosine_lang": cms_pairwise_oracle_sql(
             toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="lang"),
