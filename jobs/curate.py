@@ -71,6 +71,11 @@ def main(argv=None):
     ap.add_argument("--threshold", type=float, default=0.125)
     ap.add_argument("--no-neardup", action="store_true",
                     help="skip MinHash near-dup group removal")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="replace emails/IPv4/phone-like runs with typed "
+                         "placeholders after dedup (dedup hashes stay on "
+                         "the original text); per-rule match totals land "
+                         "in RESULT.json")
     ap.add_argument("--rates", default="",
                     help="per-lang sample rates k=v,...; empty = keep all")
     ap.add_argument("--default-rate", type=float, default=1.0)
@@ -125,6 +130,16 @@ def main(argv=None):
                              F.length(F.col(tc)).alias("__q"))
         docs = _keep_best(docs, groups, scored, idc)
         counts["neardup"] = docs.count()
+    pii_totals = None
+    if args.scrub_pii:
+        from mahout_spark.functions.webquality import pii_counts, scrub_pii
+
+        cnt = pii_counts(F.col(tc))
+        pii_totals = {k: int(v) for k, v in
+                      docs.agg(*[F.sum(c).alias(k)
+                                 for k, c in cnt.items()])
+                      .collect()[0].asDict().items()}
+        docs = docs.withColumn(tc, scrub_pii(F.col(tc)))
     rates = _parse_rates(args.rates)
     if rates and has_lang:
         docs = stratified_sample(docs, args.lang_col, rates, idc,
@@ -138,6 +153,8 @@ def main(argv=None):
     result = {"wall_s": round(time.time() - t0, 2), "counts": counts,
               "output_rows": counts.get("sampled",
                                         counts[list(counts)[-1]])}
+    if pii_totals is not None:
+        result["pii"] = pii_totals
     print(json.dumps(result))
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/RESULT.json", "w") as f:

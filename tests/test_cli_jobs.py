@@ -68,10 +68,12 @@ def test_curate_cli(tmp_path):
     out = str(tmp_path / "curated")
     res = _run(["jobs/curate.py",
                 "--input", "/root/testdata/sf0.001/documents.parquet",
-                "--output", out, "--no-gopher",
+                "--output", out, "--no-gopher", "--scrub-pii",
                 "--rates", "en=0.5,de=0.5,fr=0.5,es=0.5,zh=0.5",
                 "--seed", "1"])
     assert res["counts"]["input"] == 500
+    assert set(res["pii"]) == {"n_email", "n_ipv4", "n_phone"}
+    assert all(isinstance(v, int) and v >= 0 for v in res["pii"].values())
     # near-dup removal dropped something; sampling halved the rest
     assert 0 < res["counts"]["neardup"] <= 500
     assert 0 < res["counts"]["sampled"] < res["counts"]["neardup"]
