@@ -95,3 +95,53 @@ def test_canonical_is_idempotent(udf_):
     b = {r["id"]: r["url"] for r in twice.collect()}
     # idempotent wherever the first pass produced a URL at all
     assert all(b[i] == a[i] for i in a if a[i] is not None)
+
+
+# -- seeded fuzz: canonical form / host / domain vs DuckDB ----------------------
+
+def test_fuzz_parity_urls(spark):
+    """200 seeded random URL-ish strings assembled from adversarial
+    pieces (userinfo, default/weird ports, unsorted/empty query params,
+    fragments, empty labels, trailing dots, unicode, whitespace) —
+    canonicalize/host/domain must match DuckDB bit-exactly, NULLs
+    included."""
+    import random
+
+    rng = random.Random(20260818)
+    heads = ["http://", "https://", "HTTPS://", "HtTp://", "ftp://",
+             "", "//", "x+y-1://"]
+    hosts = ["Example.COM", "a.b.c.d.co.jp", "WWW.Sub.Co.UK", "single",
+             "x..y", "host.example.com.", "é.example.de", "1.2.3.4",
+             "blog.GitHub.io", ".", "", "x.unknowntld2026"]
+    mids = ["", "user:pw@", "user@", ":80", ":443", ":8080", ":0", ":"]
+    tails = ["", "/", "/p/q", "//x", "/p?b=2&a=1", "?a=1&", "?", "??x",
+             "?z=9&y=8&y=7", "#f", "/p#f?notquery", "?a=1#f", " ", "\t",
+             "?b&a", "?=1", "/p%20q", "?a=%26"]
+    cases = []
+    for _ in range(200):
+        s = (rng.choice(heads) + rng.choice(hosts) + rng.choice(mids)
+             + rng.choice(tails))
+        cases.append(s)
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "id long, url string")
+    got = (df.select(
+        "id",
+        U.canonicalize_url(F.col("url")).alias("canon"),
+        U.url_host(F.col("url")).alias("host"),
+        U.url_domain(F.col("url")).alias("domain"))
+        .orderBy("id").collect())
+    con = duckdb.connect()
+    con.register("fz", pd.DataFrame(
+        [(i, u) for i, u in enumerate(cases)], columns=["id", "url"]))
+    du = con.execute(f"""
+SELECT id, {U.canonicalize_url_sql('url')} AS canon,
+       {U.url_host_sql('url')} AS host,
+       {U.url_domain_sql('url')} AS domain
+FROM fz ORDER BY id""").fetchdf()
+    for i, row in enumerate(got):
+        for nm in ("canon", "host", "domain"):
+            a = row[nm]
+            b = du.iloc[i][nm]
+            if b is None or (isinstance(b, float) and pd.isna(b)):
+                b = None
+            assert a == b, (row["id"], nm, repr(cases[i]), a, b)
