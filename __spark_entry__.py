@@ -1697,6 +1697,22 @@ def _q_url_canonicalize(spark, sf_dir) -> DataFrame:
         U.url_domain(F.col("url")).alias("domain"))
 
 
+def _q_domain_stats(spark, sf_dir) -> DataFrame:
+    """Per-registrable-domain aggregation (functions/urls.py
+    domain_stats): algebraic aggregates only, so map-side partials
+    absorb Zipf-head domains — one partial row per (task, domain)
+    crosses the shuffle. extra_aggs exercises aggregation over a
+    source column (total text chars per domain)."""
+    from mahout_spark.functions.urls import domain_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text",
+        _synth_url_expr().alias("url"))
+    return domain_stats(
+        docs, "url",
+        extra_aggs=[F.sum(F.length("text")).alias("sum_chars")])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1777,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         "line_dedup_corpus": _q_line_dedup,
         "url_canonicalize": _q_url_canonicalize,
+        "domain_stats": _q_domain_stats,
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
@@ -2769,6 +2786,13 @@ FROM d GROUP BY event_type
         "c4_line_filter": c4_line_filter_sql_text,
         "line_dedup_corpus": line_dedup_sql_text,
         "url_canonicalize": url_canonicalize_sql_text,
+        "domain_stats": f"""
+WITH u AS (SELECT doc_id, text, {_synth_url_sql()} AS url FROM documents)
+SELECT {url_domain_sql('url')} AS domain,
+       count(*) AS n_pages,
+       count(DISTINCT {url_host_sql('url')}) AS n_hosts,
+       sum(length(text))::BIGINT AS sum_chars
+FROM u GROUP BY 1""",
         "stratified_sample": stratified_sample_sql_text,
         "pii_scrub": pii_scrub_sql_text,
         "thin_qr_r": """

@@ -231,8 +231,10 @@ def domain_stats(df: DataFrame, url_col: str = "url",
     shuffle). Pass additional algebraic aggregates via ``extra_aggs``.
     """
     url = F.col(url_col)
-    base = df.select(url_domain(url).alias("domain"),
-                     url_host(url).alias("__host"))
+    # keep the source columns so extra_aggs can reference them; Catalyst
+    # column-prunes whatever the aggregates don't touch
+    base = df.withColumns({"domain": url_domain(url),
+                           "__host": url_host(url)})
     aggs = [F.count("*").alias("n_pages"),
             F.countDistinct("__host").alias("n_hosts")]
     return base.groupBy("domain").agg(*aggs, *(extra_aggs or []))
