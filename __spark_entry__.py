@@ -1449,6 +1449,67 @@ def _q_ewa_events(spark, sf_dir) -> DataFrame:
                       "n")
 
 
+def _q_grouped_online_auc(spark, sf_dir) -> DataFrame:
+    """GroupedOnlineAuc gate (math/.../stats/GroupedOnlineAuc.java): the
+    SEQUENTIAL per-group online-AUC estimator (FIFO history-10 ring,
+    running average) replayed per event_type via applyInPandas. The
+    DuckDB oracle replays the same fold with a recursive CTE — the FIFO
+    ring holds exactly the last min(n,10) scores as a multiset, so
+    list_append + tail-slice reproduces it and every float op matches
+    IEEE-for-IEEE (hash-exact, no rounding)."""
+    from mahout_spark.operators.evaluation import grouped_online_auc
+
+    ev = (_read(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 13 == 0)
+          .select("event_type",
+                  F.col("event_id").alias("o"),
+                  (F.col("user_id") % 2).cast("int").alias("y"),
+                  F.col("value").cast("double").alias("s")))
+    return grouped_online_auc(ev, "event_type", "y", "s", "o")
+
+
+GROUPED_ONLINE_AUC_SQL = """
+WITH RECURSIVE
+__oa_src AS (
+  SELECT event_type::VARCHAR AS g, event_id AS o,
+         (user_id % 2)::INT AS y, value::DOUBLE AS s
+  FROM events WHERE event_id % 13 = 0),
+__oa_arr AS (
+  SELECT g, list(struct_pack(y := y, s := s) ORDER BY o, s, y) AS seq
+  FROM __oa_src GROUP BY g),
+__oa_state AS (
+  SELECT g, 0 AS i, 0 AS n0, 0 AS n1, 0.5::DOUBLE AS a0, 0.5::DOUBLE AS a1,
+         CAST([] AS DOUBLE[]) AS h0, CAST([] AS DOUBLE[]) AS h1
+  FROM __oa_arr
+  UNION ALL
+  SELECT g, i + 1,
+         n0 + CASE WHEN e.y = 0 THEN 1 ELSE 0 END,
+         n1 + CASE WHEN e.y = 1 THEN 1 ELSE 0 END,
+         CASE WHEN e.y = 0 AND len(h1) > 0
+              THEN a0 + (list_sum(list_transform(h1, v ->
+                     CASE WHEN e.s > v THEN 1.0
+                          WHEN e.s = v THEN 0.5 ELSE 0.0 END))
+                   / len(h1) - a0) / (n0 + 1)
+              ELSE a0 END,
+         CASE WHEN e.y = 1 AND len(h0) > 0
+              THEN a1 + (list_sum(list_transform(h0, v ->
+                     CASE WHEN e.s > v THEN 1.0
+                          WHEN e.s = v THEN 0.5 ELSE 0.0 END))
+                   / len(h0) - a1) / (n1 + 1)
+              ELSE a1 END,
+         CASE WHEN e.y = 0 THEN list_slice(list_append(h0, e.s),
+                greatest(len(h0) - 8, 1), len(h0) + 1) ELSE h0 END,
+         CASE WHEN e.y = 1 THEN list_slice(list_append(h1, e.s),
+                greatest(len(h1) - 8, 1), len(h1) + 1) ELSE h1 END
+  FROM (SELECT st.*, a.seq[st.i + 1] AS e
+        FROM __oa_state st JOIN __oa_arr a USING (g)
+        WHERE st.i < len(a.seq)) )
+SELECT st.g AS event_type, (1 - st.a0 + st.a1) / 2 AS online_auc,
+       len(a.seq) AS n_samples
+FROM __oa_state st JOIN __oa_arr a USING (g) WHERE st.i = len(a.seq)
+"""
+
+
 # -- webtext quality / C4 gates ---------------------------------------------
 
 # deterministic re-lining of the (single-line) synthetic documents:
@@ -1794,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_corpus": _q_line_dedup,
         "url_canonicalize": _q_url_canonicalize,
         "domain_stats": _q_domain_stats,
+        "grouped_online_auc": _q_grouped_online_auc,
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
@@ -2793,6 +2855,7 @@ SELECT {url_domain_sql('url')} AS domain,
        count(DISTINCT {url_host_sql('url')}) AS n_hosts,
        sum(length(text))::BIGINT AS sum_chars
 FROM u GROUP BY 1""",
+        "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
         "stratified_sample": stratified_sample_sql_text,
         "pii_scrub": pii_scrub_sql_text,
         "thin_qr_r": """

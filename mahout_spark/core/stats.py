@@ -99,6 +99,120 @@ def f_sf(f: float, d1: float, d2: float) -> float:
     return betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
 
 
+class GlobalOnlineAuc:
+    """Online AUC estimator (math/src/main/java/org/apache/mahout/math/
+    stats/GlobalOnlineAuc.java:43-148, studied not copied).
+
+    Keeps a ``history``-deep buffer of recent scores per category
+    (0 = negative, 1 = positive); each new sample is compared against the
+    OTHER category's buffered scores (win = 1, tie = 0.5) and the win
+    rate folds into a per-category running average, optionally windowed:
+
+        avg[c] += (m/count - avg[c]) / min(window_size, samples[c])
+
+    (samples[c] already includes the new sample, as in the reference).
+    ``auc()`` = (1 - avg[0] + avg[1]) / 2, initialised to 0.5.
+
+    Policies: ``fifo`` (reference default — "distinctly the best
+    properties", GlobalOnlineAuc.java:57 — and fully deterministic),
+    ``fair`` (reservoir replacement), ``random``. The reference draws
+    FAIR/RANDOM indices from RandomUtils.getRandom() (a seeded
+    MersenneTwister); we draw from the JavaRandom LCG twin instead —
+    the policy semantics (uniform index) are preserved, the index
+    sequences differ, and FIFO is exact bit-parity.
+    """
+
+    HISTORY = 10
+
+    def __init__(self, policy: str = "fifo", window_size: int | None = None,
+                 seed: int = 42, history: int = HISTORY):
+        if policy not in ("fifo", "fair", "random"):
+            raise ValueError(f"unknown policy: {policy}")
+        self.policy = policy
+        self.window_size = (int(window_size) if window_size
+                            else (1 << 62))  # Integer.MAX_VALUE stand-in
+        self.history = int(history)
+        self.scores = [[float("nan")] * self.history for _ in range(2)]
+        self.averages = [0.5, 0.5]
+        self.samples = [0, 0]
+        from .hashing import JavaRandom
+
+        self._rng = JavaRandom(seed)
+
+    def _next_int(self, bound: int) -> int:
+        # java.util.Random.nextInt(bound) power-of-two-free path
+        while True:
+            bits = self._rng._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) >= 0:
+                return val
+
+    def add_sample(self, category: int, score: float) -> float:
+        n = self.samples[category]
+        if n < self.history:
+            self.scores[category][n] = score
+        elif self.policy == "fifo":
+            self.scores[category][n % self.history] = score
+        elif self.policy == "fair":
+            j = self._next_int(n + 1)
+            if j < self.history:
+                self.scores[category][j] = score
+        else:  # random
+            self.scores[category][self._next_int(self.history)] = score
+        self.samples[category] = n + 1
+        if min(self.samples) >= 1:
+            m = 0.0
+            count = 0.0
+            for v in self.scores[1 - category]:
+                if v != v:  # NaN
+                    continue
+                count += 1.0
+                if score > v:
+                    m += 1.0
+                elif score == v:
+                    m += 0.5
+            k = min(self.window_size, self.samples[category])
+            self.averages[category] += (m / count - self.averages[category]) / k
+        return self.auc()
+
+    def auc(self) -> float:
+        return (1.0 - self.averages[0] + self.averages[1]) / 2.0
+
+
+class GroupedOnlineAuc:
+    """Average of per-group online AUCs (math/.../stats/
+    GroupedOnlineAuc.java:36-74, studied not copied): one GlobalOnlineAuc
+    per group key; ``auc()`` is the unweighted mean over groups.
+    Controls for a grouping factor (e.g. rank items *within* a user, not
+    users against each other). A sample without a group key is an error,
+    as in the reference (its null path throws). For the distributed
+    per-group twin see operators.evaluation.grouped_online_auc.
+    """
+
+    def __init__(self, policy: str = "fifo",
+                 window_size: int | None = None, seed: int = 42):
+        self.policy = policy
+        self.window_size = window_size
+        self.seed = seed
+        self.groups: dict = {}
+
+    def add_sample(self, category: int, group_key, score: float) -> float:
+        if group_key is None:
+            raise ValueError("GroupedOnlineAuc requires a group key")
+        g = self.groups.get(group_key)
+        if g is None:
+            g = GlobalOnlineAuc(policy=self.policy,
+                                window_size=self.window_size,
+                                seed=self.seed)
+            self.groups[group_key] = g
+        return g.add_sample(category, score)
+
+    def auc(self) -> float:
+        if not self.groups:
+            return float("nan")
+        return sum(g.auc() for g in self.groups.values()) / len(self.groups)
+
+
 class OnlineExponentialAverage:
     """Exponentially time-discounted running average
 

@@ -150,6 +150,59 @@ def accuracy(preds: DataFrame, actual_col: str = "actual",
         F.count("*").alias("n_total"))
 
 
+def grouped_online_auc(df: DataFrame, group_col: str, label_col: str,
+                       score_col: str, order_col: str,
+                       policy: str = "fifo",
+                       window_size: int | None = None,
+                       history: int = 10, seed: int = 42) -> DataFrame:
+    """Distributed GroupedOnlineAuc (math/.../stats/GroupedOnlineAuc.java:
+    46-59 + GlobalOnlineAuc.java:79-127): one sequential online-AUC
+    accumulator per group, replayed in ``order_col`` order.
+
+    The estimator is sequential BY DEFINITION (each sample folds into a
+    running average against a bounded history), so the Spark shape is
+    applyInPandas per group: groups scale out across the cluster, the
+    per-group replay stays in-core and bounded (history buffer of
+    ``history`` floats per category) — exactly the reference's semantics
+    at web-scale group counts (per-user click streams). FAIR/RANDOM
+    replacement seeds a deterministic per-group RNG (splitmix of the
+    group key), so results are partitioning- and retry-stable.
+
+    Rows are replayed ordered by (order_col, score, label) — pass a
+    unique order_col (event time / sequence id) for well-defined
+    semantics; the extra keys only break pathological ties
+    deterministically. Returns one row per group:
+    (group, online_auc, n).
+    """
+    import pandas as pd
+
+    from ..core.hashing import hash_strings_u64
+    from ..core.stats import GlobalOnlineAuc
+
+    src = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(label_col).cast("int").alias("y"),
+        F.col(score_col).cast("double").alias("s"),
+        F.col(order_col).alias("o"))
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o", "s", "y"], kind="mergesort")
+        key = pdf["g"].iloc[0]
+        gseed = int(hash_strings_u64([repr(key)], seed=seed)[0]) & 0x7FFFFFFF
+        acc = GlobalOnlineAuc(policy=policy, window_size=window_size,
+                              seed=gseed, history=history)
+        last = float("nan")
+        for y, s in zip(pdf["y"].to_numpy(), pdf["s"].to_numpy()):
+            last = acc.add_sample(int(y), float(s))
+        return pd.DataFrame({"g": [key], "online_auc": [last],
+                             "n": [len(pdf)]})
+
+    out = src.groupBy("g").applyInPandas(
+        replay, schema="g string, online_auc double, n long")
+    return (out.withColumnRenamed("g", group_col)
+            .withColumnRenamed("n", "n_samples"))
+
+
 def exponential_average(df: DataFrame, t_col: str, x_col: str,
                         alpha: float,
                         group_cols: list[str] | None = None) -> DataFrame:
