@@ -1468,6 +1468,14 @@ def _q_grouped_online_auc(spark, sf_dir) -> DataFrame:
     return grouped_online_auc(ev, "event_type", "y", "s", "o")
 
 
+def _lm_perplexity_oracle_sql() -> str:
+    from mahout_spark.functions.lm import lm_cross_entropy_sql
+
+    inner = lm_cross_entropy_sql("documents", "doc_id", "text", n=2, k=0.5)
+    return (f"SELECT id AS doc_id, n_ngrams, round(cross_entropy, 6) AS "
+            f"cross_entropy FROM ({inner})")
+
+
 GROUPED_ONLINE_AUC_SQL = """
 WITH RECURSIVE
 __oa_src AS (
@@ -1758,6 +1766,24 @@ def _q_url_canonicalize(spark, sf_dir) -> DataFrame:
         U.url_domain(F.col("url")).alias("domain"))
 
 
+def _q_lm_perplexity(spark, sf_dir) -> DataFrame:
+    """CCNet-style LM quality scoring (functions/lm.py): self-train an
+    add-0.5-smoothed bigram LM on the documents corpus (two
+    explode+groupBy count scans), score every doc's per-token
+    cross-entropy via two string equi-joins + an ngram-ordered fold.
+    Raw fold is order-deterministic; emitted value rounds to 6dp (the
+    repo-wide ln convention — Java Math.log vs libm differ by <= 1
+    ulp)."""
+    from mahout_spark.functions.lm import lm_cross_entropy, train_lm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    counts_n, counts_ctx, v = train_lm(docs, "text", n=2)
+    out = lm_cross_entropy(docs, "doc_id", "text", counts_n, counts_ctx,
+                           v, n=2, k=0.5)
+    return out.select("doc_id", "n_ngrams",
+                      F.round("cross_entropy", 6).alias("cross_entropy"))
+
+
 def _q_domain_stats(spark, sf_dir) -> DataFrame:
     """Per-registrable-domain aggregation (functions/urls.py
     domain_stats): algebraic aggregates only, so map-side partials
@@ -1856,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "domain_stats": _q_domain_stats,
         "grouped_online_auc": _q_grouped_online_auc,
+        "lm_doc_perplexity": _q_lm_perplexity,
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
@@ -2856,6 +2883,7 @@ SELECT {url_domain_sql('url')} AS domain,
        sum(length(text))::BIGINT AS sum_chars
 FROM u GROUP BY 1""",
         "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
+        "lm_doc_perplexity": _lm_perplexity_oracle_sql(),
         "stratified_sample": stratified_sample_sql_text,
         "pii_scrub": pii_scrub_sql_text,
         "thin_qr_r": """

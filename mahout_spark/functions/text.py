@@ -217,11 +217,17 @@ def shingles_array(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens_array(text), n)
 
 
-def shingles_array_sql(text: str, n: int = 3) -> str:
-    toks = tokens_array_sql(text)
+def shingles_from_tokens_sql(toks: str, n: int = 3) -> str:
+    """DuckDB twin of shingles_from_tokens over an already-computed token
+    list expression (pass a MATERIALIZED CTE column, not a raw
+    tokenizer expr — same per-element re-evaluation hazard as Spark)."""
     if n == 1:
         return toks
     return (f"CASE WHEN len({toks}) >= {n} THEN "
             f"list_transform(range(1, len({toks}) - {n} + 2), "
             f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
             f"ELSE [] END")
+
+
+def shingles_array_sql(text: str, n: int = 3) -> str:
+    return shingles_from_tokens_sql(tokens_array_sql(text), n)
