@@ -11,7 +11,10 @@ deployable job:
   4. keep best        — quality-based representative per group
                         (pick_representatives; score = n_chars of the
                         surviving text) + dedup_filter anti-join
-  5. sample/split     — per-language stratified rates + train/val/test
+  5. LM filter        — optional CCNet-style perplexity cut under a
+                        self-trained bigram LM (functions/lm.py; exact
+                        count tables or broadcast CMS blobs)
+  6. sample/split     — per-language stratified rates + train/val/test
                         split columns (functions/sampling.py)
 
 Every stage is deterministic (hash coins, not rand()), so the output
@@ -76,6 +79,17 @@ def main(argv=None):
                          "placeholders after dedup (dedup hashes stay on "
                          "the original text); per-rule match totals land "
                          "in RESULT.json")
+    ap.add_argument("--lm-filter", type=float, default=None,
+                    metavar="FRAC",
+                    help="keep the FRAC lowest-cross-entropy share of docs "
+                         "under a self-trained add-0.5 bigram LM (CCNet "
+                         "shape); docs too short to score (< 2 tokens) are "
+                         "dropped. Cut = exact percentile here; at corpus "
+                         "scale swap in the t-digest quantile")
+    ap.add_argument("--lm-cms", action="store_true",
+                    help="score with the broadcast count-min-sketch LM "
+                         "(no count-table join; the 10^12-token path)")
+    ap.add_argument("--lm-eps", type=float, default=1e-5)
     ap.add_argument("--rates", default="",
                     help="per-lang sample rates k=v,...; empty = keep all")
     ap.add_argument("--default-rate", type=float, default=1.0)
@@ -140,6 +154,28 @@ def main(argv=None):
                                  for k, c in cnt.items()])
                       .collect()[0].asDict().items()}
         docs = docs.withColumn(tc, scrub_pii(F.col(tc)))
+    lm_cut = None
+    if args.lm_filter is not None:
+        from mahout_spark.functions.lm import (lm_cross_entropy,
+                                               lm_cross_entropy_cms,
+                                               train_lm, train_lm_cms)
+
+        if args.lm_cms:
+            blob_n, blob_ctx, v = train_lm_cms(
+                docs, tc, n=2, eps=args.lm_eps, seed=args.seed)
+            scored_lm = lm_cross_entropy_cms(docs, idc, tc, blob_n,
+                                             blob_ctx, v)
+        else:
+            counts_n, counts_ctx, v = train_lm(docs, tc, n=2)
+            scored_lm = lm_cross_entropy(docs, idc, tc, counts_n,
+                                         counts_ctx, v)
+        scored_lm = scored_lm.persist()
+        lm_cut = scored_lm.agg(F.expr(
+            f"percentile(cross_entropy, {args.lm_filter})")).collect()[0][0]
+        keep = scored_lm.filter(F.col("cross_entropy") <= lm_cut)
+        docs = docs.join(keep.select(idc), idc, "left_semi")
+        scored_lm.unpersist()
+        counts["lm_filter"] = docs.count()
     rates = _parse_rates(args.rates)
     if rates and has_lang:
         docs = stratified_sample(docs, args.lang_col, rates, idc,
@@ -155,6 +191,8 @@ def main(argv=None):
                                         counts[list(counts)[-1]])}
     if pii_totals is not None:
         result["pii"] = pii_totals
+    if lm_cut is not None:
+        result["lm_cut"] = lm_cut
     print(json.dumps(result))
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/RESULT.json", "w") as f:

@@ -86,3 +86,22 @@ def test_curate_cli(tmp_path):
                  "--rates", "en=0.5,de=0.5,fr=0.5,es=0.5,zh=0.5",
                  "--seed", "1"])
     assert res2["counts"] == res["counts"]
+
+
+def test_curate_cli_lm_filter(tmp_path):
+    res = _run(["jobs/curate.py",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", str(tmp_path / "lm"), "--no-gopher",
+                "--no-neardup", "--lm-filter", "0.8", "--seed", "1"])
+    assert res["counts"]["input"] == 500
+    # exact-percentile cut keeps ~80% (ties may round up a hair)
+    assert 380 <= res["counts"]["lm_filter"] <= 410
+    assert res["lm_cut"] > 0
+    # deterministic re-run, and the CMS path lands in the same ballpark
+    res2 = _run(["jobs/curate.py",
+                 "--input", "/root/testdata/sf0.001/documents.parquet",
+                 "--output", str(tmp_path / "lm2"), "--no-gopher",
+                 "--no-neardup", "--lm-filter", "0.8", "--lm-cms",
+                 "--seed", "1"])
+    assert res2["counts"]["lm_filter"] == res["counts"]["lm_filter"]
+    assert abs(res2["lm_cut"] - res["lm_cut"]) < 0.05 * res["lm_cut"]
