@@ -105,3 +105,18 @@ def test_curate_cli_lm_filter(tmp_path):
                  "--seed", "1"])
     assert res2["counts"]["lm_filter"] == res["counts"]["lm_filter"]
     assert abs(res2["lm_cut"] - res["lm_cut"]) < 0.05 * res["lm_cut"]
+
+
+def test_arffvector_cli(tmp_path):
+    from test_arff import EXPECTED, SAMPLE
+
+    src = tmp_path / "sample.arff"
+    src.write_text(SAMPLE)
+    out = str(tmp_path / "arffout")
+    res = _run(["jobs/arffvector.py", "--input", str(src),
+                "--output", out])
+    assert res["relation"] == "test rel"
+    assert res["n_attrs"] == 8
+    assert res["n_cells"] == len(EXPECTED)
+    model = json.load(open(f"{out}/MODEL.json"))
+    assert model["nominals"]["class"]["virg,inica"] == 3
