@@ -120,3 +120,18 @@ def test_arffvector_cli(tmp_path):
     assert res["n_cells"] == len(EXPECTED)
     model = json.load(open(f"{out}/MODEL.json"))
     assert model["nominals"]["class"]["virg,inica"] == 3
+
+
+def test_seqwiki_cli(spark, tmp_path):
+    from test_wikipedia import WIKI
+
+    src = tmp_path / "dump.xml"
+    src.write_text(WIKI)
+    out = str(tmp_path / "wiki")
+    res = _run(["jobs/seqwiki.py", "--input", str(src), "--output", out,
+                "--categories", "science", "--removeLabels"])
+    assert res["pages"] == 2
+    rows = {r["title"]: r for r in
+            spark.read.parquet(f"{out}/pages").collect()}
+    assert set(rows) == {"Alpha Beta", "Gamma"}
+    assert "[[Category:" not in rows["Alpha Beta"]["text"]
