@@ -1468,6 +1468,13 @@ def _q_grouped_online_auc(spark, sf_dir) -> DataFrame:
     return grouped_online_auc(ev, "event_type", "y", "s", "o")
 
 
+def _heavy_hitters_oracle_sql() -> str:
+    from mahout_spark.sketch.queries import heavy_hitters_oracle_sql
+
+    return heavy_hitters_oracle_sql(
+        "SELECT token FROM (" + _toksrc_sql() + ")", "token", 0.002)
+
+
 def _lm_perplexity_oracle_sql() -> str:
     from mahout_spark.functions.lm import lm_cross_entropy_sql
 
@@ -1766,6 +1773,19 @@ def _q_url_canonicalize(spark, sf_dir) -> DataFrame:
         U.url_domain(F.col("url")).alias("domain"))
 
 
+def _q_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Misra-Gries heavy hitters (core/spacesaving.py + sketch/queries.
+    heavy_hitters): candidates from the sixth mergeable sketch (JVM
+    preagg + salted two-phase merge), output made EXACT by one
+    pushed-down isin scan + tiny groupBy — so the DuckDB oracle is a
+    plain GROUP BY ... HAVING, no sketch replay needed. Deterministic
+    regardless of partitioning/ingest order."""
+    from mahout_spark.sketch.queries import heavy_hitters
+
+    toks = _doc_tokens(spark, sf_dir).select("token")
+    return heavy_hitters(toks, "token", threshold_frac=0.002)
+
+
 def _q_lm_perplexity(spark, sf_dir) -> DataFrame:
     """CCNet-style LM quality scoring (functions/lm.py): self-train an
     add-0.5-smoothed bigram LM on the documents corpus (two
@@ -1883,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "grouped_online_auc": _q_grouped_online_auc,
         "lm_doc_perplexity": _q_lm_perplexity,
+        "heavy_hitters_tokens": _q_heavy_hitters,
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
@@ -2884,6 +2905,7 @@ SELECT {url_domain_sql('url')} AS domain,
 FROM u GROUP BY 1""",
         "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
         "lm_doc_perplexity": _lm_perplexity_oracle_sql(),
+        "heavy_hitters_tokens": _heavy_hitters_oracle_sql(),
         "stratified_sample": stratified_sample_sql_text,
         "pii_scrub": pii_scrub_sql_text,
         "thin_qr_r": """

@@ -42,6 +42,7 @@ from mahout_spark.core.bloom import BloomFilter
 from mahout_spark.core.cms import CountMinSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
+from mahout_spark.core.spacesaving import MisraGries
 from mahout_spark.core.tdigest import TDigest
 
 
@@ -71,6 +72,7 @@ class SketchSpec:
     def deserialize(self, blob: bytes):
         return {
             "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
+            "mg": MisraGries,
             "tdigest": TDigest, "kll": KLLSketch,
         }[self.kind].deserialize(bytes(blob))
 
@@ -152,8 +154,23 @@ def kll_spec(k: int = 200, seed: int = 1) -> SketchSpec:
         needs_key=False, needs_value=True)
 
 
+def mg_spec(eps: float = 1e-4) -> SketchSpec:
+    """Misra-Gries heavy-hitters summary (undercount <= eps * N).
+
+    Linear in weights like the CMS, so the same JVM preagg applies —
+    one (key, total weight) partial row per task crosses to Python.
+    Counter values (not the bounds) are ingest-order dependent; consume
+    via ``candidates()`` + an exact verify join
+    (sketch.queries.heavy_hitters), never as exact counts."""
+    return SketchSpec(
+        "mg",
+        make=lambda: MisraGries.from_error_bound(eps),
+        update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
+        needs_key=True, needs_value=False, preagg="sum")
+
+
 SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
-                "tdigest": tdigest_spec, "kll": kll_spec}
+                "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

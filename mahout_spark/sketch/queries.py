@@ -563,3 +563,63 @@ vals AS (
 SELECT a, b, min({value}) AS {out_col}
 FROM vals v GROUP BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + one exact-verify scan
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(df: DataFrame, key_col: str, threshold_frac: float,
+                  eps: float | None = None,
+                  value_col: str | None = None) -> DataFrame:
+    """EXACT keys with total weight > threshold_frac * N, found at sketch
+    cost: one MG build (JVM preagg + salted two-phase merge), then one
+    scan with a pushed-down isin filter over the <= 1/eps candidate
+    hashes and a tiny exact groupBy. MG's bounded undercount guarantees
+    candidate completeness (core/spacesaving.py), and the verify join
+    makes the OUTPUT exact and order/partitioning-independent — this is
+    the production heavy-hitter pattern at 10^12 tokens, where the full
+    (key, count) table would itself be a giant shuffle.
+
+    Returns (key_col, n | weight) filtered by strict >."""
+    from ..core.spacesaving import MisraGries
+    from .agg import mg_spec, sketch_global
+
+    if eps is None:
+        eps = threshold_frac / 2.0
+    if eps >= threshold_frac:
+        raise ValueError("eps must be < threshold_frac for completeness")
+    blob = sketch_global(df, mg_spec(eps), key_col=key_col,
+                         value_col=value_col)
+    mg = MisraGries.deserialize(blob)
+    n_total = mg.n_total
+    cand = mg.candidates(threshold_frac * n_total)
+
+    kc = df.schema[key_col].dataType.simpleString()
+    hash_expr = (F.xxhash64(F.col(key_col)) if kc in ("string", "binary")
+                 else F.col(key_col).cast("long"))
+    agg = (F.sum(F.col(value_col).cast("double")).alias("weight")
+           if value_col else F.count("*").alias("n"))
+    out_col = "weight" if value_col else "n"
+    exact = (df.filter(hash_expr.isin([int(c) for c in cand]))
+             .groupBy(key_col).agg(agg))
+    return exact.filter(F.col(out_col) > threshold_frac * n_total)
+
+
+def heavy_hitters_oracle_sql(keyed_source_sql: str, key: str,
+                             threshold_frac: float,
+                             weight: str | None = None) -> str:
+    """DuckDB twin: plain GROUP BY + HAVING over the same strict
+    threshold (the verify join makes the Spark output exact, so the
+    oracle needs no sketch replay)."""
+    agg = f"sum(({weight})::DOUBLE)" if weight else "count(*)"
+    out = "weight" if weight else "n"
+    return f"""
+WITH __hh_src AS ({keyed_source_sql}),
+__hh_tot AS (SELECT {agg} AS total FROM __hh_src)
+SELECT {key}, {agg} AS {out}
+FROM __hh_src, __hh_tot
+GROUP BY {key}, total
+HAVING {agg} > {threshold_frac!r} * total
+"""
