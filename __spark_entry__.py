@@ -1669,6 +1669,108 @@ def _q_pii_scrub(spark, sf_dir) -> DataFrame:
         *[v.cast("long").alias(k) for k, v in counts.items()])
 
 
+_SS_BOILER = ("subscribe to our newsletter for weekly updates and "
+              "exclusive member offers today")
+_SS_K = 5
+
+
+def _ss_injected(spark, sf_dir) -> DataFrame:
+    """documents with a shared boilerplate tail on every 3rd doc — the
+    corpus-level duplicated-span fixture (oracle replays the same CASE)."""
+    injected = F.when(F.col("doc_id") % 3 == 0,
+                      F.concat_ws(" ", F.col("text"), F.lit(_SS_BOILER))
+                      ).otherwise(F.col("text"))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", injected.alias("text"))
+
+
+_SS_INJECT_SQL = (f"(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+                  f"concat_ws(' ', text, '{_SS_BOILER}') ELSE text END "
+                  f"AS text FROM documents)")
+
+
+def _q_substring_spans(spark, sf_dir) -> DataFrame:
+    """Exact substring dedup gate (Lee et al. k-gram anchoring): maximal
+    0-based token spans covered by any 5-gram occurring >= 2 times in
+    the corpus — gaps-and-islands merge, all-integer output. Runs the
+    production 64-bit-hashed-gram path; the DuckDB oracle groups on the
+    gram string (pytest pins the two paths equal)."""
+    from mahout_spark.operators.substring import duplicate_spans
+
+    return duplicate_spans(_ss_injected(spark, sf_dir), k=_SS_K,
+                           min_count=2, hash_grams=True)
+
+
+def _q_substring_clean(spark, sf_dir) -> DataFrame:
+    """Duplicated-span REMOVAL gate: md5 of the single-space-rejoined
+    kept tokens + tokens removed per doc, same fixture as
+    substring_dup_spans."""
+    from mahout_spark.operators.substring import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_ss_injected(spark, sf_dir), k=_SS_K,
+                                 min_count=2, hash_grams=True)
+    return out.select("doc_id", F.md5("text_dedup").alias("clean_md5"),
+                      "n_dup_units")
+
+
+#: decomposed / control-char injections keyed by doc_id % 4 — built
+#: from explicit code points so no editor/tool can silently compose them
+_NFC_INJ = {
+    0: " cafe" + chr(0x301),                       # e + combining acute
+    1: " " + chr(0x1100) + chr(0x1161) + chr(0x11A8),   # hangul jamo
+    2: " a" + chr(0x301) + chr(0x327) + "\x07x",   # combining run + BEL
+    3: " " + chr(0x212B),                          # angstrom sign
+}
+
+
+def _nfc_inject_sql() -> str:
+    def lit(s):
+        return " || ".join(
+            "chr(%d)" % ord(c) if ord(c) > 126 or ord(c) < 32
+            else "'%s'" % c.replace("'", "''") for c in s)
+    cases = " ".join(
+        f"WHEN doc_id % 4 = {i} THEN text || {lit(s)}"
+        for i, s in sorted(_NFC_INJ.items()))
+    return f"(SELECT doc_id, CASE {cases} END AS text FROM documents)"
+
+
+def _q_theta_overlap(spark, sf_dir) -> DataFrame:
+    """Theta/KMV set-analytics gate: per-event-type distinct-user
+    sketches (k=64, saturated — the estimator path) from ONE
+    distributed build, then pairwise union/intersection/Jaccard. State
+    is merge-order independent, so the DuckDB bottom-k replay
+    (ORDER BY hash LIMIT k) is bit-exact including every float
+    estimate (multiplication-first integer-derived divisions)."""
+    from mahout_spark.sketch.queries import theta_group_overlap
+
+    ev = _read(spark, sf_dir, "events")
+    return theta_group_overlap(ev, "event_type", "user_id", k=64)
+
+
+def _q_unicode_nfc(spark, sf_dir) -> DataFrame:
+    """Unicode hygiene gate: deterministic decomposed sequences +
+    control chars injected per doc, then strip-controls -> NFC (the
+    pipeline order contract: DuckDB's nfc_normalize truncates at NUL,
+    so controls go first). md5 of the normalized text + codepoint
+    delta; engines bit-equal (CPython unicodedata vs utf8proc, both
+    UAX #15)."""
+    from mahout_spark.functions.unicode import (nfc_normalize,
+                                                strip_control_chars)
+
+    d = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        *[F.when(d % 4 == i, F.lit(t)).otherwise(F.lit(""))
+          for i, t in sorted(_NFC_INJ.items())])
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", inj.alias("text"))
+    norm = nfc_normalize(strip_control_chars(F.col("text")))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("nfc_md5"),
+        (F.length(F.col("text")) - F.length(norm)).cast("long")
+        .alias("n_chars_delta"))
+
+
 def _q_thin_qr_r(spark, sf_dir) -> DataFrame:
     """Thin-QR gate: R factor of a tall-skinny A (lineitem quantity /
     linenumber / ones columns) via the distributed Gramian + Cholesky
@@ -1908,6 +2010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
         "pii_scrub": _q_pii_scrub,
+        "substring_dup_spans": _q_substring_spans,
+        "substring_dedup_clean": _q_substring_clean,
+        "unicode_nfc_docs": _q_unicode_nfc,
+        "theta_user_overlap": _q_theta_overlap,
     }
 
 
@@ -1947,6 +2053,37 @@ def _fp_growth_oracle() -> str:
 
     return frequent_itemsets_sql(FPM_SRC_SQL, FPM_MIN_SUPPORT,
                                  FPM_MAX_LEN)
+
+
+def _substring_spans_oracle() -> str:
+    from mahout_spark.operators.substring import duplicate_spans_sql
+
+    return duplicate_spans_sql(_SS_INJECT_SQL, k=_SS_K, min_count=2)
+
+
+def _substring_clean_oracle() -> str:
+    from mahout_spark.operators.substring import remove_duplicate_spans_sql
+
+    sql = remove_duplicate_spans_sql(_SS_INJECT_SQL, k=_SS_K, min_count=2)
+    return (f"SELECT doc_id, md5(text_dedup) AS clean_md5, n_dup_units "
+            f"FROM ({sql})")
+
+
+def _theta_overlap_oracle() -> str:
+    from mahout_spark.sketch.queries import theta_overlap_oracle_sql
+
+    src = "SELECT event_type, user_id::VARCHAR AS ukey FROM events"
+    return theta_overlap_oracle_sql(src, "event_type", "ukey", k=64)
+
+
+def _unicode_nfc_oracle() -> str:
+    from mahout_spark.functions.unicode import (nfc_normalize_sql,
+                                                strip_control_chars_sql)
+
+    norm = nfc_normalize_sql(strip_control_chars_sql("text"))
+    return (f"SELECT doc_id, md5({norm}) AS nfc_md5, "
+            f"(length(text) - length({norm}))::BIGINT AS n_chars_delta "
+            f"FROM {_nfc_inject_sql()}")
 
 
 def _sgd_classify_oracle() -> str:
@@ -2908,6 +3045,10 @@ FROM u GROUP BY 1""",
         "heavy_hitters_tokens": _heavy_hitters_oracle_sql(),
         "stratified_sample": stratified_sample_sql_text,
         "pii_scrub": pii_scrub_sql_text,
+        "substring_dup_spans": _substring_spans_oracle(),
+        "substring_dedup_clean": _substring_clean_oracle(),
+        "unicode_nfc_docs": _unicode_nfc_oracle(),
+        "theta_user_overlap": _theta_overlap_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

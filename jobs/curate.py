@@ -3,6 +3,9 @@
 The training-data path the brief's webtext payload exists for, as one
 deployable job:
 
+  0. unicode hygiene  — optional strip-controls + NFC composition
+                        (functions/unicode.py) so every downstream
+                        hash stage keys on canonical bytes
   1. quality filter   — Gopher rules (functions/webquality.py) and/or
                         the C4 line filter (cleaned text replaces text)
   2. exact line dedup — corpus-level first-occurrence-wins (optional)
@@ -11,6 +14,9 @@ deployable job:
   4. keep best        — quality-based representative per group
                         (pick_representatives; score = n_chars of the
                         surviving text) + dedup_filter anti-join
+  4b. substring dedup — optional RefinedWeb-style exact-substring stage:
+                        corpus-duplicated >= K-token spans removed
+                        (operators/substring.py, k-gram anchoring)
   5. LM filter        — optional CCNet-style perplexity cut under a
                         self-trained bigram LM (functions/lm.py; exact
                         count tables or broadcast CMS blobs)
@@ -63,6 +69,9 @@ def main(argv=None):
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--nfc", action="store_true",
+                    help="strip control chars + NFC-normalize text "
+                         "before any filtering/hashing stage")
     ap.add_argument("--no-gopher", action="store_true",
                     help="skip the Gopher quality filter")
     ap.add_argument("--c4", action="store_true",
@@ -79,6 +88,12 @@ def main(argv=None):
                          "placeholders after dedup (dedup hashes stay on "
                          "the original text); per-rule match totals land "
                          "in RESULT.json")
+    ap.add_argument("--substring-dedup", type=int, default=None,
+                    metavar="K",
+                    help="remove corpus-duplicated token spans anchored "
+                         "on K-grams (RefinedWeb exact-substring stage); "
+                         "runs after near-dup group removal")
+    ap.add_argument("--substring-min-count", type=int, default=2)
     ap.add_argument("--lm-filter", type=float, default=None,
                     metavar="FRAC",
                     help="keep the FRAC lowest-cross-entropy share of docs "
@@ -119,6 +134,12 @@ def main(argv=None):
     t0 = time.time()
     counts = {"input": docs.count()}
 
+    if args.nfc:
+        from mahout_spark.functions.unicode import (nfc_normalize,
+                                                    strip_control_chars)
+
+        docs = docs.withColumn(
+            tc, nfc_normalize(strip_control_chars(F.col(tc))))
     if not args.no_gopher:
         docs = gopher_filter(docs, tc)
         counts["gopher"] = docs.count()
@@ -144,6 +165,17 @@ def main(argv=None):
                              F.length(F.col(tc)).alias("__q"))
         docs = _keep_best(docs, groups, scored, idc)
         counts["neardup"] = docs.count()
+    if args.substring_dedup:
+        from mahout_spark.operators.substring import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(
+            docs, idc, tc, k=args.substring_dedup,
+            min_count=args.substring_min_count)
+        counts["substring_dup_units"] = int(
+            cleaned.agg(F.sum("n_dup_units")).collect()[0][0] or 0)
+        docs = (cleaned.withColumn(tc, F.col("text_dedup"))
+                .drop("text_dedup", "n_dup_units"))
+        counts["substring_dedup"] = docs.count()
     pii_totals = None
     if args.scrub_pii:
         from mahout_spark.functions.webquality import pii_counts, scrub_pii

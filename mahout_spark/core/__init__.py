@@ -13,6 +13,7 @@ from mahout_spark.core.cms import CountMinSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
 from mahout_spark.core.tdigest import TDigest
+from mahout_spark.core.theta import ThetaSketch
 
 __all__ = [
     "BloomFilter",
@@ -20,4 +21,5 @@ __all__ = [
     "HyperLogLog",
     "KLLSketch",
     "TDigest",
+    "ThetaSketch",
 ]

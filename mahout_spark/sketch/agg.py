@@ -44,6 +44,7 @@ from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
 from mahout_spark.core.spacesaving import MisraGries
 from mahout_spark.core.tdigest import TDigest
+from mahout_spark.core.theta import DOMAIN60, ThetaSketch
 
 
 @dataclass(frozen=True)
@@ -72,7 +73,7 @@ class SketchSpec:
     def deserialize(self, blob: bytes):
         return {
             "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
-            "mg": MisraGries,
+            "mg": MisraGries, "theta": ThetaSketch,
             "tdigest": TDigest, "kll": KLLSketch,
         }[self.kind].deserialize(bytes(blob))
 
@@ -169,8 +170,25 @@ def mg_spec(eps: float = 1e-4) -> SketchSpec:
         needs_key=True, needs_value=False, preagg="sum")
 
 
+def theta_spec(k: int = 64, domain: int = DOMAIN60) -> SketchSpec:
+    """KMV/Theta bottom-k distinct sketch (core/theta.py) — SET
+    analytics (union / intersection / Jaccard between groups).
+
+    Keys must be pre-hashed uniform int64 in [0, domain): pass
+    ``key_expr=md5_long60(col)`` (default domain; DuckDB-replayable —
+    an ORDER BY hash LIMIT k oracle rebuilds the state bit-exact) or
+    any JVM hash masked to the domain for the fast path. State is
+    order/merge-tree independent, so results are identical under any
+    partitioning — the strongest determinism in the sketch family."""
+    return SketchSpec(
+        "theta", make=lambda: ThetaSketch(k=k, domain=domain),
+        update=lambda s, kk, v: s.update_batch(kk),
+        needs_key=True, needs_value=False, preagg="distinct")
+
+
 SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
-                "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec}
+                "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
+                "theta": theta_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

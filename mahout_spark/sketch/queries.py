@@ -623,3 +623,119 @@ FROM __hh_src, __hh_tot
 GROUP BY {key}, total
 HAVING {agg} > {threshold_frac!r} * total
 """
+
+
+def theta_group_overlap(df: DataFrame, group_col: str, key_col: str,
+                        k: int = 64) -> DataFrame:
+    """Pairwise SET analytics between groups from one theta-sketch pass
+    (core/theta.py): for every unordered group pair (a < b) the
+    distinct-count estimates of a, b, their union and intersection plus
+    the derived Jaccard. ONE distributed build (JVM md5 hashing +
+    distinct preagg + mapInPandas partials + per-group merge); the
+    pairwise stage runs driver-side over the n_groups retained-hash
+    sets — k * n_groups longs, a bounded driver aggregate like every
+    model collect in this repo. Keys are md5_long60-hashed, so a DuckDB
+    ORDER BY hash LIMIT k oracle replays the whole thing bit-exact
+    (theta state is merge-order independent).
+
+    Returns (group_a, group_b, est_a, est_b, est_union, rho,
+    est_intersection, jaccard) — rho = retained common hashes under the
+    joint knowledge horizon."""
+    from ..core.theta import ThetaSketch
+    from .agg import sketch_by_key, theta_spec
+
+    kc = df.schema[key_col].dataType.simpleString()
+    key = F.col(key_col) if kc == "string" else \
+        F.col(key_col).cast("string")   # oracle casts ::VARCHAR likewise
+    spec = theta_spec(k=k)
+    sk = sketch_by_key(df, [group_col], spec,
+                       key_expr=md5_long60(key))
+    blobs = {r[group_col]: ThetaSketch.deserialize(bytes(r["sketch"]))
+             for r in sk.collect()}
+    rows = []
+    for ga in sorted(blobs):
+        for gb in sorted(blobs):
+            if not ga < gb:
+                continue
+            a, b = blobs[ga], blobs[gb]
+            rho, _ = a.intersection_count(b)
+            rows.append((ga, gb, a.estimate(), b.estimate(),
+                         a.union(b).estimate(), rho,
+                         a.intersection_estimate(b), a.jaccard(b)))
+    return df.sparkSession.createDataFrame(
+        rows, f"group_a string, group_b string, est_a double, "
+              f"est_b double, est_union double, rho long, "
+              f"est_intersection double, jaccard double")
+
+
+def theta_overlap_oracle_sql(keyed_source_sql: str, group: str, key: str,
+                             k: int = 64,
+                             domain: int = 1 << 60) -> str:
+    """DuckDB replay of theta_group_overlap: bottom-k distinct
+    md5_long60 hashes per group (ORDER BY hash LIMIT k via a window
+    rank), then the identical KMV estimators — multiplication-first
+    float arithmetic mirrors core/theta.py exactly."""
+    est = (f"CASE WHEN n_ret < {k} THEN n_ret::DOUBLE "
+           f"ELSE ({k - 1}::DOUBLE * {domain}) / kth::DOUBLE END")
+    return f"""
+WITH __th_src AS ({keyed_source_sql}),
+__th_h AS (
+  SELECT DISTINCT {group} AS g, {md5_long60_sql(key)} AS h FROM __th_src
+),
+__th_ret AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rnk
+    FROM __th_h) WHERE rnk <= {k}
+),
+__th_stat AS (
+  SELECT g, count(*) AS n_ret, max(h) AS kth,
+         CASE WHEN count(*) < {k} THEN {domain} ELSE max(h) END AS theta,
+         {est} AS est
+  FROM __th_ret GROUP BY g
+),
+__th_pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM __th_stat a, __th_stat b WHERE a.g < b.g
+),
+__th_union AS (
+  SELECT p.ga, p.gb, count(*) AS n_ret, max(u.h) AS kth
+  FROM __th_pairs p, LATERAL (
+    SELECT h FROM (
+      SELECT DISTINCT r.h FROM __th_ret r
+      WHERE r.g = p.ga OR r.g = p.gb) ORDER BY h LIMIT {k}) u
+  GROUP BY p.ga, p.gb
+),
+__th_rho AS (
+  SELECT p.ga, p.gb, count(*) AS rho
+  FROM __th_pairs p
+  LEFT JOIN __th_ret ra ON ra.g = p.ga
+  JOIN __th_ret rb ON rb.g = p.gb AND rb.h = ra.h
+  JOIN __th_stat sa ON sa.g = p.ga
+  JOIN __th_stat sb ON sb.g = p.gb
+  WHERE ra.h <= least(sa.theta, sb.theta)
+  GROUP BY p.ga, p.gb
+)
+SELECT p.ga AS group_a, p.gb AS group_b,
+       sa.est AS est_a, sb.est AS est_b,
+       ({est.replace('n_ret', 'u.n_ret').replace('kth', 'u.kth')})
+           AS est_union,
+       coalesce(r.rho, 0)::BIGINT AS rho,
+       CASE WHEN least(sa.theta, sb.theta) >= {domain}
+            THEN coalesce(r.rho, 0)::DOUBLE
+            ELSE (coalesce(r.rho, 0)::DOUBLE * {domain})
+                 / least(sa.theta, sb.theta)::DOUBLE END
+           AS est_intersection,
+       CASE WHEN ({est.replace('n_ret', 'u.n_ret')
+                      .replace('kth', 'u.kth')}) = 0 THEN 0.0
+            ELSE (CASE WHEN least(sa.theta, sb.theta) >= {domain}
+                       THEN coalesce(r.rho, 0)::DOUBLE
+                       ELSE (coalesce(r.rho, 0)::DOUBLE * {domain})
+                            / least(sa.theta, sb.theta)::DOUBLE END)
+                 / ({est.replace('n_ret', 'u.n_ret')
+                        .replace('kth', 'u.kth')}) END
+           AS jaccard
+FROM __th_pairs p
+JOIN __th_stat sa ON sa.g = p.ga
+JOIN __th_stat sb ON sb.g = p.gb
+JOIN __th_union u ON u.ga = p.ga AND u.gb = p.gb
+LEFT JOIN __th_rho r ON r.ga = p.ga AND r.gb = p.gb
+"""

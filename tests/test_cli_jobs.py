@@ -88,6 +88,18 @@ def test_curate_cli(tmp_path):
     assert res2["counts"] == res["counts"]
 
 
+def test_curate_cli_substring_dedup(tmp_path):
+    res = _run(["jobs/curate.py",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", str(tmp_path / "ss"), "--no-gopher",
+                "--no-neardup", "--substring-dedup", "5", "--seed", "1"])
+    assert res["counts"]["input"] == 500
+    # stage keeps every doc (span removal, not doc removal) and the
+    # synthetic corpus shares at least some 5-gram spans
+    assert res["counts"]["substring_dedup"] == 500
+    assert res["counts"]["substring_dup_units"] > 0
+
+
 def test_curate_cli_lm_filter(tmp_path):
     res = _run(["jobs/curate.py",
                 "--input", "/root/testdata/sf0.001/documents.parquet",
