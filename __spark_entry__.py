@@ -1713,6 +1713,42 @@ def _q_substring_clean(spark, sf_dir) -> DataFrame:
                       "n_dup_units")
 
 
+_DC_K = 13  # the GPT-3/PaLM 13-gram decontamination rule
+
+
+def _dc_bench(spark, sf_dir) -> DataFrame:
+    """Synthetic benchmark: a 17-token excerpt (tokens 4..20) of every
+    7th document — contaminated docs are known by construction, and the
+    oracle derives the identical benchmark in SQL."""
+    from mahout_spark.functions.webquality import words_array
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words_array(F.col("text")), 4, 17))
+        .alias("text"))
+
+
+def _dc_bench_sql() -> str:
+    from mahout_spark.functions.webquality import words_array_sql
+
+    return (f"(SELECT doc_id, array_to_string(list_slice("
+            f"{words_array_sql('text')}, 4, 20), ' ') AS text "
+            f"FROM documents WHERE doc_id % 7 = 0)")
+
+
+def _q_decontamination(spark, sf_dir) -> DataFrame:
+    """Benchmark-decontamination gate (Brown et al. 13-gram overlap):
+    maximal token spans of the corpus sharing a 13-gram with the
+    benchmark excerpts. Production hashed-gram path; the DuckDB oracle
+    joins on gram strings (pytest pins the two equal)."""
+    from mahout_spark.operators.substring import contamination_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_spans(docs, _dc_bench(spark, sf_dir), k=_DC_K,
+                               hash_grams=True)
+
+
 #: decomposed / control-char injections keyed by doc_id % 4 — built
 #: from explicit code points so no editor/tool can silently compose them
 _NFC_INJ = {
@@ -2012,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup_clean": _q_substring_clean,
+        "decontamination_spans": _q_decontamination,
         "unicode_nfc_docs": _q_unicode_nfc,
         "theta_user_overlap": _q_theta_overlap,
     }
@@ -2059,6 +2096,12 @@ def _substring_spans_oracle() -> str:
     from mahout_spark.operators.substring import duplicate_spans_sql
 
     return duplicate_spans_sql(_SS_INJECT_SQL, k=_SS_K, min_count=2)
+
+
+def _decontamination_oracle() -> str:
+    from mahout_spark.operators.substring import contamination_spans_sql
+
+    return contamination_spans_sql("documents", _dc_bench_sql(), k=_DC_K)
 
 
 def _substring_clean_oracle() -> str:
@@ -3047,6 +3090,7 @@ FROM u GROUP BY 1""",
         "pii_scrub": pii_scrub_sql_text,
         "substring_dup_spans": _substring_spans_oracle(),
         "substring_dedup_clean": _substring_clean_oracle(),
+        "decontamination_spans": _decontamination_oracle(),
         "unicode_nfc_docs": _unicode_nfc_oracle(),
         "theta_user_overlap": _theta_overlap_oracle(),
         "thin_qr_r": """

@@ -17,6 +17,9 @@ deployable job:
   4b. substring dedup — optional RefinedWeb-style exact-substring stage:
                         corpus-duplicated >= K-token spans removed
                         (operators/substring.py, k-gram anchoring)
+  4c. decontaminate   — optional benchmark n-gram-overlap drop (Brown
+                        et al. 13-gram rule; operators/substring.py
+                        contamination_spans over a benchmark parquet)
   5. LM filter        — optional CCNet-style perplexity cut under a
                         self-trained bigram LM (functions/lm.py; exact
                         count tables or broadcast CMS blobs)
@@ -94,6 +97,12 @@ def main(argv=None):
                          "on K-grams (RefinedWeb exact-substring stage); "
                          "runs after near-dup group removal")
     ap.add_argument("--substring-min-count", type=int, default=2)
+    ap.add_argument("--decontaminate", default=None, metavar="PARQUET",
+                    help="drop docs sharing any K-gram (see "
+                         "--decontaminate-k) with the benchmark parquet "
+                         "(column named by --text-col); the Brown et al. "
+                         "n-gram-overlap decontamination rule")
+    ap.add_argument("--decontaminate-k", type=int, default=13)
     ap.add_argument("--lm-filter", type=float, default=None,
                     metavar="FRAC",
                     help="keep the FRAC lowest-cross-entropy share of docs "
@@ -176,6 +185,13 @@ def main(argv=None):
         docs = (cleaned.withColumn(tc, F.col("text_dedup"))
                 .drop("text_dedup", "n_dup_units"))
         counts["substring_dedup"] = docs.count()
+    if args.decontaminate:
+        from mahout_spark.operators.substring import decontaminate
+
+        bench = spark.read.parquet(args.decontaminate)
+        docs = decontaminate(docs, bench, idc, tc, tc,
+                             k=args.decontaminate_k, policy="drop")
+        counts["decontaminate"] = docs.count()
     pii_totals = None
     if args.scrub_pii:
         from mahout_spark.functions.webquality import pii_counts, scrub_pii

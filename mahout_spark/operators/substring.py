@@ -67,19 +67,10 @@ def _occurrences(docs: DataFrame, id_col: str, text_col: str, k: int,
                             inner)).alias("pos", "gram")))
 
 
-def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", k: int = 8,
-                    min_count: int = 2,
-                    hash_grams: bool = True) -> DataFrame:
-    """(id_col, span_start, span_end, n_units): maximal 0-based token
-    spans [start, end) covered by some k-gram occurring >= min_count
-    times in the corpus (within-doc repeats count — Lee et al.'s
-    whole-corpus occurrence count)."""
-    occ = _occurrences(docs, id_col, text_col, k, hash_grams)
-    dup = (occ.groupBy("gram").agg(F.count("*").alias("__c"))
-           .where(F.col("__c") >= min_count).select("gram"))
-    marked = occ.join(dup, "gram").select("__id", "pos")
-
+def _merge_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(__id, pos) hit-window starts -> maximal merged token spans
+    (id_col, span_start, span_end, n_units) — the gaps-and-islands
+    window per DOCUMENT, all-integer arithmetic."""
     prev = Window.partitionBy("__id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1)
     run = Window.partitionBy("__id").orderBy("pos").rowsBetween(
@@ -96,6 +87,21 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
             .select(F.col("__id").alias(id_col), "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start"))
                     .alias("n_units")))
+
+
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_count: int = 2,
+                    hash_grams: bool = True) -> DataFrame:
+    """(id_col, span_start, span_end, n_units): maximal 0-based token
+    spans [start, end) covered by some k-gram occurring >= min_count
+    times in the corpus (within-doc repeats count — Lee et al.'s
+    whole-corpus occurrence count)."""
+    occ = _occurrences(docs, id_col, text_col, k, hash_grams)
+    dup = (occ.groupBy("gram").agg(F.count("*").alias("__c"))
+           .where(F.col("__c") >= min_count).select("gram"))
+    marked = occ.join(dup, "gram").select("__id", "pos")
+    return _merge_spans(marked, k, id_col)
 
 
 def duplicate_spans_sql(table: str, id_col: str = "doc_id",
@@ -124,26 +130,33 @@ WITH {_CTE}_toks AS MATERIALIZED (
   SELECT id, pos FROM {_CTE}_occ
   WHERE gram IN (SELECT gram FROM {_CTE}_dup)
 ),
-{_CTE}_isl AS (
-  SELECT id, pos,
-         CASE WHEN pos > coalesce(max(pos + {k}) OVER (
-                  PARTITION BY id ORDER BY pos
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS newisl
-  FROM {_CTE}_marked
-),
-{_CTE}_grp AS (
-  SELECT id, pos, sum(newisl) OVER (
-             PARTITION BY id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-  FROM {_CTE}_isl
-)
+{_merge_spans_sql(f"{_CTE}_marked", k)}
 SELECT id AS {id_col},
        min(pos)::BIGINT AS span_start,
        (max(pos) + {k})::BIGINT AS span_end,
        (max(pos) + {k} - min(pos))::BIGINT AS n_units
 FROM {_CTE}_grp GROUP BY id, isl
 """
+
+
+def _merge_spans_sql(marked_cte: str, k: int) -> str:
+    """CTE chain {_CTE}_isl, {_CTE}_grp replaying _merge_spans over a
+    (id, pos) CTE; caller SELECTs the min/max span bounds from
+    {_CTE}_grp GROUP BY id, isl."""
+    return f"""{_CTE}_isl AS (
+  SELECT id, pos,
+         CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+                  PARTITION BY id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newisl
+  FROM {marked_cte}
+),
+{_CTE}_grp AS (
+  SELECT id, pos, sum(newisl) OVER (
+             PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM {_CTE}_isl
+)"""
 
 
 def remove_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
@@ -210,3 +223,103 @@ SELECT id AS {id_col},
        (len(toks) - len(kept))::BIGINT AS n_dup_units
 FROM {_CTE}_kept
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: corpus spans overlapping a held-out set
+# ---------------------------------------------------------------------------
+
+
+def contamination_spans(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text", k: int = 13,
+                        hash_grams: bool = True) -> DataFrame:
+    """(id_col, span_start, span_end, n_units): maximal 0-based token
+    spans of ``docs`` covered by some k-gram that also occurs anywhere
+    in ``bench`` — the n-gram-overlap benchmark-decontamination test
+    (Brown et al. 2020 appx C / PaLM's 13-gram rule; no reference
+    anchor — the reference has no decontamination stage).
+
+    Scale design: the corpus side is the same map-only gram explode +
+    ONE equi-join as duplicate_spans; the benchmark side (distinct
+    grams of a ~10^5-doc eval suite) is tiny next to a 10^12-doc corpus
+    and is broadcast, so the hot path adds NO extra shuffle of corpus
+    rows beyond the gram join. ``hash_grams=True`` ships 8-byte gram
+    keys (collisions only ever ADD a spurious mark — conservative in
+    the safe direction for decontamination)."""
+    occ = _occurrences(docs, id_col, text_col, k, hash_grams)
+    b = bench.select(F.lit(0).cast("long").alias("__bid"),
+                     F.col(bench_text_col).alias("__btext"))
+    bgrams = (_occurrences(b, "__bid", "__btext", k, hash_grams)
+              .select("gram").distinct())
+    marked = (occ.join(F.broadcast(bgrams), "gram")
+              .select("__id", "pos"))
+    return _merge_spans(marked, k, id_col)
+
+
+def contamination_spans_sql(table: str, bench_sql: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bench_text_col: str = "text",
+                            k: int = 13) -> str:
+    """DuckDB replay of contamination_spans(hash_grams=False).
+    ``bench_sql`` is a parenthesized relation with ``id_col`` and
+    ``bench_text_col`` columns."""
+    return f"""
+WITH {_CTE}_toks AS MATERIALIZED (
+  SELECT {id_col} AS id, {words_array_sql(text_col)} AS toks FROM {table}
+),
+{_CTE}_idx AS (
+  SELECT id, toks,
+         unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS i
+  FROM {_CTE}_toks
+),
+{_CTE}_occ AS (
+  SELECT id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {k} - 1), ' ') AS gram
+  FROM {_CTE}_idx
+),
+{_CTE}_btoks AS MATERIALIZED (
+  SELECT {words_array_sql(bench_text_col)} AS toks FROM {bench_sql} __b
+),
+{_CTE}_bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, i, i + {k} - 1), ' ')
+         AS gram
+  FROM (SELECT toks,
+               unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS i
+        FROM {_CTE}_btoks)
+),
+{_CTE}_marked AS (
+  SELECT id, pos FROM {_CTE}_occ
+  WHERE gram IN (SELECT gram FROM {_CTE}_bgrams)
+),
+{_merge_spans_sql(f"{_CTE}_marked", k)}
+SELECT id AS {id_col},
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {k})::BIGINT AS span_end,
+       (max(pos) + {k} - min(pos))::BIGINT AS n_units
+FROM {_CTE}_grp GROUP BY id, isl
+"""
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text", k: int = 13,
+                  hash_grams: bool = True,
+                  policy: str = "drop") -> DataFrame:
+    """Remove benchmark contamination from ``docs``.
+
+    policy='drop' (the GPT-3/PaLM treatment): any doc sharing a k-gram
+    with the benchmark is removed outright — one anti-join against the
+    contaminated-id set. policy='mask': only the contaminated spans'
+    tokens are removed (remove_duplicate_spans plumbing), emitting
+    (docs..., text_dedup, n_dup_units)."""
+    spans = contamination_spans(docs, bench, id_col, text_col,
+                                bench_text_col, k, hash_grams)
+    if policy == "drop":
+        return docs.join(spans.select(id_col).distinct(), id_col,
+                         "left_anti")
+    if policy == "mask":
+        return remove_duplicate_spans(docs, id_col, text_col, k=k,
+                                      spans=spans)
+    raise ValueError(f"unknown policy {policy!r}; use 'drop' or 'mask'")

@@ -100,6 +100,32 @@ def test_curate_cli_substring_dedup(tmp_path):
     assert res["counts"]["substring_dup_units"] > 0
 
 
+def test_curate_cli_decontaminate(tmp_path, spark):
+    # benchmark = 15-token excerpts of 30 docs -> those docs must drop
+    from pyspark.sql import functions as F
+
+    from mahout_spark.functions.webquality import words_array
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = (docs.where(F.col("doc_id") % 17 == 0)
+             .select(F.concat_ws(
+                 " ", F.slice(words_array(F.col("text")), 2, 15))
+                 .alias("text")))
+    bpath = str(tmp_path / "bench.parquet")
+    bench.write.parquet(bpath)
+    res = _run(["jobs/curate.py",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", str(tmp_path / "dc"), "--no-gopher",
+                "--no-neardup", "--decontaminate", bpath,
+                "--decontaminate-k", "13", "--seed", "1"])
+    assert res["counts"]["input"] == 500
+    n_bench_sources = docs.where(
+        (F.col("doc_id") % 17 == 0)
+        & (F.size(words_array(F.col("text"))) >= 14)).count()
+    assert res["counts"]["decontaminate"] <= 500 - n_bench_sources
+    assert res["counts"]["decontaminate"] > 400  # only excerpts hit
+
+
 def test_curate_cli_lm_filter(tmp_path):
     res = _run(["jobs/curate.py",
                 "--input", "/root/testdata/sf0.001/documents.parquet",
