@@ -1749,6 +1749,54 @@ def _q_decontamination(spark, sf_dir) -> DataFrame:
                                hash_grams=True)
 
 
+def _sd_corpus(spark, sf_dir) -> DataFrame:
+    """embeddings plus injected scaled near-copies (cosine-invariant
+    scaling, so copies are exact semantic dups): every 7th vector gets
+    a 1.25x twin at id+10000, every 14th ALSO a 1.5x twin at id+20000 —
+    the %14 vectors form 3-cliques exercising the transitive closure."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+
+    def scaled(mod, offset, s):
+        return (emb.where(F.col("vec_id") % mod == 0)
+                .select((F.col("vec_id") + offset).alias("vec_id"),
+                        F.transform("embedding",
+                                    lambda x: x * F.lit(s))
+                        .alias("embedding")))
+
+    return emb.unionByName(scaled(7, 10000, 1.25)).unionByName(
+        scaled(14, 20000, 1.5))
+
+
+_SD_CORPUS_SQL = """(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.25)
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT vec_id + 20000, list_transform(embedding::DOUBLE[], x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 14 = 0)"""
+
+_SD_CENTERS_SQL = ("SELECT vec_id AS cidx, embedding::DOUBLE[] AS cv "
+                   "FROM embeddings WHERE vec_id < 4")
+
+
+def _q_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup gate (Abbas et al. 2023): cosine-argmax assignment to 4
+    fixed centroids (the vec_id<4 embeddings — bounded driver fetch,
+    drmBroadcast convention), within-cluster pairs >= 0.99, transitive
+    groups, min-id keep. The DuckDB oracle replays assignment, every
+    pair cosine, and the closure bit-exactly."""
+    from mahout_spark.operators.semdedup import semdedup
+
+    centers = [list(r["embedding"]) for r in
+               _read(spark, sf_dir, "embeddings")
+               .where(F.col("vec_id") < 4).orderBy("vec_id")
+               .select("embedding").collect()]
+    return semdedup(_sd_corpus(spark, sf_dir), centers, threshold=0.99)
+
+
 #: decomposed / control-char injections keyed by doc_id % 4 — built
 #: from explicit code points so no editor/tool can silently compose them
 _NFC_INJ = {
@@ -2049,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_spans,
         "substring_dedup_clean": _q_substring_clean,
         "decontamination_spans": _q_decontamination,
+        "semdedup_keep": _q_semdedup,
         "unicode_nfc_docs": _q_unicode_nfc,
         "theta_user_overlap": _q_theta_overlap,
     }
@@ -2102,6 +2151,12 @@ def _decontamination_oracle() -> str:
     from mahout_spark.operators.substring import contamination_spans_sql
 
     return contamination_spans_sql("documents", _dc_bench_sql(), k=_DC_K)
+
+
+def _semdedup_oracle() -> str:
+    from mahout_spark.operators.semdedup import semdedup_sql
+
+    return semdedup_sql(_SD_CORPUS_SQL, _SD_CENTERS_SQL, threshold=0.99)
 
 
 def _substring_clean_oracle() -> str:
@@ -3091,6 +3146,7 @@ FROM u GROUP BY 1""",
         "substring_dup_spans": _substring_spans_oracle(),
         "substring_dedup_clean": _substring_clean_oracle(),
         "decontamination_spans": _decontamination_oracle(),
+        "semdedup_keep": _semdedup_oracle(),
         "unicode_nfc_docs": _unicode_nfc_oracle(),
         "theta_user_overlap": _theta_overlap_oracle(),
         "thin_qr_r": """
