@@ -1797,6 +1797,21 @@ def _q_semdedup(spark, sf_dir) -> DataFrame:
     return semdedup(_sd_corpus(spark, sf_dir), centers, threshold=0.99)
 
 
+def _q_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR gate (Xie et al. 2023): importance log-weight of every doc
+    toward the English subset as target — hashed unigram+bigram bucket
+    models (md5 % 4096), add-0.5 smoothing, bucket-sorted ln fold.
+    log_w rounded 6 dp (the repo ln convention); counts exact."""
+    from mahout_spark.functions.dsir import dsir_log_weights
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, buckets=4096)
+    return w.select("doc_id", "n_feats",
+                    F.round("log_w", 6).alias("log_w"))
+
+
 #: decomposed / control-char injections keyed by doc_id % 4 — built
 #: from explicit code points so no editor/tool can silently compose them
 _NFC_INJ = {
@@ -2098,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_clean": _q_substring_clean,
         "decontamination_spans": _q_decontamination,
         "semdedup_keep": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
         "unicode_nfc_docs": _q_unicode_nfc,
         "theta_user_overlap": _q_theta_overlap,
     }
@@ -2151,6 +2167,14 @@ def _decontamination_oracle() -> str:
     from mahout_spark.operators.substring import contamination_spans_sql
 
     return contamination_spans_sql("documents", _dc_bench_sql(), k=_DC_K)
+
+
+def _dsir_oracle() -> str:
+    from mahout_spark.functions.dsir import dsir_log_weights_sql
+
+    return dsir_log_weights_sql(
+        "documents", "(SELECT doc_id, text FROM documents "
+        "WHERE lang = 'en')", buckets=4096, round_dp=6)
 
 
 def _semdedup_oracle() -> str:
@@ -3147,6 +3171,7 @@ FROM u GROUP BY 1""",
         "substring_dedup_clean": _substring_clean_oracle(),
         "decontamination_spans": _decontamination_oracle(),
         "semdedup_keep": _semdedup_oracle(),
+        "dsir_weights": _dsir_oracle(),
         "unicode_nfc_docs": _unicode_nfc_oracle(),
         "theta_user_overlap": _theta_overlap_oracle(),
         "thin_qr_r": """

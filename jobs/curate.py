@@ -20,6 +20,9 @@ deployable job:
   4c. decontaminate   — optional benchmark n-gram-overlap drop (Brown
                         et al. 13-gram rule; operators/substring.py
                         contamination_spans over a benchmark parquet)
+  4d. DSIR            — optional importance resampling toward a target
+                        corpus (functions/dsir.py; hashed n-gram models,
+                        deterministic Gumbel-top-K)
   5. LM filter        — optional CCNet-style perplexity cut under a
                         self-trained bigram LM (functions/lm.py; exact
                         count tables or broadcast CMS blobs)
@@ -114,6 +117,13 @@ def main(argv=None):
                     help="score with the broadcast count-min-sketch LM "
                          "(no count-table join; the 10^12-token path)")
     ap.add_argument("--lm-eps", type=float, default=1e-5)
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="importance-resample toward this target-corpus "
+                         "parquet (Xie et al. DSIR): hashed n-gram "
+                         "models, Gumbel-top-K selection")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="number of docs the DSIR stage keeps")
+    ap.add_argument("--dsir-buckets", type=int, default=8192)
     ap.add_argument("--rates", default="",
                     help="per-lang sample rates k=v,...; empty = keep all")
     ap.add_argument("--default-rate", type=float, default=1.0)
@@ -224,6 +234,16 @@ def main(argv=None):
         docs = docs.join(keep.select(idc), idc, "left_semi")
         scored_lm.unpersist()
         counts["lm_filter"] = docs.count()
+    if args.dsir_target:
+        if not args.dsir_k:
+            raise SystemExit("--dsir-target requires --dsir-k")
+        from mahout_spark.functions.dsir import dsir_sample
+
+        tgt = spark.read.parquet(args.dsir_target)
+        sel = dsir_sample(docs, tgt, args.dsir_k, idc, tc,
+                          buckets=args.dsir_buckets, seed=args.seed + 2)
+        docs = docs.join(sel.select(idc), idc, "left_semi")
+        counts["dsir"] = docs.count()
     rates = _parse_rates(args.rates)
     if rates and has_lang:
         docs = stratified_sample(docs, args.lang_col, rates, idc,

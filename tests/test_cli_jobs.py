@@ -126,6 +126,29 @@ def test_curate_cli_decontaminate(tmp_path, spark):
     assert res["counts"]["decontaminate"] > 400  # only excerpts hit
 
 
+def test_curate_cli_dsir(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tpath = str(tmp_path / "target.parquet")
+    docs.where(F.col("lang") == "en").select("doc_id", "text") \
+        .write.parquet(tpath)
+    res = _run(["jobs/curate.py",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", str(tmp_path / "ds"), "--no-gopher",
+                "--no-neardup", "--dsir-target", tpath,
+                "--dsir-k", "100", "--dsir-buckets", "1024",
+                "--seed", "1"])
+    assert res["counts"]["dsir"] == 100
+    res2 = _run(["jobs/curate.py",
+                 "--input", "/root/testdata/sf0.001/documents.parquet",
+                 "--output", str(tmp_path / "ds2"), "--no-gopher",
+                 "--no-neardup", "--dsir-target", tpath,
+                 "--dsir-k", "100", "--dsir-buckets", "1024",
+                 "--seed", "1"])
+    assert res2["counts"] == res["counts"]
+
+
 def test_curate_cli_lm_filter(tmp_path):
     res = _run(["jobs/curate.py",
                 "--input", "/root/testdata/sf0.001/documents.parquet",
