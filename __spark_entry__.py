@@ -1812,6 +1812,35 @@ def _q_dsir_weights(spark, sf_dir) -> DataFrame:
                     F.round("log_w", 6).alias("log_w"))
 
 
+def _q_fd_bound(spark, sf_dir) -> DataFrame:
+    """Frequent-directions gate (Liberty 2013), exact-verify style like
+    heavy_hitters: build the ell=16 FD sketch of the embeddings matrix
+    distributedly, build the EXACT Gramian through the same machinery
+    (ell=512 ≥ n rows ⇒ zero shrinks ⇒ BᵗB = AᵗA, certified by
+    delta_sum == 0), and emit the published-bound checks as booleans —
+    the oracle is their literal truth. SVD isn't SQL-expressible; the
+    bound checks are."""
+    import numpy as np
+
+    from mahout_spark.sketch.fd import fd_sketch
+
+    emb = _read(spark, sf_dir, "embeddings").select("embedding")
+    fd = fd_sketch(emb, "embedding", ell=16, dim=64)
+    exact = fd_sketch(emb, "embedding", ell=512, dim=64)
+    assert exact.spectral_bound() == 0.0
+    diff = exact.ata() - fd.ata()
+    eig = np.linalg.eigvalsh(diff)
+    scale = max(1.0, float(np.abs(eig).max()))
+    cert = fd.spectral_bound()
+    rows = [(16, 64,
+             bool(eig.min() >= -1e-8 * scale),
+             bool(eig.max() <= cert + 1e-8 * max(1.0, cert)),
+             bool(cert <= exact.fnorm2 / 16 + 1e-8))]
+    return spark.createDataFrame(
+        rows, "ell int, dim int, psd_ok boolean, certified_ok boolean,"
+              " apriori_ok boolean")
+
+
 #: decomposed / control-char injections keyed by doc_id % 4 — built
 #: from explicit code points so no editor/tool can silently compose them
 _NFC_INJ = {
@@ -2114,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_spans": _q_decontamination,
         "semdedup_keep": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "fd_gramian_bound": _q_fd_bound,
         "unicode_nfc_docs": _q_unicode_nfc,
         "theta_user_overlap": _q_theta_overlap,
     }
@@ -3172,6 +3202,10 @@ FROM u GROUP BY 1""",
         "decontamination_spans": _decontamination_oracle(),
         "semdedup_keep": _semdedup_oracle(),
         "dsir_weights": _dsir_oracle(),
+        "fd_gramian_bound": (
+            "SELECT 16::INT AS ell, 64::INT AS dim, "
+            "TRUE AS psd_ok, TRUE AS certified_ok, "
+            "TRUE AS apriori_ok"),
         "unicode_nfc_docs": _unicode_nfc_oracle(),
         "theta_user_overlap": _theta_overlap_oracle(),
         "thin_qr_r": """

@@ -9,6 +9,7 @@ aggregations.
 """
 
 from mahout_spark.core.bloom import BloomFilter
+from mahout_spark.core.fd import FrequentDirections
 from mahout_spark.core.cms import CountMinSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
@@ -18,6 +19,7 @@ from mahout_spark.core.theta import ThetaSketch
 __all__ = [
     "BloomFilter",
     "CountMinSketch",
+    "FrequentDirections",
     "HyperLogLog",
     "KLLSketch",
     "TDigest",
