@@ -1,0 +1,152 @@
+"""spark-submit job: one-pass corpus statistics report.
+
+The first thing a corpus owner runs against a new crawl drop: volume,
+per-language composition, length distribution, duplication rate, and
+quality-gate pass rate — one job, one REPORT.json, plus the per-language
+table as parquet.
+
+Plan shape (10^12-doc posture): everything is ONE pass over the corpus
+into two aggregations — a per-language groupBy of algebraic aggs
+(map-side combine absorbs the Zipf language head) and one exact-dup
+groupBy on the text hash. Distinct-token counts use the HLL sketch
+(broadcastable, mergeable) — the exact distinct would shuffle the full
+token stream. Length quantiles are exact interpolated percentiles here
+(report scale); at corpus scale swap in the gated t-digest path
+(sketch/queries.py) — same output columns.
+
+Usage:
+  spark-submit --py-files dist/mahout_spark.zip jobs/corpusstats.py \
+      --input docs.parquet --output /tmp/report [--no-gopher]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def per_language_stats(docs, text_col: str, lang_col: str,
+                       gopher: bool = True):
+    """(lang, n_docs, n_tokens, n_chars, mean_tokens, p50_tokens,
+    p90_tokens, dup_docs, gopher_pass) — one groupBy of algebraic +
+    percentile aggs plus one hash-groupBy for the dup count."""
+    from pyspark.sql import functions as F
+
+    from mahout_spark.functions.webquality import words_array
+
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("__t"),
+        F.size(words_array(F.col(text_col))).alias("__n"))
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum(F.length("__t")).cast("long").alias("n_chars"),
+            F.round(F.avg("__n"), 6).alias("mean_tokens"),
+            F.round(F.expr("percentile(__n, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(__n, 0.9)"), 6).alias("p90_tokens")]
+    if gopher:
+        from mahout_spark.functions.webquality import gopher_keep
+
+        aggs.append(F.sum(gopher_keep(F.col("__t")).cast("long"))
+                    .cast("long").alias("gopher_pass"))
+    stats = base.groupBy("lang").agg(*aggs)
+    dups = (base.groupBy("lang", F.xxhash64("__t").alias("__h"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("lang")
+            .agg((F.sum("c") - F.count("*")).cast("long")
+                 .alias("dup_docs")))
+    return stats.join(dups, "lang")
+
+
+def per_language_stats_sql(table: str, text_col: str = "text",
+                           lang_col: str = "lang",
+                           gopher: bool = True) -> str:
+    """DuckDB replay (string-hash dup grouping; quantile_cont matches
+    Spark's interpolated percentile — integer inputs, 6 dp rounding)."""
+    from mahout_spark.functions.webquality import (gopher_keep_sql,
+                                                   words_array_sql)
+
+    toks = words_array_sql(text_col)
+    gp = (f", sum(CASE WHEN {gopher_keep_sql('t')} THEN 1 ELSE 0 "
+          f"END)::BIGINT AS gopher_pass" if gopher else "")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {lang_col} AS lang, {text_col} AS t, len({toks}) AS n
+  FROM {table}
+),
+stats AS (
+  SELECT lang, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+         sum(length(t))::BIGINT AS n_chars,
+         round(avg(n), 6) AS mean_tokens,
+         round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+         round(quantile_cont(n, 0.9), 6) AS p90_tokens{gp}
+  FROM base GROUP BY lang
+),
+dups AS (
+  SELECT lang, (sum(c) - count(*))::BIGINT AS dup_docs
+  FROM (SELECT lang, t, count(*) AS c FROM base GROUP BY lang, t)
+  GROUP BY lang
+)
+SELECT s.*, d.dup_docs FROM stats s JOIN dups d USING (lang)
+"""
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--no-gopher", action="store_true")
+    ap.add_argument("--hll-p", type=int, default=14)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from mahout_spark.core.hll import HyperLogLog
+    from mahout_spark.functions.text import tokens_array
+    from mahout_spark.session import get_spark
+    from mahout_spark.sketch.agg import hll_spec, sketch_global
+
+    spark = get_spark("corpusstats", master=f"local[{args.cpus}]",
+                      shuffle_partitions=max(args.cpus * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    tc, lc = args.text_col, args.lang_col
+
+    per_lang = per_language_stats(docs, tc, lc,
+                                  gopher=not args.no_gopher)
+    per_lang.write.mode("overwrite").parquet(f"{args.output}/per_lang")
+    rows = sorted((r.asDict() for r in per_lang.collect()),
+                  key=lambda r: r["lang"])
+
+    toks = docs.select(F.explode(tokens_array(F.col(tc))).alias("token"))
+    blob = sketch_global(toks, hll_spec(p=args.hll_p), key_col="token")
+    distinct_tokens = int(round(HyperLogLog.deserialize(blob).count()))
+
+    report = {
+        "wall_s": round(time.time() - t0, 2),
+        "n_docs": int(sum(r["n_docs"] for r in rows)),
+        "n_tokens": int(sum(r["n_tokens"] for r in rows)),
+        "n_chars": int(sum(r["n_chars"] for r in rows)),
+        "dup_docs": int(sum(r["dup_docs"] for r in rows)),
+        "distinct_tokens_hll": distinct_tokens,
+        "per_lang": rows,
+    }
+    print(json.dumps(report, default=str))
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/REPORT.json", "w") as f:
+        json.dump(report, f, default=str)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
