@@ -33,6 +33,9 @@ BLOOM_HEAD, BLOOM_CAP, BLOOM_FP, BLOOM_SEED = 1000, 2000, 0.001, 2
 QEPS = 0.03
 # recommend_cms parity-CMS profile geometry
 RCMS_DEPTH, RCMS_WIDTH, RCMS_SEED = 5, 1024, 7
+# Count-Sketch geometry (odd depth: exact-element median) + DP noise params
+CSK_DEPTH, CSK_WIDTH, CSK_SEED = 5, 509, 4242
+DP_EPS_TOTAL, DP_SEED = 2.0, 99
 # driver testdata embeddings dimension (fixed across SFs) + LSH geometry
 EMB_DIM, LSH_BANDS, LSH_BAND_PLANES, LSH_SEED = 64, 4, 4, 11
 
@@ -196,6 +199,107 @@ def _q_cms_inner_lang(spark, sf_dir) -> DataFrame:
     sk = sketch_by_key(toks, ["lang"], spec,
                        key_expr=md5_long60(F.col("token")))
     return cms_pairwise(sk, "lang", kind="inner")
+
+
+def _q_countsketch_point_frequency(spark, sf_dir) -> DataFrame:
+    """Count-Sketch (signed/AMS) point estimates — UNBIASED, two-sided
+
+    |err| <= eps*||a||_2, vs the CMS's one-sided overestimate
+    (core/countsketch.py). Per-lang parity sketches merged associatively,
+    so a hash-match verifies distributed build + merge + the signed
+    median-over-rows estimator end-to-end. Odd depth -> the median is an
+    exact element, integral counters -> hash-exact."""
+    from mahout_spark.core.countsketch import CountSketch
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import (countsketch_spec_shape,
+                                         merge_sketch_rows, sketch_by_key)
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = countsketch_spec_shape(CSK_DEPTH, CSK_WIDTH, CSK_SEED,
+                                  family="parity")
+    per_lang = sketch_by_key(toks, ["lang"], spec,
+                             key_expr=md5_long60(F.col("token")), n_salt=4)
+    merged = merge_sketch_rows(per_lang, spec)
+    probe = (toks.groupBy("token").count()
+             .orderBy(F.desc("count"), "token").limit(25).select("token"))
+    return cms_point_lookup(merged, probe, md5_long60(F.col("token")),
+                            out_col="cs_estimate",
+                            deserializer=CountSketch.deserialize)
+
+
+def _q_countsketch_inner_lang(spark, sf_dir) -> DataFrame:
+    """Unbiased Count-Sketch inner products between per-lang token
+
+    vectors (median over depth rows of the signed row dot) — the
+    estimator whose expectation is the TRUE <a, b>, unlike cms_inner_lang
+    which is biased up by collision mass."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import countsketch_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import countsketch_pairwise
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = countsketch_spec_shape(CSK_DEPTH, CSK_WIDTH, CSK_SEED,
+                                  family="parity")
+    sk = sketch_by_key(toks, ["lang"], spec,
+                       key_expr=md5_long60(F.col("token")))
+    return countsketch_pairwise(sk, "lang")
+
+
+def _dp_thresholds() -> list[int]:
+    """Noise CDF thresholds for the DP gates: per-cell eps =
+
+    DP_EPS_TOTAL / depth (basic composition across the depth rows an
+    item touches), computed once and injected as literals into BOTH
+    engines (core/privacy.py)."""
+    from mahout_spark.core.privacy import geometric_thresholds
+
+    return geometric_thresholds(DP_EPS_TOTAL / CMS_DEPTH)
+
+
+def _q_cms_point_noised(spark, sf_dir) -> DataFrame:
+    """North-rule "privacy-noised CMS": the merged global sketch is
+
+    released with deterministic two-sided-geometric (discrete Laplace)
+    noise on every counter — eps_total-DP for unit-weight streams — and
+    the head tokens are estimated against the NOISED counters. The
+    DuckDB oracle replays the noise exactly (integer noise from literal
+    CDF thresholds + the cross-engine md5 uniform), so the gate verifies
+    build + merge + noise + query end-to-end."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import (cms_spec_shape, merge_sketch_rows,
+                                         sketch_by_key)
+    from mahout_spark.sketch.queries import (cms_point_lookup,
+                                             noised_sketch_rows)
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    per_lang = sketch_by_key(toks, ["lang"], spec,
+                             key_expr=md5_long60(F.col("token")), n_salt=4)
+    noised = noised_sketch_rows(merge_sketch_rows(per_lang, spec), [],
+                                _dp_thresholds(), DP_SEED)
+    probe = (toks.groupBy("token").count()
+             .orderBy(F.desc("count"), "token").limit(25).select("token"))
+    return cms_point_lookup(noised, probe, md5_long60(F.col("token")))
+
+
+def _q_cms_inner_noised_lang(spark, sf_dir) -> DataFrame:
+    """North-rule "privacy-noised CMS inner products": per-lang sketches
+
+    each released with independent per-release noise (tag = lang), then
+    pairwise inner products over the noised counters."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import (cms_pairwise,
+                                             noised_sketch_rows)
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    sk = sketch_by_key(toks, ["lang"], spec,
+                       key_expr=md5_long60(F.col("token")))
+    noised = noised_sketch_rows(sk, ["lang"], _dp_thresholds(), DP_SEED)
+    return cms_pairwise(noised, "lang", kind="inner",
+                        out_col="cms_inner_noised")
 
 
 def _q_hll_distinct_tokens(spark, sf_dir) -> DataFrame:
@@ -2062,6 +2166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_cms": _q_checkpoint_resume,
         "cms_cosine_lang": _q_cms_cosine_lang,
         "cms_inner_lang": _q_cms_inner_lang,
+        "countsketch_point_frequency": _q_countsketch_point_frequency,
+        "countsketch_inner_lang": _q_countsketch_inner_lang,
+        "cms_point_noised": _q_cms_point_noised,
+        "cms_inner_noised_lang": _q_cms_inner_noised_lang,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_quantiles": _q_kll_event_quantiles,
@@ -2272,8 +2380,12 @@ def oracle_sql() -> dict[str, str]:
                                                   tfidf_sql)
     from mahout_spark.core.hashing import BIG_PRIME, affine_params
     from mahout_spark.sketch.queries import (bloom_filter_count_oracle_sql,
+                                             cms_pairwise_noised_oracle_sql,
                                              cms_pairwise_oracle_sql,
+                                             cms_point_noised_oracle_sql,
                                              cms_point_oracle_sql,
+                                             countsketch_pairwise_oracle_sql,
+                                             countsketch_point_oracle_sql,
                                              hll_distinct_oracle_sql,
                                              quantile_bound_oracle_sql)
 
@@ -2999,6 +3111,16 @@ FROM u
         "cms_inner_lang": cms_pairwise_oracle_sql(
             toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="lang",
             kind="inner"),
+        "countsketch_point_frequency": countsketch_point_oracle_sql(
+            toksrc, probe, CSK_DEPTH, CSK_WIDTH, CSK_SEED),
+        "countsketch_inner_lang": countsketch_pairwise_oracle_sql(
+            toksrc, CSK_DEPTH, CSK_WIDTH, CSK_SEED, group_col="lang"),
+        "cms_point_noised": cms_point_noised_oracle_sql(
+            toksrc, probe, CMS_DEPTH, CMS_WIDTH, CMS_SEED,
+            _dp_thresholds(), DP_SEED),
+        "cms_inner_noised_lang": cms_pairwise_noised_oracle_sql(
+            toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, _dp_thresholds(),
+            DP_SEED, group_col="lang", kind="inner"),
         "hll_distinct_tokens": hll_distinct_oracle_sql(
             toksrc, HLL_P, group_col="lang"),
         "bloom_token_filter": bloom_filter_count_oracle_sql(

@@ -40,6 +40,7 @@ from pyspark.sql.types import (BinaryType, StructField, StructType)
 
 from mahout_spark.core.bloom import BloomFilter
 from mahout_spark.core.cms import CountMinSketch
+from mahout_spark.core.countsketch import CountSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
 from mahout_spark.core.spacesaving import MisraGries
@@ -73,7 +74,7 @@ class SketchSpec:
     def deserialize(self, blob: bytes):
         return {
             "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
-            "mg": MisraGries, "theta": ThetaSketch,
+            "mg": MisraGries, "theta": ThetaSketch, "csk": CountSketch,
             "tdigest": TDigest, "kll": KLLSketch,
         }[self.kind].deserialize(bytes(blob))
 
@@ -186,9 +187,38 @@ def theta_spec(k: int = 64, domain: int = DOMAIN60) -> SketchSpec:
         needs_key=True, needs_value=False, preagg="distinct")
 
 
+def countsketch_spec(eps: float = 0.01, delta: float = 0.01,
+                     seed: int = 1, family: str = "fast") -> SketchSpec:
+    """Count-Sketch (signed, UNBIASED two-sided estimates — core/
+
+    countsketch.py). Linear like the CMS, so it shares the 'sum' JVM
+    preagg: the shuffle carries (key, total weight), never raw tokens."""
+    return SketchSpec(
+        "csk",
+        make=lambda: CountSketch.from_error_bound(eps, delta, seed,
+                                                  family=family),
+        update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
+        needs_key=True, needs_value=False, preagg="sum")
+
+
+def countsketch_spec_shape(depth: int, width: int, seed: int = 1,
+                           family: str = "fast") -> SketchSpec:
+    """Count-Sketch with explicit geometry. ``family="parity"`` uses the
+
+    reference's affine hash family for buckets plus an independent affine
+    draw mod 2 for signs — every counter is then DuckDB-replayable
+    (sketch/queries.countsketch_* oracle builders)."""
+    return SketchSpec(
+        "csk",
+        make=lambda: CountSketch(depth=depth, width=width, seed=seed,
+                                 family=family),
+        update=lambda s, k, v: s.update_batch(k, 1.0 if v is None else v),
+        needs_key=True, needs_value=False, preagg="sum")
+
+
 SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
-                "theta": theta_spec}
+                "theta": theta_spec, "csk": countsketch_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

@@ -35,13 +35,17 @@ from mahout_spark.sketch.agg import SketchSpec
 
 def cms_point_lookup(sketch_df: DataFrame, probe_df: DataFrame,
                      probe_key: F.Column, join_cols: list[str] | None = None,
-                     out_col: str = "cms_estimate") -> DataFrame:
-    """probe rows + CMS point estimate.
+                     out_col: str = "cms_estimate",
+                     deserializer=None) -> DataFrame:
+    """probe rows + point estimate (CMS min-over-rows by default).
 
     ``probe_key`` must be the same key expression the sketch was built with.
     With ``join_cols`` the probe joins its group's sketch; without, the
-    (single-row) sketch table is broadcast-cross-joined.
+    (single-row) sketch table is broadcast-cross-joined. ``deserializer``
+    accepts any kernel exposing ``point_batch`` (e.g.
+    ``CountSketch.deserialize`` for unbiased median-over-rows estimates).
     """
+    deserializer = deserializer or CountMinSketch.deserialize
     probe = probe_df.withColumn("__key", probe_key.cast("long"))
     if join_cols:
         joined = probe.join(sketch_df, join_cols)
@@ -54,7 +58,7 @@ def cms_point_lookup(sketch_df: DataFrame, probe_df: DataFrame,
     names = [f.name for f in out_fields]
 
     def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[bytes, CountMinSketch] = {}
+        cache: dict[bytes, object] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -62,7 +66,7 @@ def cms_point_lookup(sketch_df: DataFrame, probe_df: DataFrame,
             for blob, sub in pdf.groupby("sketch", sort=False):
                 s = cache.get(bytes(blob))
                 if s is None:
-                    s = CountMinSketch.deserialize(bytes(blob))
+                    s = deserializer(bytes(blob))
                     cache[bytes(blob)] = s
                 est[sub.index.to_numpy()] = s.point_batch(
                     sub["__key"].to_numpy(dtype=np.int64))
@@ -738,4 +742,254 @@ JOIN __th_stat sa ON sa.g = p.ga
 JOIN __th_stat sb ON sb.g = p.gb
 JOIN __th_union u ON u.ga = p.ga AND u.gb = p.gb
 LEFT JOIN __th_rho r ON r.ga = p.ga AND r.gb = p.gb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch (signed/AMS) queries + DuckDB oracle builders
+# ---------------------------------------------------------------------------
+
+
+def countsketch_pairwise(sketch_df: DataFrame, group_col: str,
+                         out_col: str = "cs_inner") -> DataFrame:
+    """(a, b, cs_inner) for every unordered group pair — the UNBIASED
+
+    Count-Sketch inner-product estimate (median over depth rows of the
+    row dot; core/countsketch.py). Group fan-out as in cms_pairwise:
+    groups are coarse, the pair table is broadcast-sized.
+    """
+    from mahout_spark.core.countsketch import CountSketch
+
+    a = sketch_df.select(F.col(group_col).alias("a"),
+                         F.col("sketch").alias("__sa"))
+    b = sketch_df.select(F.col(group_col).alias("b"),
+                         F.col("sketch").alias("__sb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    gtype = sketch_df.schema[group_col].dataType.simpleString()
+    schema = f"a {gtype}, b {gtype}, {out_col} double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = [CountSketch.deserialize(bytes(sa)).inner_product(
+                        CountSketch.deserialize(bytes(sb)))
+                    for sa, sb in zip(pdf["__sa"], pdf["__sb"])]
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], out_col: vals})
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
+def _cs_hashes_cte(depth: int, seed: int) -> str:
+    """hashes(i, a, b, sa, sb): bucket AND sign affine params per row."""
+    from mahout_spark.core.countsketch import SIGN_SEED_OFFSET
+
+    bp = affine_params(seed, depth)
+    sp = affine_params(seed + SIGN_SEED_OFFSET, depth)
+    rows = ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT, {sa}::HUGEINT, {sb}::HUGEINT)"
+        for i, ((a, b), (sa, sb)) in enumerate(zip(bp, sp)))
+    return (f"hashes(i, a, b, sa, sb) AS "
+            f"(SELECT * FROM (VALUES {rows}) v(i, a, b, sa, sb))")
+
+
+def _cs_sign_expr(k: str) -> str:
+    return f"(1 - 2 * (((h.sa * ({k}) + h.sb) % {BIG_PRIME}) % 2))"
+
+
+def countsketch_bucket_cte(keyed_cte: str, depth: int, width: int, seed: int,
+                           group_by: str = "") -> str:
+    """CTE text: signed per-(row, bucket) counter sums — the mathematical
+
+    Count-Sketch contents under the parity (affine) bucket+sign families.
+    ``keyed(k BIGINT, c, ...)`` as in cms_bucket_cte.
+    """
+    gsel = f"{group_by} " if group_by else ""
+    return (f"{_cs_hashes_cte(depth, seed)}, "
+            f"bucketed AS (SELECT {gsel}h.i AS i, "
+            f"{_bucket_expr('keyed.k', width)} AS bucket, "
+            f"sum(keyed.c * {_cs_sign_expr('keyed.k')})::DOUBLE AS bc "
+            f"FROM ({keyed_cte}) keyed CROSS JOIN hashes h "
+            f"GROUP BY ALL)")
+
+
+def countsketch_point_oracle_sql(token_source_sql: str, probe_sql: str,
+                                 depth: int, width: int, seed: int,
+                                 token_col: str = "token",
+                                 out_col: str = "cs_estimate") -> str:
+    """DuckDB query: Count-Sketch point estimates (median over rows of
+
+    sign * counter) for probe tokens. Use odd ``depth`` so the median is
+    an exact element (no midpoint averaging) — then integral counters
+    make the result hash-exact.
+    """
+    keyed = (f"SELECT {token_col} AS tok, {md5_long60_sql(token_col)} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    return f"""
+WITH {countsketch_bucket_cte(keyed, depth, width, seed)},
+probe AS (SELECT {token_col} AS tok,
+                 {md5_long60_sql(token_col)} AS k FROM ({probe_sql})),
+vals AS (SELECT probe.tok, h.i,
+                {_cs_sign_expr('probe.k')} * coalesce(b.bc, 0.0) AS v
+         FROM probe CROSS JOIN hashes h
+         LEFT JOIN bucketed b
+           ON b.i = h.i AND b.bucket = {_bucket_expr('probe.k', width)})
+SELECT tok AS {token_col}, median(v) AS {out_col}
+FROM vals GROUP BY tok
+"""
+
+
+def countsketch_pairwise_oracle_sql(token_source_sql: str, depth: int,
+                                    width: int, seed: int,
+                                    group_col: str = "lang",
+                                    out_col: str = "cs_inner") -> str:
+    """DuckDB query: pairwise Count-Sketch inner products between group
+
+    sketches — median over depth rows of the signed-counter row dot.
+    """
+    keyed = (f"SELECT {group_col} AS g, {md5_long60_sql('token')} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    return f"""
+WITH {countsketch_bucket_cte(keyed, depth, width, seed, group_by='keyed.g,')},
+grps AS (SELECT DISTINCT g FROM bucketed),
+pairs AS (SELECT x.g AS a, y.g AS b FROM grps x JOIN grps y ON x.g < y.g),
+rowdots AS (
+  SELECT x.g AS a, y.g AS b, x.i AS i, sum(x.bc * y.bc) AS dots
+  FROM bucketed x JOIN bucketed y
+    ON x.i = y.i AND x.bucket = y.bucket AND x.g < y.g
+  GROUP BY ALL),
+vals AS (
+  SELECT p.a, p.b, h.i, coalesce(d.dots, 0.0) AS dots
+  FROM pairs p CROSS JOIN hashes h
+  LEFT JOIN rowdots d ON d.a = p.a AND d.b = p.b AND d.i = h.i)
+SELECT a, b, median(dots) AS {out_col}
+FROM vals GROUP BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Privacy-noised sketch release (core/privacy.py) + oracle builders
+# ---------------------------------------------------------------------------
+
+
+def noised_sketch_rows(sketch_df: DataFrame, group_cols: list[str],
+                       thresholds: list[int], noise_seed: int) -> DataFrame:
+    """Release a CMS table with deterministic two-sided-geometric noise
+
+    added to every counter (core/privacy.py). The noise for the sketch
+    tagged by its group values is a pure function of
+    (noise_seed, tag, cell), so the release is retry-stable and the
+    DuckDB oracle replays it exactly. Schema is unchanged — all existing
+    query machinery (cms_point_lookup, cms_pairwise) runs on the noised
+    table as-is. Map-only: no shuffle is added to the plan.
+    """
+    from mahout_spark.core.privacy import cell_noise
+
+    names = [f.name for f in sketch_df.schema.fields]
+    schema = sketch_df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = []
+            for _, row in pdf.iterrows():
+                s = CountMinSketch.deserialize(bytes(row["sketch"]))
+                tag = ":".join(str(row[c]) for c in group_cols)
+                s.counts += cell_noise(s.depth, s.width, noise_seed, tag,
+                                       thresholds)
+                blobs.append(s.serialize())
+            out = pdf[names].copy()
+            out["sketch"] = blobs
+            yield out
+
+    return sketch_df.mapInPandas(run, schema=schema)
+
+
+def cms_point_noised_oracle_sql(token_source_sql: str, probe_sql: str,
+                                depth: int, width: int, seed: int,
+                                thresholds: list[int], noise_seed: int,
+                                token_col: str = "token",
+                                out_col: str = "cms_estimate") -> str:
+    """DuckDB query: point estimates against the NOISED global CMS —
+
+    min over depth rows of (bucket sum + geometric noise). Only probed
+    cells need noising (the min never sees the others).
+    """
+    from mahout_spark.core.privacy import (geometric_noise_sql, noise_u_sql)
+
+    keyed = (f"SELECT {token_col} AS tok, {md5_long60_sql(token_col)} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    noise = geometric_noise_sql(
+        noise_u_sql(noise_seed, "''", "cells.i", "cells.bucket"), thresholds)
+    return f"""
+WITH {cms_bucket_cte(keyed, depth, width, seed)},
+probe AS (SELECT {token_col} AS tok,
+                 {md5_long60_sql(token_col)} AS k FROM ({probe_sql})),
+cells AS (SELECT probe.tok, h.i AS i,
+                 {_bucket_expr('probe.k', width)} AS bucket
+          FROM probe CROSS JOIN hashes h),
+vals AS (SELECT cells.tok,
+                coalesce(b.bc, 0.0) + {noise} AS v
+         FROM cells LEFT JOIN bucketed b
+           ON b.i = cells.i AND b.bucket = cells.bucket)
+SELECT tok AS {token_col}, min(v) AS {out_col}
+FROM vals GROUP BY tok
+"""
+
+
+def cms_pairwise_noised_oracle_sql(token_source_sql: str, depth: int,
+                                   width: int, seed: int,
+                                   thresholds: list[int], noise_seed: int,
+                                   group_col: str = "lang",
+                                   kind: str = "inner",
+                                   out_col: str | None = None) -> str:
+    """DuckDB query: pairwise CMS inner/cosine between NOISED group
+
+    sketches. Unlike the probe-only point oracle, dots touch every cell,
+    so the oracle expands each group's counters to the FULL depth x width
+    grid and noises all of it (group count is coarse — the grid is tiny).
+    """
+    from mahout_spark.core.privacy import (geometric_noise_sql, noise_u_sql)
+
+    out_col = out_col or f"cms_{kind}_noised"
+    keyed = (f"SELECT {group_col} AS g, {md5_long60_sql('token')} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    noise = geometric_noise_sql(
+        noise_u_sql(noise_seed, "grid.g", "grid.i", "grid.bucket"),
+        thresholds)
+    if kind == "cosine":
+        value = ("CASE WHEN sqrt(v.na) * sqrt(v.nb) > 0 "
+                 "THEN v.dots / (sqrt(v.na) * sqrt(v.nb)) END")
+        norm_cte = (", rownorm AS (SELECT g, i, sum(nc * nc) AS nn "
+                    "FROM noised GROUP BY 1, 2)")
+        vals = """
+vals AS (
+  SELECT d.a, d.b, d.i, d.dots, na.nn AS na, nb.nn AS nb
+  FROM rowdots d
+  JOIN rownorm na ON na.g = d.a AND na.i = d.i
+  JOIN rownorm nb ON nb.g = d.b AND nb.i = d.i)"""
+    else:
+        value = "v.dots"
+        norm_cte = ""
+        vals = "vals AS (SELECT a, b, i, dots FROM rowdots)"
+    return f"""
+WITH {cms_bucket_cte(keyed, depth, width, seed, group_by='keyed.g,')},
+grps AS (SELECT DISTINCT g FROM bucketed),
+grid AS (SELECT grps.g, h.i AS i, r.bucket
+         FROM grps CROSS JOIN hashes h
+         CROSS JOIN range({width}) r(bucket)),
+noised AS (SELECT grid.g, grid.i, grid.bucket,
+                  coalesce(b.bc, 0.0) + {noise} AS nc
+           FROM grid LEFT JOIN bucketed b
+             ON b.g = grid.g AND b.i = grid.i AND b.bucket = grid.bucket)
+{norm_cte},
+rowdots AS (
+  SELECT x.g AS a, y.g AS b, x.i AS i, sum(x.nc * y.nc) AS dots
+  FROM noised x JOIN noised y
+    ON x.i = y.i AND x.bucket = y.bucket AND x.g < y.g
+  GROUP BY ALL),
+{vals}
+SELECT a, b, min({value}) AS {out_col}
+FROM vals v GROUP BY a, b
 """
