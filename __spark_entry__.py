@@ -302,6 +302,46 @@ def _q_cms_inner_noised_lang(spark, sf_dir) -> DataFrame:
                         out_col="cms_inner_noised")
 
 
+def _q_join_size_estimate(spark, sf_dir) -> DataFrame:
+    """Sketch-based join-size estimation (plans/joinsize.py): the
+
+    unbiased Count-Sketch inner product estimates the equi-join output
+    cardinality between the English and non-English token streams from
+    two independent scans — no join executed. The row carries the
+    estimate, per-side F2, the a-posteriori AMS error radius, the exact
+    size (frequency-table inner product), and the bound check; the
+    DuckDB oracle replays all six values hash-exact."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.plans.joinsize import (exact_join_size,
+                                             join_size_estimate)
+
+    toks = _doc_tokens(spark, sf_dir)
+    a = toks.filter(F.col("lang") == "en").select("token")
+    b = toks.filter(F.col("lang") != "en").select("token")
+    est = join_size_estimate(
+        a, "token", b, "token", depth=CSK_DEPTH, width=CSK_WIDTH,
+        seed=CSK_SEED, family="parity",
+        key_expr_a=md5_long60(F.col("token")),
+        key_expr_b=md5_long60(F.col("token")))
+    true = exact_join_size(a, "token", b, "token")
+    return est.crossJoin(F.broadcast(true)).select(
+        "join_size_est", "f2_a", "f2_b", "err_bound", "true_size",
+        (F.abs(F.col("join_size_est") - F.col("true_size").cast("double"))
+         <= F.col("err_bound")).cast("int").alias("within_bound"))
+
+
+def _q_corpus_language_stats(spark, sf_dir) -> DataFrame:
+    """The corpusstats report's per-language table (functions/corpus.py,
+
+    jobs/corpusstats.py): volume, token/char totals, exact interpolated
+    length percentiles, exact-dup count, Gopher-gate pass count — one
+    pass, two aggregations."""
+    from mahout_spark.functions.corpus import per_language_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return per_language_stats(docs, "text", "lang", gopher=True)
+
+
 def _q_hll_distinct_tokens(spark, sf_dir) -> DataFrame:
     """Parity-HLL (md5-60-bit hash domain, dense registers) so the DuckDB
 
@@ -2170,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_inner_lang": _q_countsketch_inner_lang,
         "cms_point_noised": _q_cms_point_noised,
         "cms_inner_noised_lang": _q_cms_inner_noised_lang,
+        "join_size_estimate": _q_join_size_estimate,
+        "corpus_language_stats": _q_corpus_language_stats,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_quantiles": _q_kll_event_quantiles,
@@ -2379,6 +2421,8 @@ def oracle_sql() -> dict[str, str]:
     from mahout_spark.operators.vectorize import (bigram_collocations_sql,
                                                   tfidf_sql)
     from mahout_spark.core.hashing import BIG_PRIME, affine_params
+    from mahout_spark.functions.corpus import per_language_stats_sql
+    from mahout_spark.plans.joinsize import countsketch_join_size_oracle_sql
     from mahout_spark.sketch.queries import (bloom_filter_count_oracle_sql,
                                              cms_pairwise_noised_oracle_sql,
                                              cms_pairwise_oracle_sql,
@@ -3121,6 +3165,11 @@ FROM u
         "cms_inner_noised_lang": cms_pairwise_noised_oracle_sql(
             toksrc, CMS_DEPTH, CMS_WIDTH, CMS_SEED, _dp_thresholds(),
             DP_SEED, group_col="lang", kind="inner"),
+        "join_size_estimate": countsketch_join_size_oracle_sql(
+            f"SELECT token FROM ({toksrc}) WHERE lang = 'en'",
+            f"SELECT token FROM ({toksrc}) WHERE lang <> 'en'",
+            CSK_DEPTH, CSK_WIDTH, CSK_SEED),
+        "corpus_language_stats": per_language_stats_sql("documents"),
         "hll_distinct_tokens": hll_distinct_oracle_sql(
             toksrc, HLL_P, group_col="lang"),
         "bloom_token_filter": bloom_filter_count_oracle_sql(
