@@ -405,6 +405,28 @@ def _q_windowed_tdigest_events(spark, sf_dir) -> DataFrame:
                                 "value", [0.5], eps=QEPS)
 
 
+def _q_windowed_cms_events(spark, sf_dir) -> DataFrame:
+    """Event-time daily windows -> one parity CMS per window over the
+
+    event_type stream; point estimates for every (window, event_type)
+    pair. The batch shape of streaming/windowed.py's stateful operator
+    (pytest pins streaming build == this batch build byte-exact); the
+    DuckDB oracle replays every windowed counter."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    ev = _read(spark, sf_dir, "events")
+    w = ev.withColumn("w_start",
+                      F.window(F.col("ts"), "1 day").getField("start"))
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    sk = sketch_by_key(w, ["w_start"], spec,
+                       key_expr=md5_long60(F.col("event_type")))
+    probe = w.select("w_start", "event_type").distinct()
+    return cms_point_lookup(sk, probe, md5_long60(F.col("event_type")),
+                            join_cols=["w_start"])
+
+
 def _q_bloom_token_filter(spark, sf_dir) -> DataFrame:
     """BloomTokenFilter analog: keep only tokens in the head-1000 allowlist
 
@@ -2217,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_event_quantiles": _q_kll_event_quantiles,
         "bloom_token_filter": _q_bloom_token_filter,
         "windowed_tdigest_events": _q_windowed_tdigest_events,
+        "windowed_cms_events": _q_windowed_cms_events,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "llr_item_similarity": _q_llr_item_similarity,
         "cross_similarity_llr": _q_cross_similarity_llr,
@@ -2426,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
     from mahout_spark.sketch.queries import (bloom_filter_count_oracle_sql,
                                              cms_pairwise_noised_oracle_sql,
                                              cms_pairwise_oracle_sql,
+                                             cms_point_grouped_oracle_sql,
                                              cms_point_noised_oracle_sql,
                                              cms_point_oracle_sql,
                                              countsketch_pairwise_oracle_sql,
@@ -3185,6 +3209,11 @@ FROM u
             "SELECT date_trunc('day', ts) AS w_start, event_type, value "
             "FROM events",
             ["w_start", "event_type"], "value", [0.5], QEPS),
+        "windowed_cms_events": cms_point_grouped_oracle_sql(
+            "SELECT date_trunc('day', ts) AS w_start, event_type "
+            "FROM events",
+            CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="w_start",
+            token_col="event_type"),
         "recommend_cms": recommend_cms_sql,
         "cooccurrence_topk": cooc_sql,
         "llr_item_similarity": llr_sql,

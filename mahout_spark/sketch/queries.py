@@ -993,3 +993,30 @@ rowdots AS (
 SELECT a, b, min({value}) AS {out_col}
 FROM vals v GROUP BY a, b
 """
+
+
+def cms_point_grouped_oracle_sql(token_source_sql: str, depth: int,
+                                 width: int, seed: int,
+                                 group_col: str = "w_start",
+                                 token_col: str = "token",
+                                 out_col: str = "cms_estimate") -> str:
+    """DuckDB query: per-GROUP parity-CMS point estimates for every
+
+    distinct (group, token) pair in the source — the oracle for windowed
+    / grouped CMS builds (one sketch per event-time window, probe joined
+    on the window).
+    """
+    keyed = (f"SELECT {group_col} AS g, {md5_long60_sql(token_col)} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    return f"""
+WITH {cms_bucket_cte(keyed, depth, width, seed, group_by='keyed.g,')},
+probe AS (SELECT DISTINCT {group_col} AS g, {token_col} AS tok,
+                 {md5_long60_sql(token_col)} AS k
+          FROM ({token_source_sql})),
+vals AS (SELECT probe.g, probe.tok, h.i, b.bc
+         FROM probe CROSS JOIN hashes h
+         JOIN bucketed b ON b.g = probe.g AND b.i = h.i
+          AND b.bucket = {_bucket_expr('probe.k', width)})
+SELECT g AS {group_col}, tok AS {token_col}, min(bc) AS {out_col}
+FROM vals GROUP BY 1, 2
+"""

@@ -30,12 +30,22 @@ def windowed_sketch_stream(events: DataFrame, spec: SketchSpec,
                            value_col: str | None = None,
                            key_col: str | None = None,
                            window: str = "1 hour",
-                           watermark: str = "2 hours"):
+                           watermark: str = "2 hours",
+                           key_expr: F.Column | None = None):
     """events (streaming DF) -> streaming DF[window_start, group, sketch].
 
     Emits a row per closed (window, group) carrying the serialized sketch;
     downstream queries use sketch_eval / cms_point_lookup unchanged.
+    ``key_expr`` overrides the default xxhash64 key mapping (pass
+    ``md5_long60`` for parity sketches whose streaming build the DuckDB
+    oracle replays — same contract as sketch_by_key).
     """
+    if key_expr is not None:
+        key_sel = [key_expr.cast("long").alias("__key")]
+    elif key_col:
+        key_sel = [F.xxhash64(F.col(key_col)).alias("__key")]
+    else:
+        key_sel = []
     # group by the watermarked window struct itself — projecting the
     # struct away would drop the event-time watermark tag
     prepared = (events.withWatermark(ts_col, watermark)
@@ -43,8 +53,7 @@ def windowed_sketch_stream(events: DataFrame, spec: SketchSpec,
                         F.col(group_col).alias("grp"),
                         *([F.col(value_col).cast("double").alias("__val")]
                           if value_col else []),
-                        *([F.xxhash64(F.col(key_col)).alias("__key")]
-                          if key_col else [])))
+                        *key_sel))
 
     out_schema = "w_start timestamp, grp string, sketch binary"
 

@@ -112,3 +112,57 @@ def test_window_emits_once_across_micro_batches(spark):
         bytes(r["sketch"])) for r in got}
     # window 0 / group a must contain BOTH events (count 2), not a partial
     assert by_key[(0, "a")].count == 2
+
+
+@pytest.mark.slow
+def test_windowed_cms_stream_matches_batch_byte_exact(spark):
+    """Streaming parity-CMS per window (key_expr=md5_long60) must equal
+
+    the batch sketch_by_key build COUNTER-FOR-COUNTER — merges are
+    counter addition, so partitioning/micro-batching cannot change bits.
+    """
+    import numpy as np
+
+    from mahout_spark.core.cms import CountMinSketch
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [(base + pd.Timedelta(minutes=(i % 170)),
+             "a" if i % 2 == 0 else "b", f"tok{i % 23}")
+            for i in range(500)]
+    pdf = pd.DataFrame(rows, columns=["ts", "etype", "tok"])
+    spec = cms_spec_shape(3, 53, 77, parity=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(
+            "ts timestamp, etype string, tok string").parquet(src)
+        out = windowed_sketch_stream(stream, spec, "ts", "etype",
+                                     key_expr=md5_long60(F.col("tok")),
+                                     window="1 hour",
+                                     watermark="0 seconds")
+        q = (out.writeStream.format("parquet")
+             .option("path", os.path.join(tmp, "out"))
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r["w_start"], r["grp"]): bytes(r["sketch"])
+               for r in spark.read.parquet(os.path.join(tmp, "out"))
+                             .collect()}
+
+        batch_df = (spark.read.parquet(src)
+                    .withColumn("w_start",
+                                F.window(F.col("ts"), "1 hour")
+                                .getField("start")))
+        want = {(r["w_start"], r["etype"]): bytes(r["sketch"])
+                for r in sketch_by_key(batch_df, ["w_start", "etype"], spec,
+                                       key_expr=md5_long60(F.col("tok")))
+                .collect()}
+
+    assert len(got) >= 2
+    for key, blob in got.items():
+        a = CountMinSketch.deserialize(blob)
+        b = CountMinSketch.deserialize(want[key])
+        assert np.array_equal(a.counts, b.counts), key
