@@ -873,18 +873,25 @@ FROM vals GROUP BY a, b
 
 
 def noised_sketch_rows(sketch_df: DataFrame, group_cols: list[str],
-                       thresholds: list[int], noise_seed: int) -> DataFrame:
-    """Release a CMS table with deterministic two-sided-geometric noise
+                       thresholds: list[int], noise_seed: int,
+                       deserializer=None) -> DataFrame:
+    """Release a linear-sketch table with deterministic two-sided-
 
-    added to every counter (core/privacy.py). The noise for the sketch
-    tagged by its group values is a pure function of
+    geometric noise added to every counter (core/privacy.py). The noise
+    for the sketch tagged by its group values is a pure function of
     (noise_seed, tag, cell), so the release is retry-stable and the
     DuckDB oracle replays it exactly. Schema is unchanged — all existing
     query machinery (cms_point_lookup, cms_pairwise) runs on the noised
     table as-is. Map-only: no shuffle is added to the plan.
+
+    ``deserializer``: any kernel with a (depth, width) float64 ``counts``
+    matrix — CountMinSketch (default) or CountSketch (the mechanism is
+    the same for any linear sketch; for the signed sketch the DP
+    accounting per item is still depth cells of ±1 sensitivity each).
     """
     from mahout_spark.core.privacy import cell_noise
 
+    deserializer = deserializer or CountMinSketch.deserialize
     names = [f.name for f in sketch_df.schema.fields]
     schema = sketch_df.schema
 
@@ -894,7 +901,7 @@ def noised_sketch_rows(sketch_df: DataFrame, group_cols: list[str],
                 continue
             blobs = []
             for _, row in pdf.iterrows():
-                s = CountMinSketch.deserialize(bytes(row["sketch"]))
+                s = deserializer(bytes(row["sketch"]))
                 tag = ":".join(str(row[c]) for c in group_cols)
                 s.counts += cell_noise(s.depth, s.width, noise_seed, tag,
                                        thresholds)

@@ -196,3 +196,21 @@ def test_seqwiki_cli(spark, tmp_path):
             spark.read.parquet(f"{out}/pages").collect()}
     assert set(rows) == {"Alpha Beta", "Gamma"}
     assert "[[Category:" not in rows["Alpha Beta"]["text"]
+
+
+def test_joinsize_cli(spark, tmp_path):
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    spark.createDataFrame([(i % 7,) for i in range(200)], "k long") \
+        .write.mode("overwrite").parquet(str(a))
+    spark.createDataFrame([(i % 5,) for i in range(100)], "k long") \
+        .write.mode("overwrite").parquet(str(b))
+    res = _run(["jobs/joinsize.py", "--left", str(a), "--left-key", "k",
+                "--right", str(b), "--right-key", "k",
+                "--output", str(tmp_path / "js"), "--exact",
+                "--width", "1024", "--depth", "9"])
+    # true size: keys 0..4 shared; a has ~200/7 each, b has 20 each
+    assert res["true_size"] == sum(
+        (200 // 7 + (1 if k < 200 % 7 else 0)) * 20 for k in range(5))
+    assert res["within_bound"] is True
+    assert abs(res["join_size_est"] - res["true_size"]) <= res["err_bound"]
