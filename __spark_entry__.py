@@ -302,6 +302,29 @@ def _q_cms_inner_noised_lang(spark, sf_dir) -> DataFrame:
                         out_col="cms_inner_noised")
 
 
+def _q_token_drift_topk(spark, sf_dir) -> DataFrame:
+    """Corpus drift via sketch LINEARITY: cs(en) - cs(de) is the
+
+    Count-Sketch of the per-token frequency DELTA, so its point
+    estimates are unbiased signed drift estimates (the deltoids /
+    change-detection use-case) — top-20 tokens by |estimated change|,
+    ties broken lexicographically. The oracle rebuilds both groups'
+    signed counters and replays the difference, medians, and ranking."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import countsketch_spec_shape, sketch_by_key
+    from mahout_spark.sketch.queries import countsketch_drift_topk
+
+    toks = _doc_tokens(spark, sf_dir)
+    spec = countsketch_spec_shape(CSK_DEPTH, CSK_WIDTH, CSK_SEED,
+                                  family="parity")
+    sk = sketch_by_key(toks.filter(F.col("lang").isin("en", "de")),
+                       ["lang"], spec,
+                       key_expr=md5_long60(F.col("token")))
+    probe = toks.select("token").distinct()
+    return countsketch_drift_topk(sk, "lang", "en", "de", probe,
+                                  md5_long60(F.col("token")), k=20)
+
+
 def _q_join_size_estimate(spark, sf_dir) -> DataFrame:
     """Sketch-based join-size estimation (plans/joinsize.py): the
 
@@ -2233,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_point_noised": _q_cms_point_noised,
         "cms_inner_noised_lang": _q_cms_inner_noised_lang,
         "join_size_estimate": _q_join_size_estimate,
+        "token_drift_topk": _q_token_drift_topk,
         "corpus_language_stats": _q_corpus_language_stats,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
@@ -2452,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
                                              cms_point_grouped_oracle_sql,
                                              cms_point_noised_oracle_sql,
                                              cms_point_oracle_sql,
+                                             countsketch_drift_topk_oracle_sql,
                                              countsketch_pairwise_oracle_sql,
                                              countsketch_point_oracle_sql,
                                              hll_distinct_oracle_sql,
@@ -3194,6 +3219,9 @@ FROM u
             f"SELECT token FROM ({toksrc}) WHERE lang <> 'en'",
             CSK_DEPTH, CSK_WIDTH, CSK_SEED),
         "corpus_language_stats": per_language_stats_sql("documents"),
+        "token_drift_topk": countsketch_drift_topk_oracle_sql(
+            toksrc, CSK_DEPTH, CSK_WIDTH, CSK_SEED, "lang", "en", "de",
+            f"SELECT DISTINCT token FROM ({toksrc})", 20),
         "hll_distinct_tokens": hll_distinct_oracle_sql(
             toksrc, HLL_P, group_col="lang"),
         "bloom_token_filter": bloom_filter_count_oracle_sql(

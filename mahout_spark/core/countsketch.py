@@ -165,6 +165,21 @@ class CountSketch:
         return float(np.median(
             np.einsum("ij,ij->i", self.counts, self.counts)))
 
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        """Sketch of the DIFFERENCE vector a - b (linearity): point
+
+        estimates on the result are unbiased estimates of per-key
+        frequency deltas — the corpus-drift / change-detection primitive
+        (Cormode-Muthukrishnan "deltoids" use-case). Config contract as
+        merge.
+        """
+        if (self.depth, self.width, self.seed, self.family) != (
+                other.depth, other.width, other.seed, other.family):
+            raise ValueError("subtract requires identical CountSketch config")
+        return CountSketch(self.depth, self.width, self.seed,
+                           family=self.family,
+                           counts=self.counts - other.counts)
+
     # -- merge -----------------------------------------------------------
     def merge(self, other: "CountSketch") -> "CountSketch":
         if (self.depth, self.width, self.seed, self.family) != (

@@ -1027,3 +1027,77 @@ vals AS (SELECT probe.g, probe.tok, h.i, b.bc
 SELECT g AS {group_col}, tok AS {token_col}, min(bc) AS {out_col}
 FROM vals GROUP BY 1, 2
 """
+
+
+def countsketch_drift_topk(sketch_df: DataFrame, group_col: str,
+                           group_a, group_b, probe_df: DataFrame,
+                           probe_key: F.Column, k: int = 20,
+                           out_col: str = "delta_est") -> DataFrame:
+    """Top-k probe keys by |estimated frequency change| between two
+
+    groups' corpora — sketch linearity: ``cs_a - cs_b`` IS the
+    Count-Sketch of the per-key frequency delta, so its point estimates
+    are unbiased signed drift estimates (the change-detection /
+    "deltoids" use-case, Cormode-Muthukrishnan 2005). Plan: the two
+    blobs meet in one broadcast row, probes stream through the standard
+    Arrow lookup, top-k via TakeOrderedAndProject. Deterministic
+    ordering: (|delta| desc, probe columns asc).
+    """
+    from mahout_spark.core.countsketch import CountSketch
+
+    a = sketch_df.filter(F.col(group_col) == F.lit(group_a)) \
+        .select(F.col("sketch").alias("__sa"))
+    b = sketch_df.filter(F.col(group_col) == F.lit(group_b)) \
+        .select(F.col("sketch").alias("__sb"))
+    pair = a.crossJoin(F.broadcast(b))
+    schema = "sketch binary"
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = [CountSketch.deserialize(bytes(sa)).subtract(
+                         CountSketch.deserialize(bytes(sb))).serialize()
+                     for sa, sb in zip(pdf["__sa"], pdf["__sb"])]
+            yield pd.DataFrame({"sketch": blobs})
+
+    delta_sk = pair.mapInPandas(diff, schema=schema)
+    probe_names = probe_df.columns
+    est = cms_point_lookup(delta_sk, probe_df, probe_key, out_col=out_col,
+                           deserializer=CountSketch.deserialize)
+    return (est.orderBy(F.abs(F.col(out_col)).desc(), *probe_names)
+            .limit(k))
+
+
+def countsketch_drift_topk_oracle_sql(token_source_sql: str, depth: int,
+                                      width: int, seed: int,
+                                      group_col: str, group_a: str,
+                                      group_b: str, probe_sql: str, k: int,
+                                      token_col: str = "token",
+                                      out_col: str = "delta_est") -> str:
+    """DuckDB replay of countsketch_drift_topk: rebuild both groups'
+
+    signed counters, difference them per (row, bucket), median over rows
+    of sign * delta-counter per probe, rank by (|delta| desc, token).
+    """
+    keyed = (f"SELECT {group_col} AS g, {md5_long60_sql(token_col)} AS k, "
+             f"count(*) AS c FROM ({token_source_sql}) "
+             f"WHERE {group_col} IN ('{group_a}', '{group_b}') "
+             f"GROUP BY 1, 2")
+    return f"""
+WITH {countsketch_bucket_cte(keyed, depth, width, seed, group_by='keyed.g,')},
+delta AS (
+  SELECT i, bucket,
+         sum(CASE WHEN g = '{group_a}' THEN bc ELSE -bc END) AS bc
+  FROM bucketed GROUP BY 1, 2),
+probe AS (SELECT {token_col} AS tok,
+                 {md5_long60_sql(token_col)} AS k FROM ({probe_sql})),
+vals AS (SELECT probe.tok, h.i,
+                {_cs_sign_expr('probe.k')} * coalesce(d.bc, 0.0) AS v
+         FROM probe CROSS JOIN hashes h
+         LEFT JOIN delta d
+           ON d.i = h.i AND d.bucket = {_bucket_expr('probe.k', width)}),
+est AS (SELECT tok, median(v) AS delta FROM vals GROUP BY tok)
+SELECT tok AS {token_col}, delta AS {out_col}
+FROM est ORDER BY abs(delta) DESC, tok LIMIT {k}
+"""

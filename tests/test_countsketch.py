@@ -163,3 +163,29 @@ def test_oracle_sql_parity():
         countsketch_pairwise_oracle_sql(src, 5, 97, 21)).fetchall()}
     for (a, b), v in got2.items():
         assert v == per[a].inner_product(per[b])
+
+
+def test_subtract_linearity_and_drift():
+    rng = np.random.default_rng(11)
+    ka = rng.integers(0, 300, size=15_000, dtype=np.int64)
+    kb = rng.integers(0, 300, size=12_000, dtype=np.int64)
+    fa = np.bincount(ka, minlength=300).astype(np.float64)
+    fb = np.bincount(kb, minlength=300).astype(np.float64)
+    a = CountSketch(depth=9, width=1024, seed=6)
+    b = CountSketch(depth=9, width=1024, seed=6)
+    a.update_batch(ka)
+    b.update_batch(kb)
+    d = a.subtract(b)
+    # linearity: the difference sketch equals a sketch built from the
+    # signed delta stream
+    ref = CountSketch(depth=9, width=1024, seed=6)
+    ref.update_batch(np.arange(300, dtype=np.int64), fa - fb)
+    assert np.array_equal(d.counts, ref.counts)
+    # unbiased drift estimates: |est - true delta| within the L2 bound
+    probe = np.arange(300, dtype=np.int64)
+    est = d.point_batch(probe)
+    true = fa - fb
+    l2 = float(np.sqrt(((fa - fb) ** 2).sum()))
+    assert (np.abs(est - true) <= d.eps * l2).mean() >= 0.97
+    with pytest.raises(ValueError):
+        a.subtract(CountSketch(depth=9, width=512, seed=6))
