@@ -115,6 +115,28 @@ class ThetaSketch:
         u = self.union(other).estimate()
         return 0.0 if u == 0.0 else self.intersection_estimate(other) / u
 
+    def a_not_b_count(self, other: "ThetaSketch") -> tuple[int, int]:
+        """(rho, theta): rho = retained hashes of self under the joint
+
+        knowledge horizon that other does NOT contain. For h <= theta
+        both sides know membership exactly, so this samples |A \\ B| —
+        the DataSketches a-not-b rule. Partition identity:
+        intersection_count.rho + a_not_b_count.rho == |{h in A: h <=
+        theta}| (tested).
+        """
+        if self.domain != other.domain:
+            raise ValueError("a_not_b requires identical hash domain")
+        theta = min(self.theta, other.theta)
+        mine = self.hashes[self.hashes <= theta]
+        only = np.setdiff1d(mine, other.hashes)
+        return int(len(only)), theta
+
+    def a_not_b_estimate(self, other: "ThetaSketch") -> float:
+        rho, theta = self.a_not_b_count(other)
+        if theta >= self.domain:        # both sides exact
+            return float(rho)
+        return rho * float(self.domain) / float(theta)
+
     # -- serialization ----------------------------------------------------
 
     def serialize(self) -> bytes:

@@ -643,8 +643,10 @@ def theta_group_overlap(df: DataFrame, group_col: str, key_col: str,
     (theta state is merge-order independent).
 
     Returns (group_a, group_b, est_a, est_b, est_union, rho,
-    est_intersection, jaccard) — rho = retained common hashes under the
-    joint knowledge horizon."""
+    est_intersection, jaccard, est_a_not_b, est_b_not_a) — rho =
+    retained common hashes under the joint knowledge horizon; the
+    a-not-b estimates are the DataSketches set-difference rule (same
+    horizon argument as the intersection)."""
     from ..core.theta import ThetaSketch
     from .agg import sketch_by_key, theta_spec
 
@@ -665,11 +667,13 @@ def theta_group_overlap(df: DataFrame, group_col: str, key_col: str,
             rho, _ = a.intersection_count(b)
             rows.append((ga, gb, a.estimate(), b.estimate(),
                          a.union(b).estimate(), rho,
-                         a.intersection_estimate(b), a.jaccard(b)))
+                         a.intersection_estimate(b), a.jaccard(b),
+                         a.a_not_b_estimate(b), b.a_not_b_estimate(a)))
     return df.sparkSession.createDataFrame(
         rows, f"group_a string, group_b string, est_a double, "
               f"est_b double, est_union double, rho long, "
-              f"est_intersection double, jaccard double")
+              f"est_intersection double, jaccard double, "
+              f"est_a_not_b double, est_b_not_a double")
 
 
 def theta_overlap_oracle_sql(keyed_source_sql: str, group: str, key: str,
@@ -717,6 +721,26 @@ __th_rho AS (
   JOIN __th_stat sb ON sb.g = p.gb
   WHERE ra.h <= least(sa.theta, sb.theta)
   GROUP BY p.ga, p.gb
+),
+__th_anb AS (
+  SELECT p.ga, p.gb, count(*) AS rho
+  FROM __th_pairs p
+  JOIN __th_ret ra ON ra.g = p.ga
+  LEFT JOIN __th_ret rb ON rb.g = p.gb AND rb.h = ra.h
+  JOIN __th_stat sa ON sa.g = p.ga
+  JOIN __th_stat sb ON sb.g = p.gb
+  WHERE ra.h <= least(sa.theta, sb.theta) AND rb.h IS NULL
+  GROUP BY p.ga, p.gb
+),
+__th_bna AS (
+  SELECT p.ga, p.gb, count(*) AS rho
+  FROM __th_pairs p
+  JOIN __th_ret rb ON rb.g = p.gb
+  LEFT JOIN __th_ret ra ON ra.g = p.ga AND ra.h = rb.h
+  JOIN __th_stat sa ON sa.g = p.ga
+  JOIN __th_stat sb ON sb.g = p.gb
+  WHERE rb.h <= least(sa.theta, sb.theta) AND ra.h IS NULL
+  GROUP BY p.ga, p.gb
 )
 SELECT p.ga AS group_a, p.gb AS group_b,
        sa.est AS est_a, sb.est AS est_b,
@@ -736,12 +760,24 @@ SELECT p.ga AS group_a, p.gb AS group_b,
                             / least(sa.theta, sb.theta)::DOUBLE END)
                  / ({est.replace('n_ret', 'u.n_ret')
                         .replace('kth', 'u.kth')}) END
-           AS jaccard
+           AS jaccard,
+       CASE WHEN least(sa.theta, sb.theta) >= {domain}
+            THEN coalesce(na.rho, 0)::DOUBLE
+            ELSE (coalesce(na.rho, 0)::DOUBLE * {domain})
+                 / least(sa.theta, sb.theta)::DOUBLE END
+           AS est_a_not_b,
+       CASE WHEN least(sa.theta, sb.theta) >= {domain}
+            THEN coalesce(nb.rho, 0)::DOUBLE
+            ELSE (coalesce(nb.rho, 0)::DOUBLE * {domain})
+                 / least(sa.theta, sb.theta)::DOUBLE END
+           AS est_b_not_a
 FROM __th_pairs p
 JOIN __th_stat sa ON sa.g = p.ga
 JOIN __th_stat sb ON sb.g = p.gb
 JOIN __th_union u ON u.ga = p.ga AND u.gb = p.gb
 LEFT JOIN __th_rho r ON r.ga = p.ga AND r.gb = p.gb
+LEFT JOIN __th_anb na ON na.ga = p.ga AND na.gb = p.gb
+LEFT JOIN __th_bna nb ON nb.ga = p.ga AND nb.gb = p.gb
 """
 
 

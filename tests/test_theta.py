@@ -136,3 +136,26 @@ def test_group_overlap_partitioning_invariant(spark):
     b = sorted(map(tuple, theta_group_overlap(
         ev.repartition(13), "event_type", "user_id", k=16).collect()))
     assert a == b
+
+
+def test_a_not_b_partition_identity_and_exact():
+    shared = [f"s{i}" for i in range(200)]
+    a = _sk(shared + [f"a{i}" for i in range(300)], 32)
+    b = _sk(shared + [f"b{i}" for i in range(300)], 32)
+    rho_int, theta = a.intersection_count(b)
+    rho_anb, theta2 = a.a_not_b_count(b)
+    assert theta2 == theta
+    # partition identity: A's retained hashes under theta split exactly
+    # into (in B) + (not in B)
+    assert rho_int + rho_anb == int(np.count_nonzero(a.hashes <= theta))
+    est = a.a_not_b_estimate(b)
+    assert est == rho_anb * float(DOMAIN60) / float(theta)
+    # true |A \ B| = 300; ballpark under the k=32 estimator
+    assert 50 < est < 1200
+    # exact regime: small sets, both below k
+    x = _sk(["x", "y", "z"], 64)
+    y = _sk(["y", "z", "q"], 64)
+    assert x.a_not_b_estimate(y) == 1.0
+    assert y.a_not_b_estimate(x) == 1.0
+    # disjoint exact
+    assert x.a_not_b_estimate(_sk(["q"], 64)) == 3.0
