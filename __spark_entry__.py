@@ -450,6 +450,46 @@ def _q_windowed_cms_events(spark, sf_dir) -> DataFrame:
                             join_cols=["w_start"])
 
 
+ROLLUP_HEAD = 5  # probe tokens per coarse group in the rollup gate
+
+
+def _q_cms_rollup_lang(spark, sf_dir) -> DataFrame:
+    """Sketch ROLLUP gate: fine-grained (lang, source) parity-CMS sketches
+
+    are merged to per-lang sketches with merge_sketch_rows(group_cols=
+    ["lang"]) — answering a coarser grouping WITHOUT rescanning the
+    corpus, the mergeability dividend that makes a sketch table a
+    reusable data cube at 100 TB (build once at the finest grain, roll
+    up to any coarser grain by blob addition). The DuckDB oracle builds
+    the per-lang sketches DIRECTLY from the token stream, so a hash
+    match proves fine-build + cross-source merge == direct coarse build
+    numerically (integer-weight sums are order-independent). Probes: the
+    top-ROLLUP_HEAD tokens per lang by exact count (integer ranks →
+    deterministic). Reference anchor: CountMinSketch.java's merge-by-
+    cell-addition contract (core/cms.py:124 mirrors it)."""
+    from pyspark.sql import Window
+
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import (cms_spec_shape, merge_sketch_rows,
+                                         sketch_by_key)
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    toks = _doc_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    fine_src = toks.join(docs, "doc_id")
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    fine = sketch_by_key(fine_src, ["lang", "source"], spec,
+                         key_expr=md5_long60(F.col("token")))
+    rolled = merge_sketch_rows(fine, spec, group_cols=["lang"])
+    w = Window.partitionBy("lang").orderBy(F.desc("count"), "token")
+    probe = (toks.groupBy("lang", "token").count()
+             .withColumn("__r", F.row_number().over(w))
+             .filter(F.col("__r") <= ROLLUP_HEAD)
+             .select("lang", "token"))
+    return cms_point_lookup(rolled, probe, md5_long60(F.col("token")),
+                            join_cols=["lang"])
+
+
 def _q_bloom_token_filter(spark, sf_dir) -> DataFrame:
     """BloomTokenFilter analog: keep only tokens in the head-1000 allowlist
 
@@ -2264,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_token_filter": _q_bloom_token_filter,
         "windowed_tdigest_events": _q_windowed_tdigest_events,
         "windowed_cms_events": _q_windowed_cms_events,
+        "cms_rollup_lang": _q_cms_rollup_lang,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "llr_item_similarity": _q_llr_item_similarity,
         "cross_similarity_llr": _q_cross_similarity_llr,
@@ -3242,6 +3283,16 @@ FROM u
             "FROM events",
             CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="w_start",
             token_col="event_type"),
+        "cms_rollup_lang": cms_point_grouped_oracle_sql(
+            _toksrc_sql(), CMS_DEPTH, CMS_WIDTH, CMS_SEED,
+            group_col="lang", token_col="token",
+            probe_sql=(
+                "SELECT lang, token FROM ("
+                "  SELECT lang, token, row_number() OVER ("
+                "    PARTITION BY lang ORDER BY c DESC, token) AS r"
+                "  FROM (SELECT lang, token, count(*) AS c FROM ("
+                + _toksrc_sql() + ") GROUP BY 1, 2))"
+                f" WHERE r <= {ROLLUP_HEAD}")),
         "recommend_cms": recommend_cms_sql,
         "cooccurrence_topk": cooc_sql,
         "llr_item_similarity": llr_sql,

@@ -1042,20 +1042,25 @@ def cms_point_grouped_oracle_sql(token_source_sql: str, depth: int,
                                  width: int, seed: int,
                                  group_col: str = "w_start",
                                  token_col: str = "token",
-                                 out_col: str = "cms_estimate") -> str:
+                                 out_col: str = "cms_estimate",
+                                 probe_sql: str | None = None) -> str:
     """DuckDB query: per-GROUP parity-CMS point estimates for every
 
     distinct (group, token) pair in the source — the oracle for windowed
     / grouped CMS builds (one sketch per event-time window, probe joined
-    on the window).
+    on the window). ``probe_sql`` (columns ``group_col, token_col``)
+    restricts the probe set — the rollup gate probes only the per-group
+    head tokens instead of the full vocabulary.
     """
     keyed = (f"SELECT {group_col} AS g, {md5_long60_sql(token_col)} AS k, "
              f"count(*) AS c FROM ({token_source_sql}) GROUP BY 1, 2")
+    probe_src = probe_sql or f"SELECT DISTINCT {group_col}, {token_col} " \
+                             f"FROM ({token_source_sql})"
     return f"""
 WITH {cms_bucket_cte(keyed, depth, width, seed, group_by='keyed.g,')},
-probe AS (SELECT DISTINCT {group_col} AS g, {token_col} AS tok,
+probe AS (SELECT {group_col} AS g, {token_col} AS tok,
                  {md5_long60_sql(token_col)} AS k
-          FROM ({token_source_sql})),
+          FROM ({probe_src})),
 vals AS (SELECT probe.g, probe.tok, h.i, b.bc
          FROM probe CROSS JOIN hashes h
          JOIN bucketed b ON b.g = probe.g AND b.i = h.i

@@ -189,6 +189,24 @@ class TestFastCMS:
         rebuilt = sketch_global(tokens, spec, key_col="token")
         assert merged == rebuilt
 
+    def test_grouped_rollup_equals_direct_coarse_build(self, spark, tokens):
+        # fine (lang, parity-of-token-length) sketches rolled up to
+        # per-lang via group_cols must be byte-identical to building
+        # per-lang directly — the data-cube rollup contract
+        from mahout_spark.sketch.agg import merge_sketch_rows
+
+        spec = cms_spec(eps=0.005, delta=0.01, seed=3)
+        fine_src = tokens.withColumn("par", F.length("token") % 2)
+        fine = sketch_by_key(fine_src, ["lang", "par"], spec,
+                             key_col="token")
+        rolled = {r["lang"]: bytes(r["sketch"]) for r in
+                  merge_sketch_rows(fine, spec, group_cols=["lang"])
+                  .collect()}
+        direct = {r["lang"]: bytes(r["sketch"]) for r in
+                  sketch_by_key(tokens, ["lang"], spec, key_col="token")
+                  .collect()}
+        assert rolled == direct
+
 
 class TestOtherSketches:
     def test_hll_per_lang_counts(self, spark, tokens):
