@@ -382,6 +382,34 @@ def _q_hll_distinct_tokens(spark, sf_dir) -> DataFrame:
             .select("lang", F.round("distinct_est", 2).alias("distinct_est")))
 
 
+def _q_hll_rollup_distinct(spark, sf_dir) -> DataFrame:
+    """Distinct-count CUBE gate: per-(lang, source) parity-HLL sketches
+
+    rolled up with sketch_rollup to every ROLLUP(lang, source) level —
+    (lang, source), (lang, *), (*, *) — by register merges over the tiny
+    sketch table alone. Distinct counts do NOT add across groups (shared
+    tokens), so the only scale-sane distinct cube is the mergeable-
+    sketch one; the DuckDB oracle rebuilds each level's HLL DIRECTLY
+    from the token stream, so a hash match proves fine-build + rollup
+    merge == direct build at every level, bit-for-bit. Reference anchor:
+    numNonZeroElementsPerColumn's HLL swap (operators/drm.py:277) — this
+    generalizes it to the data-cube shape."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import hll_spec, sketch_by_key, sketch_rollup
+    from mahout_spark.sketch.queries import sketch_eval
+
+    toks = _doc_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    src = toks.join(docs, "doc_id")
+    spec = hll_spec(p=HLL_P, seed=1, sparse_limit=0, parity=True)
+    fine = sketch_by_key(src, ["lang", "source"], spec,
+                         key_expr=md5_long60(F.col("token")))
+    cube = sketch_rollup(fine, spec, ["lang", "source"])
+    return (sketch_eval(cube, spec, "count", "distinct_est")
+            .select("lang", "source",
+                    F.round("distinct_est", 2).alias("distinct_est")))
+
+
 def _q_tdigest_price_quantiles(spark, sf_dir) -> DataFrame:
     """t-digest quantiles gate-checked against exact rank windows: output
 
@@ -2299,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_topk": _q_token_drift_topk,
         "corpus_language_stats": _q_corpus_language_stats,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "hll_rollup_distinct": _q_hll_rollup_distinct,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "kll_event_quantiles": _q_kll_event_quantiles,
         "bloom_token_filter": _q_bloom_token_filter,
@@ -2524,6 +2553,10 @@ def oracle_sql() -> dict[str, str]:
                                              quantile_bound_oracle_sql)
 
     toksrc = _toksrc_sql()
+    from mahout_spark.functions.text import tokens_array_sql
+    toksrc_src = (f"SELECT doc_id, lang, source, "
+                  f"unnest({tokens_array_sql('text')}) AS token "
+                  f"FROM documents")
     GATE_PREFS_SQL = (
         "SELECT o_custkey AS u, l_partkey AS i, "
         "(sum(l_quantity))::DOUBLE AS p "
@@ -3265,6 +3298,12 @@ FROM u
             f"SELECT DISTINCT token FROM ({toksrc})", 20),
         "hll_distinct_tokens": hll_distinct_oracle_sql(
             toksrc, HLL_P, group_col="lang"),
+        "hll_rollup_distinct": " UNION ALL ".join(
+            f"SELECT * FROM ({hll_distinct_oracle_sql(toksrc_src, HLL_P, group_exprs=gx)})"
+            for gx in (
+                [("lang", "lang"), ("source", "source")],
+                [("lang", "lang"), ("'*'", "source")],
+                [("'*'", "lang"), ("'*'", "source")])),
         "bloom_token_filter": bloom_filter_count_oracle_sql(
             toksrc, BLOOM_HEAD, BLOOM_CAP, BLOOM_FP, BLOOM_SEED,
             group_col="lang"),

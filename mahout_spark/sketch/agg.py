@@ -534,6 +534,33 @@ def merge_sketch_rows(sketch_df: DataFrame, spec: SketchSpec,
     return out if gnames else out.drop("__g")
 
 
+def sketch_rollup(sketch_df: DataFrame, spec: SketchSpec, dims: list[str],
+                  total_marker: str = "*") -> DataFrame:
+    """SQL ``ROLLUP(dims...)`` over an ALREADY-BUILT fine-grain sketch
+
+    table: one output row per group at every prefix level of ``dims``
+    (finest → ... → grand total), each holding the merged sketch for
+    that level; collapsed dims emit ``total_marker``. This is the
+    sketch-table-as-data-cube move: ``len(dims)+1`` merge passes over
+    the (tiny — one row per fine group) sketch table answer every
+    rollup level without ever rescanning the raw corpus — the only way
+    a distinct-count cube is affordable at 100 TB, since exact
+    distincts don't add across groups but HLL registers do. Dims are
+    emitted as strings (marker needs a common type).
+    """
+    levels = []
+    for i in range(len(dims), -1, -1):
+        lvl = merge_sketch_rows(sketch_df, spec,
+                                group_cols=dims[:i] or None)
+        cols = [F.col(d).cast("string").alias(d) for d in dims[:i]] + \
+               [F.lit(total_marker).alias(d) for d in dims[i:]]
+        levels.append(lvl.select(*cols, "sketch"))
+    out = levels[0]
+    for extra in levels[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def sketch_global(df: DataFrame, spec: SketchSpec, key_col: str | None = None,
                   value_col: str | None = None, n_salt: int = 8,
                   key_expr: F.Column | None = None) -> bytes:

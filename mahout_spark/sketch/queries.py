@@ -448,7 +448,9 @@ def hll_distinct_oracle_sql(token_source_sql: str, p: int,
                             group_col: str = "lang",
                             token_col: str = "token",
                             out_col: str = "distinct_est",
-                            round_dp: int = 2) -> str:
+                            round_dp: int = 2,
+                            group_exprs: list[tuple[str, str]] | None = None
+                            ) -> str:
     """DuckDB query replaying the parity-HLL estimate per group.
 
     Mirrors HyperLogLog(parity=True) exactly: 60-bit md5 keys, index = top
@@ -457,9 +459,16 @@ def hll_distinct_oracle_sql(token_source_sql: str, p: int,
     alpha_m*m^2/sum estimate with the linear-counting branch. Bit-identical
     to the kernel because every float op is a single deterministic IEEE
     rounding of exact integer inputs (ln() is the one libm call, shared).
+
+    ``group_exprs``: list of (sql_expr, out_name) pairs overriding the
+    single ``group_col`` — constants ('\\'*\\'') express rollup levels.
     """
     from mahout_spark.core.hll import _alpha
 
+    gx = group_exprs or [(group_col, group_col)]
+    gsel = ", ".join(f"{expr} AS __g{i}" for i, (expr, _) in enumerate(gx))
+    gnames = ", ".join(f"__g{i}" for i in range(len(gx)))
+    gout = ", ".join(f"__g{i} AS {name}" for i, (_, name) in enumerate(gx))
     bits = 60
     m = 1 << p
     rmax = bits - p + 1
@@ -467,24 +476,24 @@ def hll_distinct_oracle_sql(token_source_sql: str, p: int,
     am2 = _alpha(m) * float(m) * float(m)
     pow2_rows = ", ".join(f"({v}, {1 << v}::HUGEINT)" for v in range(rmax + 1))
     return f"""
-WITH keyed AS (SELECT DISTINCT {group_col} AS g,
+WITH keyed AS (SELECT DISTINCT {gsel},
                       {md5_long60_sql(token_col)} AS k
                FROM ({token_source_sql})),
 pow2(v, w) AS (SELECT * FROM (VALUES {pow2_rows}) t(v, w)),
-regs AS (SELECT g, k // {rest_mod} AS idx,
+regs AS (SELECT {gnames}, k // {rest_mod} AS idx,
                 max(CASE WHEN (k % {rest_mod}) = 0 THEN {bits - p + 1}
                     ELSE {bits - p} - length(bin(k % {rest_mod})) + 1
                     END) AS reg
-         FROM keyed GROUP BY 1, 2),
-agg AS (SELECT g, count(*) AS nreg, sum(pow2.w) AS s_present
-        FROM regs JOIN pow2 ON pow2.v = {rmax} - regs.reg GROUP BY g),
-summed AS (SELECT g, ({m} - nreg) AS zeros,
+         FROM keyed GROUP BY ALL),
+agg AS (SELECT {gnames}, count(*) AS nreg, sum(pow2.w) AS s_present
+        FROM regs JOIN pow2 ON pow2.v = {rmax} - regs.reg GROUP BY ALL),
+summed AS (SELECT {gnames}, ({m} - nreg) AS zeros,
                   (s_present
                    + ({m} - nreg)::HUGEINT * {1 << rmax}::HUGEINT)::DOUBLE
                   / {float(1 << rmax)!r} AS sumexp
            FROM agg),
-vals AS (SELECT g, zeros, {am2!r} / sumexp AS e FROM summed)
-SELECT g AS {group_col},
+vals AS (SELECT {gnames}, zeros, {am2!r} / sumexp AS e FROM summed)
+SELECT {gout},
        round(CASE WHEN e <= {2.5 * m!r} AND zeros > 0
              THEN {m} * ln({m} / zeros::DOUBLE) ELSE e END,
              {round_dp}) AS {out_col}

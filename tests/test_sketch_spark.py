@@ -207,6 +207,27 @@ class TestFastCMS:
                   .collect()}
         assert rolled == direct
 
+    def test_sketch_rollup_levels_equal_direct_builds(self, spark, tokens):
+        # every ROLLUP(lang, par) level from the cube operator must be
+        # byte-identical to building that level directly from raw data
+        from mahout_spark.sketch.agg import sketch_global, sketch_rollup
+
+        spec = cms_spec(eps=0.005, delta=0.01, seed=3)
+        src = tokens.withColumn("par", (F.length("token") % 2)
+                                .cast("string"))
+        fine = sketch_by_key(src, ["lang", "par"], spec, key_col="token")
+        cube = {(r["lang"], r["par"]): bytes(r["sketch"]) for r in
+                sketch_rollup(fine, spec, ["lang", "par"]).collect()}
+        n_fine = fine.count()
+        assert len(cube) == n_fine + tokens.select("lang").distinct().count() + 1
+        direct_lang = {r["lang"]: bytes(r["sketch"]) for r in
+                       sketch_by_key(tokens, ["lang"], spec,
+                                     key_col="token").collect()}
+        for lang, blob in direct_lang.items():
+            assert cube[(lang, "*")] == blob
+        assert cube[("*", "*")] == sketch_global(tokens, spec,
+                                                 key_col="token")
+
 
 class TestOtherSketches:
     def test_hll_per_lang_counts(self, spark, tokens):
