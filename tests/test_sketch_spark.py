@@ -207,6 +207,60 @@ class TestFastCMS:
                   .collect()}
         assert rolled == direct
 
+    def test_sketch_rollup_all_kinds(self, spark, tokens):
+        # rollup contract across every sketch kind: merge-order-
+        # INDEPENDENT kinds (theta set-union, HLL register-max, CMS cell
+        # addition) must be byte-identical to a direct global build;
+        # order-DEPENDENT kinds (KLL, t-digest) must keep their
+        # published estimate bounds after the fine->total merge
+        from mahout_spark.sketch.agg import (countsketch_spec,
+                                             merge_sketch_rows,
+                                             sketch_rollup, theta_spec)
+
+        src = tokens.withColumn("par", (F.length("token") % 2)
+                                .cast("string"))
+
+        def total_blob(spec, **kw):
+            fine = sketch_by_key(src, ["lang", "par"], spec, **kw)
+            rows = sketch_rollup(fine, spec, ["lang", "par"]) \
+                .filter((F.col("lang") == "*") & (F.col("par") == "*")) \
+                .collect()
+            assert len(rows) == 1
+            return bytes(rows[0]["sketch"]), spec
+
+        for spec, kw in [
+                (cms_spec(eps=0.005, delta=0.01, seed=3),
+                 dict(key_col="token")),
+                (countsketch_spec(eps=0.01, delta=0.05, seed=3),
+                 dict(key_col="token")),
+                (hll_spec(p=12, seed=1, sparse_limit=0),
+                 dict(key_col="token")),
+                (theta_spec(k=64),  # theta's key domain is 60-bit
+                 dict(key_expr=md5_long60(F.col("token"))))]:
+            blob, _ = total_blob(spec, **kw)
+            assert blob == sketch_global(src, spec, **kw), spec.kind
+
+        # KLL and t-digest: merged-total quantile estimates stay inside
+        # a generous rank-error window of the exact quantile values
+        vals = np.sort(np.array(
+            [r[0] for r in src.select(F.length("token")).collect()],
+            dtype=float))
+        n = len(vals)
+        src2 = src.withColumn("toklen", F.length("token").cast("double"))
+        for spec in (kll_spec(k=200, seed=1), tdigest_spec(100.0)):
+            fine = sketch_by_key(src2, ["lang", "par"], spec,
+                                 value_col="toklen")
+            rows = sketch_rollup(fine, spec, ["lang", "par"]) \
+                .filter((F.col("lang") == "*") & (F.col("par") == "*")) \
+                .collect()
+            assert len(rows) == 1
+            s = spec.deserialize(bytes(rows[0]["sketch"]))
+            for q in (0.25, 0.5, 0.75):
+                est = s.quantile(q)
+                lo = vals[max(0, int((q - 0.02) * n) - 1)]
+                hi = vals[min(n - 1, int((q + 0.02) * n))]
+                assert lo <= est <= hi, (spec.kind, q, est, lo, hi)
+
     def test_sketch_rollup_levels_equal_direct_builds(self, spark, tokens):
         # every ROLLUP(lang, par) level from the cube operator must be
         # byte-identical to building that level directly from raw data
