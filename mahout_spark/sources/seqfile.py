@@ -11,9 +11,16 @@ Formats implemented from public specs (studied, not copied):
   compression + block-compression booleans, optional codec, metadata
   (int count of Text pairs), 16-byte sync marker; records are
   (recordLen int32 BE, keyLen int32 BE, key bytes, value bytes) with a
-  recordLen == -1 escape followed by the sync marker. Only
-  UNCOMPRESSED files are supported (compression needs the Hadoop
-  codecs); compressed inputs raise with a clear message.
+  recordLen == -1 escape followed by the sync marker.
+- Compression (round 5; lifts the compressed-SequenceFile exclusion
+  for every stdlib codec): RECORD compression resets the codec per
+  record and compresses only the value bytes (recordLen = keyLen +
+  len(compressed value)); BLOCK compression buffers records and emits
+  sync + vint record-count + four independently-compressed sections
+  (key-lengths, keys, value-lengths, values — the length sections are
+  concatenated VInts). Codecs: DefaultCodec (zlib), GzipCodec (gzip),
+  BZip2Codec (bz2) — all Python stdlib; Snappy/LZO/ZStandard raise
+  with a clear message naming the codec.
 - Hadoop WritableUtils VInt/VLong (one byte in [-112, 127]; otherwise
   a length-coding first byte, magnitude big-endian, ones-complement
   for negatives).
@@ -43,6 +50,31 @@ import numpy as np
 
 SEQ_MAGIC = b"SEQ"
 _VW_DENSE, _VW_SEQ, _VW_NAMED, _VW_LAX = 0x1, 0x2, 0x4, 0x8
+
+DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
+BZIP2_CODEC = "org.apache.hadoop.io.compress.BZip2Codec"
+
+
+def _codec_fns(codec_class: str):
+    """(compress, decompress) for a Hadoop codec class name — each call
+    handles one complete stream (Hadoop resets the compressor per
+    record/section, so streams are self-contained)."""
+    import bz2
+    import gzip
+    import zlib
+    table = {
+        DEFAULT_CODEC: (zlib.compress, zlib.decompress),
+        GZIP_CODEC: (gzip.compress, gzip.decompress),
+        BZIP2_CODEC: (bz2.compress, bz2.decompress),
+    }
+    fns = table.get(codec_class)
+    if fns is None:
+        raise ValueError(
+            f"unsupported SequenceFile codec {codec_class!r} — "
+            f"stdlib codecs are DefaultCodec (zlib), GzipCodec, "
+            f"BZip2Codec; re-export with one of those or uncompressed")
+    return fns
 
 
 # -- Hadoop WritableUtils VInt ------------------------------------------------
@@ -206,9 +238,10 @@ def _read_class_name(buf: io.BytesIO) -> str:
 
 def read_sequence_file(data: bytes, raw: bool = False
                        ) -> Iterator[tuple]:
-    """Yield (key, value) pairs from UNCOMPRESSED SequenceFile bytes.
+    """Yield (key, value) pairs from SequenceFile bytes — uncompressed,
 
-    ``raw=True`` yields undecoded bytes (caller decodes)."""
+    record-compressed, or block-compressed (stdlib codecs only; see
+    ``_codec_fns``). ``raw=True`` yields undecoded bytes."""
     buf = io.BytesIO(data)
     if buf.read(3) != SEQ_MAGIC:
         raise ValueError("not a SequenceFile (missing SEQ magic)")
@@ -219,10 +252,9 @@ def read_sequence_file(data: bytes, raw: bool = False
     val_class = _read_class_name(buf)
     compressed = buf.read(1)[0] != 0
     block_compressed = buf.read(1)[0] != 0
+    decompress = None
     if compressed or block_compressed:
-        raise ValueError(
-            "compressed SequenceFiles need Hadoop codecs — re-export "
-            "uncompressed (SequenceFile.CompressionType.NONE)")
+        decompress = _codec_fns(_read_class_name(buf))[1]
     n_meta = struct.unpack(">i", buf.read(4))[0]
     for _ in range(n_meta):
         _decode_text_stream(buf)
@@ -233,6 +265,13 @@ def read_sequence_file(data: bytes, raw: bool = False
     if not raw and (kdec is None or vdec is None):
         missing = key_class if kdec is None else val_class
         raise ValueError(f"no decoder for {missing}; pass raw=True")
+
+    def out(kb, vb):
+        return (kb, vb) if raw else (kdec(kb), vdec(vb))
+
+    if block_compressed:
+        yield from _read_blocks(buf, sync, decompress, out)
+        return
     while True:
         head = buf.read(4)
         if len(head) < 4:
@@ -245,7 +284,34 @@ def read_sequence_file(data: bytes, raw: bool = False
         key_len = struct.unpack(">i", buf.read(4))[0]
         kb = buf.read(key_len)
         vb = buf.read(rec_len - key_len)
-        yield (kb, vb) if raw else (kdec(kb), vdec(vb))
+        if decompress is not None:
+            vb = decompress(vb)
+        yield out(kb, vb)
+
+
+def _read_blocks(buf: io.BytesIO, sync: bytes, decompress, out
+                 ) -> Iterator[tuple]:
+    """Block-compressed record blocks: sync escape + sync precede each
+    block; then vint record count + four (vint size, compressed bytes)
+    sections — key lengths, keys, value lengths, values."""
+    while True:
+        head = buf.read(4)
+        if len(head) < 4:
+            return
+        if struct.unpack(">i", head)[0] != -1 or buf.read(16) != sync:
+            raise ValueError("corrupt block sync marker")
+        n_rec = read_vint(buf)
+
+        def section():
+            size = read_vint(buf)
+            return io.BytesIO(decompress(buf.read(size)))
+
+        klens, keys = section(), section()
+        vlens, vals = section(), section()
+        for _ in range(n_rec):
+            kb = keys.read(read_vint(klens))
+            vb = vals.read(read_vint(vlens))
+            yield out(kb, vb)
 
 
 def _decode_text_stream(buf: io.BytesIO) -> str:
@@ -254,34 +320,85 @@ def _decode_text_stream(buf: io.BytesIO) -> str:
 
 
 def write_sequence_file(records, key_class: str, val_class: str,
-                        sync_interval: int = 100) -> bytes:
-    """UNCOMPRESSED SequenceFile bytes from (key, value) pairs.
+                        sync_interval: int = 100,
+                        compression: str | None = None,
+                        codec: str = DEFAULT_CODEC,
+                        block_records: int = 1000) -> bytes:
+    """SequenceFile bytes from (key, value) pairs.
 
-    Values for VectorWritable must be pre-encoded via
-    ``encode_vector_writable``; other writables take Python values."""
+    ``compression``: None (default), 'record' (per-record value
+    compression), or 'block' (buffered blocks of ``block_records``
+    records, four compressed sections each). Values for VectorWritable
+    must be pre-encoded via ``encode_vector_writable``; other writables
+    take Python values."""
+    if compression not in (None, "record", "block"):
+        raise ValueError("compression must be None, 'record' or 'block'")
+    compress = _codec_fns(codec)[0] if compression else None
     out = io.BytesIO()
     out.write(SEQ_MAGIC + bytes([6]))
     for cls in (key_class, val_class):
         raw = cls.encode("utf-8")
         write_vint(out, len(raw))
         out.write(raw)
-    out.write(b"\x00\x00")  # no compression, no block compression
+    out.write(bytes([1 if compression else 0,
+                     1 if compression == "block" else 0]))
+    if compression:
+        raw = codec.encode("utf-8")
+        write_vint(out, len(raw))
+        out.write(raw)
     out.write(struct.pack(">i", 0))  # empty metadata
     # deterministic sync marker (any 16 bytes; hash of the classes)
     import hashlib
     sync = hashlib.md5((key_class + "|" + val_class).encode()).digest()
     out.write(sync)
     kenc, venc = _ENCODERS[key_class], _ENCODERS[val_class]
+    if compression == "block":
+        _write_blocks(out, records, kenc, venc, compress, sync,
+                      block_records)
+        return out.getvalue()
     for i, (k, v) in enumerate(records):
         if i and i % sync_interval == 0:
             out.write(struct.pack(">i", -1))
             out.write(sync)
         kb, vb = kenc(k), venc(v)
+        if compress is not None:
+            vb = compress(vb)
         out.write(struct.pack(">i", len(kb) + len(vb)))
         out.write(struct.pack(">i", len(kb)))
         out.write(kb)
         out.write(vb)
     return out.getvalue()
+
+
+def _write_blocks(out: io.BytesIO, records, kenc, venc, compress,
+                  sync: bytes, block_records: int) -> None:
+    klens, keys, vlens, vals = (io.BytesIO() for _ in range(4))
+    n = 0
+
+    def flush():
+        nonlocal klens, keys, vlens, vals, n
+        if not n:
+            return
+        out.write(struct.pack(">i", -1))
+        out.write(sync)
+        write_vint(out, n)
+        for sec in (klens, keys, vlens, vals):
+            blob = compress(sec.getvalue())
+            write_vint(out, len(blob))
+            out.write(blob)
+        klens, keys, vlens, vals = (io.BytesIO() for _ in range(4))
+        n = 0
+
+    for k, v in records:
+        kb, vb = kenc(k), venc(v)
+        write_vint(klens, len(kb))
+        keys.write(kb)
+        write_vint(vlens, len(vb))
+        vals.write(vb)
+        n += 1
+        if n >= block_records:
+            flush()
+    flush()
 
 
 # -- Spark entry points --------------------------------------------------------

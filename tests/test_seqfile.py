@@ -82,8 +82,51 @@ def test_text_keys_and_rejects():
         n = read_vint(buf)
         buf.read(n)
     bad[buf.tell()] = 1
-    with pytest.raises(ValueError, match="compressed"):
+    # flipping the flag makes the next byte parse as an (empty) codec
+    # class name -> clear unsupported-codec error
+    with pytest.raises(ValueError, match="codec"):
         list(read_sequence_file(bytes(bad)))
+
+
+@pytest.mark.parametrize("codec", [
+    "org.apache.hadoop.io.compress.DefaultCodec",
+    "org.apache.hadoop.io.compress.GzipCodec",
+    "org.apache.hadoop.io.compress.BZip2Codec",
+])
+@pytest.mark.parametrize("compression", ["record", "block"])
+def test_compressed_round_trip(codec, compression):
+    recs = [(i, f"value-{i}" * (i % 7 + 1)) for i in range(500)]
+    blob = write_sequence_file(recs, "org.apache.hadoop.io.IntWritable",
+                               "org.apache.hadoop.io.Text",
+                               compression=compression, codec=codec,
+                               block_records=128)  # forces 4 blocks
+    assert list(read_sequence_file(blob)) == recs
+    # compression actually happened (repetitive text shrinks)
+    plain = write_sequence_file(recs, "org.apache.hadoop.io.IntWritable",
+                                "org.apache.hadoop.io.Text")
+    if compression == "block":
+        assert len(blob) < len(plain) // 2
+
+
+def test_compressed_vector_writable_and_unsupported_codec():
+    recs = [(i, encode_vector_writable(np.arange(20, dtype=float) * i))
+            for i in range(50)]
+    blob = write_sequence_file(recs, "org.apache.hadoop.io.IntWritable",
+                               "org.apache.mahout.math.VectorWritable",
+                               compression="block")
+    got = list(read_sequence_file(blob))
+    assert len(got) == 50
+    assert np.allclose(got[3][1]["values"], np.arange(20) * 3.0)
+    with pytest.raises(ValueError, match="SnappyCodec"):
+        write_sequence_file(
+            recs[:1], "org.apache.hadoop.io.IntWritable",
+            "org.apache.mahout.math.VectorWritable",
+            compression="record",
+            codec="org.apache.hadoop.io.compress.SnappyCodec")
+    with pytest.raises(ValueError, match="record"):
+        write_sequence_file(recs[:1], "org.apache.hadoop.io.IntWritable",
+                            "org.apache.mahout.math.VectorWritable",
+                            compression="zip")
 
 
 def test_drm_seqfile_spark_round_trip(spark, tmp_path):
