@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["kmeans", "fuzzykmeans", "canopy",
-                                     "streamingkmeans"])
+                                     "streamingkmeans", "spectralkmeans"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("-k", type=int, default=5)
@@ -76,6 +76,26 @@ def main(argv=None):
                          id_col=args.id_col, vec_col=args.vec_col)
         meta.update({"t1": args.t1, "t2": args.t2,
                      "n_canopies": len(centers)})
+    elif args.mode == "spectralkmeans":
+        # input: symmetric affinity triples (row_id, col_id, value);
+        # SpectralKMeansDriver's pipeline over our own operators
+        from mahout_spark.operators.clustering import spectral_kmeans
+
+        from pyspark.sql import functions as F
+
+        n = 1 + int(points.agg(
+            F.greatest(F.max("row_id"), F.max("col_id"))
+            .alias("m")).collect()[0]["m"])
+        model, embedding = spectral_kmeans(points, n, args.k,
+                                           max_iterations=args.max_iterations,
+                                           convergence_delta=args.convergence_delta,
+                                           seed=args.seed)
+        centers = model.centers
+        meta.update({"k": len(model.centers), "n": n,
+                     "iterations": model.iterations,
+                     "converged": model.converged})
+        model.assign(embedding, "vec_id", "embedding") \
+            .write.mode("overwrite").parquet(f"{args.output}/assignments")
     elif args.mode == "streamingkmeans":
         model = streaming_kmeans(
             points, args.k, final_iterations=args.final_iterations,

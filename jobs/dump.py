@@ -44,7 +44,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["clusterdump", "matrixdump", "cmdump",
                                      "vectordump", "clusterpp",
-                                     "qualcluster"])
+                                     "qualcluster", "seqdumper"])
     ap.add_argument("--model", default=None)
     ap.add_argument("--input", default=None)
     ap.add_argument("--assignments", default=None)
@@ -96,6 +96,39 @@ def main(argv=None):
                     lines.append(f"  {p[idc]}"
                                  + (f" dist2={p['dist2']:.4f}"
                                     if "dist2" in asg.columns else ""))
+        _emit("\n".join(lines), args.output)
+
+    elif args.mode == "seqdumper":
+        # utils/SequenceFileDumper.java: header classes + key/value
+        # lines + count; works on any SequenceFile our reader decodes
+        # (incl. record-/block-compressed), falling back to raw bytes
+        import glob as _glob
+
+        from mahout_spark.sources.seqfile import read_sequence_file
+
+        if not args.input:
+            ap.error("seqdumper requires --input (file or part dir)")
+        paths = sorted(_glob.glob(os.path.join(args.input, "part-*"))
+                       ) if os.path.isdir(args.input) else [args.input]
+        lines = []
+        total = 0
+        for p in paths:
+            data = open(p, "rb").read()
+            lines.append(f"Input Path: {p}")
+            try:
+                recs = list(read_sequence_file(data))
+            except ValueError:
+                recs = list(read_sequence_file(data, raw=True))
+            for i, (k, v) in enumerate(recs):
+                if i >= args.limit:
+                    lines.append(f"... ({len(recs) - args.limit} more)")
+                    break
+                vs = str(v)
+                lines.append(f"Key: {k}: Value: "
+                             f"{vs[:120] + '...' if len(vs) > 120 else vs}")
+            lines.append(f"Count: {len(recs)}")
+            total += len(recs)
+        lines.append(f"Total Count: {total}")
         _emit("\n".join(lines), args.output)
 
     elif args.mode == "matrixdump":

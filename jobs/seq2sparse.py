@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--weight", choices=["tfidf", "tf"], default="tfidf")
+    ap.add_argument("--encoded", action="store_true",
+                    help="`mahout seq2encoded` twin: dictionary-free "
+                    "feature-hashing vectors (EncodedVectorsFrom"
+                    "SequenceFiles)")
+    ap.add_argument("--cardinality", type=int, default=1 << 12,
+                    help="--encoded: hash-bucket count")
     ap.add_argument("--variant", choices=["mahout", "mllib"],
                     default="mahout",
                     help="tfidf formula (TFIDF.scala variants)")
@@ -62,6 +68,23 @@ def main(argv=None):
     docs = spark.read.parquet(args.input)
 
     t0 = time.time()
+    if args.encoded:
+        from mahout_spark.operators.vectorize import encoded_vectors
+
+        vecs = encoded_vectors(docs, dim=args.cardinality,
+                               id_col=args.id_col, text_col=args.text_col)
+        if args.norm > 0:
+            vecs = normalize_rows(
+                vecs.withColumnRenamed("bucket", "token_id"),
+                p=args.norm, id_col=args.id_col)
+        else:
+            vecs = vecs.withColumnRenamed("bucket", "token_id")
+        vecs.write.mode("overwrite").parquet(f"{args.output}/vectors")
+        n = spark.read.parquet(f"{args.output}/vectors").count()
+        print(json.dumps({"mode": "seq2encoded",
+                          "cardinality": args.cardinality, "nnz": n,
+                          "wall_s": round(time.time() - t0, 2)}))
+        return
     tc = term_counts(docs, args.id_col, args.text_col)
     dfreq = doc_freq(tc, args.id_col)
     dfreq.write.mode("overwrite").parquet(f"{args.output}/df-count")
