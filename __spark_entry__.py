@@ -1588,6 +1588,64 @@ def _q_recommend_itemuseravg(spark, sf_dir) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def _q_ir_stats(spark, sf_dir) -> DataFrame:
+    """GenericRecommenderIRStatsEvaluator gate: hold out every pref whose
+
+    md5 coin lands in fold 0 (engine-replayable split), recommend top-5
+    by item average from the train side, and emit the PER-USER IR frame
+    (hits, n_rel, precision@5, recall@5). Hits counts and the two
+    single-int-division ratios are bit-exact across engines; the macro
+    average is a float fold and stays out of the gate (pytest covers
+    it). Reference anchor:
+    cf/taste/impl/eval/GenericRecommenderIRStatsEvaluator.java:85-170
+    (per-user relevant set -> intersect with top-N -> precision/recall)."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.operators.recommender import (item_average_recommend,
+                                                    ir_stats)
+
+    prefs = _gate_prefs(spark, sf_dir)
+    coin = F.pmod(md5_long60(F.concat_ws("|", "user_id", "item_id")),
+                  F.lit(5))
+    train = prefs.filter(coin != 0)
+    relevant = prefs.filter(coin == 0).select("user_id", "item_id")
+    recs = item_average_recommend(train, top_n=5)
+    return ir_stats(recs, relevant, n=5, per_user=True)
+
+
+IR_STATS_SQL_TEMPLATE = """
+WITH prefs AS ({prefs}),
+coined AS (SELECT u, i, p,
+                  ({coin}) % 5 AS fold
+           FROM prefs),
+train AS (SELECT u, i, p FROM coined WHERE fold <> 0),
+relevant AS (SELECT u, i FROM coined WHERE fold = 0),
+avgs AS (SELECT i, avg(p) AS score FROM train GROUP BY i),
+m AS (SELECT 5 + max(cnt) AS m
+      FROM (SELECT count(*) AS cnt FROM train GROUP BY u)),
+top_items AS (SELECT i, score FROM (
+    SELECT i, score, row_number() OVER (ORDER BY score DESC, i) AS rn
+    FROM avgs) WHERE rn <= (SELECT m FROM m)),
+users AS (SELECT DISTINCT u FROM train),
+cand AS (SELECT users.u, t.i, t.score FROM users CROSS JOIN top_items t
+         WHERE NOT EXISTS (SELECT 1 FROM train p2
+                           WHERE p2.u = users.u AND p2.i = t.i)),
+recs AS (SELECT u, i FROM (SELECT u, i, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, i) AS rn FROM cand)
+         WHERE rn <= 5),
+rel_counts AS (SELECT u, count(*) AS n_rel FROM relevant GROUP BY u),
+hits AS (SELECT r.u, count(rel.i) AS hits
+         FROM recs r LEFT JOIN relevant rel
+           ON rel.u = r.u AND rel.i = r.i
+         GROUP BY r.u)
+SELECT rc.u AS user_id,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       rc.n_rel::BIGINT AS n_rel,
+       coalesce(h.hits, 0) / least(5, rc.n_rel) AS precision_at_n,
+       coalesce(h.hits, 0) / rc.n_rel AS recall_at_n
+FROM rel_counts rc LEFT JOIN hits h ON h.u = rc.u
+"""
+
+
 def _q_recommend_rescored(spark, sf_dir) -> DataFrame:
     """IDRescorer gate: user-based recommend (the recommend_cooc plan)
 
@@ -2386,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "dedup_groups": _q_dedup_groups,
         "recommend_itemavg": _q_recommend_itemavg,
+        "ir_stats_at_5": _q_ir_stats,
         "recommend_rescored": _q_recommend_rescored,
         "recommend_itemuseravg": _q_recommend_itemuseravg,
         "vecdist_chebyshev": _q_vecdist_chebyshev,
@@ -3413,6 +3472,9 @@ FROM ({pick_representatives_sql(
         'SELECT doc_id, n_chars FROM documents',
         'doc_id', 'n_chars')})
 """,
+        "ir_stats_at_5": IR_STATS_SQL_TEMPLATE.format(
+            prefs=GATE_PREFS_SQL,
+            coin=_h60("u::VARCHAR || '|' || i::VARCHAR")),
         "recommend_itemavg": f"""
 WITH prefs AS ({GATE_PREFS_SQL}),
 avgs AS (SELECT i, avg(p) AS score FROM prefs GROUP BY i),

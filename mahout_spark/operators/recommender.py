@@ -437,12 +437,17 @@ def most_similar_users(sims: DataFrame, n: int,
                           tiebreak_cols=["user_b"])
 
 
-def ir_stats(recs: DataFrame, relevant: DataFrame, n: int) -> DataFrame:
+def ir_stats(recs: DataFrame, relevant: DataFrame, n: int,
+             per_user: bool = False) -> DataFrame:
     """precision@N / recall@N (GenericRecommenderIRStatsEvaluator).
 
     ``recs``: (user_id, item_id, score) top-N recommendations;
     ``relevant``: (user_id, item_id) held-out relevant items.
     Macro-averaged over users that have ≥1 relevant item.
+    ``per_user=True`` returns the per-user frame instead (hits and the
+    two ratios are single int divisions — bit-exact across engines,
+    unlike the macro float average, which is why the gate checks this
+    form).
     """
     rel_counts = relevant.groupBy("user_id").agg(
         F.count("*").alias("__n_rel"))
@@ -451,16 +456,20 @@ def ir_stats(recs: DataFrame, relevant: DataFrame, n: int) -> DataFrame:
             .groupBy("user_id")
             .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
                  F.count("*").alias("__n_rec")))
-    per_user = (rel_counts.join(hits, "user_id", "left")
-                .select("user_id",
-                        (F.coalesce(F.col("__hits"), F.lit(0)) /
-                         F.least(F.lit(n), F.col("__n_rel")))
-                        .alias("precision_at_n"),
-                        (F.coalesce(F.col("__hits"), F.lit(0)) /
-                         F.col("__n_rel")).alias("recall_at_n")))
-    return per_user.agg(F.avg("precision_at_n").alias("precision"),
-                        F.avg("recall_at_n").alias("recall"),
-                        F.count("*").alias("n_users"))
+    pu = (rel_counts.join(hits, "user_id", "left")
+          .select("user_id",
+                  F.coalesce(F.col("__hits"), F.lit(0)).alias("hits"),
+                  F.col("__n_rel").alias("n_rel"),
+                  (F.coalesce(F.col("__hits"), F.lit(0)) /
+                   F.least(F.lit(n), F.col("__n_rel")))
+                  .alias("precision_at_n"),
+                  (F.coalesce(F.col("__hits"), F.lit(0)) /
+                   F.col("__n_rel")).alias("recall_at_n")))
+    if per_user:
+        return pu
+    return pu.agg(F.avg("precision_at_n").alias("precision"),
+                  F.avg("recall_at_n").alias("recall"),
+                  F.count("*").alias("n_users"))
 
 
 def kfold_split(prefs: DataFrame, k: int, seed: int = 11,

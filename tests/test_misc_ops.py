@@ -53,6 +53,11 @@ def test_ir_stats(spark):
     assert abs(row["precision"] - (2 / 3 + 0) / 2) < 1e-12
     assert abs(row["recall"] - (2 / 3 + 0) / 2) < 1e-12
     assert row["n_users"] == 2
+    pu = {r["user_id"]: r for r in
+          ir_stats(recs, relevant, n=3, per_user=True).collect()}
+    assert pu[1]["hits"] == 2 and pu[1]["n_rel"] == 3
+    assert pu[1]["precision_at_n"] == 2 / 3
+    assert pu[2]["hits"] == 0 and pu[2]["recall_at_n"] == 0.0
 
 
 def test_most_similar_users(spark):
