@@ -131,6 +131,25 @@ def main():
         formatted(line_dedup(docs.select("doc_id", "text"), "doc_id",
                              "text"))))
 
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import (hll_spec, sketch_by_key,
+                                         sketch_rollup)
+
+    fine = sketch_by_key(
+        toks.join(docs.select("doc_id", "lang", "source"), "doc_id"),
+        ["lang", "source"], hll_spec(p=12, seed=1, sparse_limit=0),
+        key_expr=md5_long60(F.col("token")))
+    sections.append((
+        "sketch_rollup — the data-cube merge never rescans the corpus",
+        "every rollup level is a groupBy + applyInPandas over the "
+        "ALREADY-BUILT sketch table (one row per fine group — bytes, "
+        "not documents); the union of levels shares the single fine "
+        "build subtree, so the corpus scan appears once no matter how "
+        "many levels roll up",
+        formatted(sketch_rollup(fine, hll_spec(p=12, seed=1,
+                                               sparse_limit=0),
+                                ["lang", "source"]))))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
