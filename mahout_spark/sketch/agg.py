@@ -541,20 +541,29 @@ def sketch_rollup(sketch_df: DataFrame, spec: SketchSpec, dims: list[str],
     table: one output row per group at every prefix level of ``dims``
     (finest → ... → grand total), each holding the merged sketch for
     that level; collapsed dims emit ``total_marker``. This is the
-    sketch-table-as-data-cube move: ``len(dims)+1`` merge passes over
-    the (tiny — one row per fine group) sketch table answer every
-    rollup level without ever rescanning the raw corpus — the only way
-    a distinct-count cube is affordable at 100 TB, since exact
-    distincts don't add across groups but HLL registers do. Dims are
-    emitted as strings (marker needs a common type).
+    sketch-table-as-data-cube move: every rollup level is answered by
+    merging sketch BLOBS, never rescanning the raw corpus — the only
+    way a distinct-count cube is affordable at 100 TB, since exact
+    distincts don't add across groups but HLL registers do.
+
+    Plan shape: the fine table is persisted (built once; it is one row
+    per fine group) and each coarser level merges the PREVIOUS level's
+    output — a chain, so level k merges at most |level k+1| rows and
+    the union's branches all read the tiny cached tables, not k copies
+    of the corpus-scan subtree. Hierarchical merging is exact for the
+    merge-order-independent kinds (CMS/Count-Sketch cell addition, HLL
+    register max, theta set union — byte-identical to a direct build,
+    pytest-pinned) and within published bounds for KLL/t-digest. Dims
+    are emitted as strings (marker needs a common type).
     """
     levels = []
+    cur = sketch_df
     for i in range(len(dims), -1, -1):
-        lvl = merge_sketch_rows(sketch_df, spec,
-                                group_cols=dims[:i] or None)
+        cur = merge_sketch_rows(cur, spec,
+                                group_cols=dims[:i] or None).persist()
         cols = [F.col(d).cast("string").alias(d) for d in dims[:i]] + \
                [F.lit(total_marker).alias(d) for d in dims[i:]]
-        levels.append(lvl.select(*cols, "sketch"))
+        levels.append(cur.select(*cols, "sketch"))
     out = levels[0]
     for extra in levels[1:]:
         out = out.unionByName(extra)

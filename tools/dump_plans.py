@@ -141,11 +141,12 @@ def main():
         key_expr=md5_long60(F.col("token")))
     sections.append((
         "sketch_rollup — the data-cube merge never rescans the corpus",
-        "every rollup level is a groupBy + applyInPandas over the "
-        "ALREADY-BUILT sketch table (one row per fine group — bytes, "
-        "not documents); the union of levels shares the single fine "
-        "build subtree, so the corpus scan appears once no matter how "
-        "many levels roll up",
+        "levels are CHAINED: each coarser level is a groupBy + "
+        "applyInPandas over the PREVIOUS level's persisted output (one "
+        "row per group — bytes, not documents), so the union branches "
+        "are InMemoryTableScans and the fine build executes once at "
+        "runtime; the parquet-scan text inside each InMemoryRelation "
+        "is the cache's build recipe, not a re-execution",
         formatted(sketch_rollup(fine, hll_spec(p=12, seed=1,
                                                sparse_limit=0),
                                 ["lang", "source"]))))
