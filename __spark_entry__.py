@@ -478,6 +478,37 @@ def _q_windowed_cms_events(spark, sf_dir) -> DataFrame:
                             join_cols=["w_start"])
 
 
+def _q_cms_rollup_weekly(spark, sf_dir) -> DataFrame:
+    """TIME-rollup gate (the lambda-architecture downsampling move):
+
+    the per-DAY windowed CMS table — the exact output shape
+    windowed_cms_events gates — rolls up to per-WEEK sketches by blob
+    merge alone, so historical fine-grained sketch tables answer
+    coarser time grains without replaying the event stream. The DuckDB
+    oracle builds the weekly sketches directly from events, proving
+    daily-build + cross-day merge == direct weekly build (integer
+    counter addition, order-independent). Probes: every (week,
+    event_type) pair."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import (cms_spec_shape, merge_sketch_rows,
+                                         sketch_by_key)
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    ev = _read(spark, sf_dir, "events")
+    w = ev.withColumn("w_start",
+                      F.window(F.col("ts"), "1 day").getField("start"))
+    spec = cms_spec_shape(CMS_DEPTH, CMS_WIDTH, CMS_SEED, parity=True)
+    daily = sketch_by_key(w, ["w_start"], spec,
+                          key_expr=md5_long60(F.col("event_type")))
+    weekly = merge_sketch_rows(
+        daily.withColumn("week", F.date_trunc("week", F.col("w_start"))),
+        spec, group_cols=["week"])
+    probe = (ev.select(F.date_trunc("week", F.col("ts")).alias("week"),
+                       "event_type").distinct())
+    return cms_point_lookup(weekly, probe, md5_long60(F.col("event_type")),
+                            join_cols=["week"])
+
+
 ROLLUP_HEAD = 5  # probe tokens per coarse group in the rollup gate
 
 
@@ -2392,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_tdigest_events": _q_windowed_tdigest_events,
         "windowed_cms_events": _q_windowed_cms_events,
         "cms_rollup_lang": _q_cms_rollup_lang,
+        "cms_rollup_weekly": _q_cms_rollup_weekly,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "llr_item_similarity": _q_llr_item_similarity,
         "cross_similarity_llr": _q_cross_similarity_llr,
@@ -3380,6 +3412,11 @@ FROM u
             "SELECT date_trunc('day', ts) AS w_start, event_type "
             "FROM events",
             CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="w_start",
+            token_col="event_type"),
+        "cms_rollup_weekly": cms_point_grouped_oracle_sql(
+            "SELECT date_trunc('week', ts) AS week, event_type "
+            "FROM events",
+            CMS_DEPTH, CMS_WIDTH, CMS_SEED, group_col="week",
             token_col="event_type"),
         "cms_rollup_lang": cms_point_grouped_oracle_sql(
             _toksrc_sql(), CMS_DEPTH, CMS_WIDTH, CMS_SEED,
