@@ -2221,6 +2221,62 @@ def _q_theta_overlap(spark, sf_dir) -> DataFrame:
     return theta_group_overlap(ev, "event_type", "user_id", k=64)
 
 
+def _q_priority_sample_docs(spark, sf_dir) -> DataFrame:
+    """Priority-sampling gate (Duffield-Lund-Thorup JACM'07,
+    core/priority.py — the tenth mergeable sketch): global k=32
+    weighted doc sample (weight = n_chars) from ONE distributed build
+    (JVM per-key sum preagg -> mapInPandas partial samples -> salted
+    merge; retained state is a pure order statistic of the union, so
+    any partitioning yields the same bits), joined back to doc identity
+    by broadcasting the <=k sampled hashes over one map-only corpus
+    scan. tau and w_hat are single pinned IEEE multiply-then-divide /
+    max ops, so the DuckDB one-window replay is bit-exact with no
+    rounding."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.queries import priority_sample_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    sample = priority_sample_weights(docs, "doc_id", "n_chars", k=32)
+    keyed = docs.select(
+        (md5_long60(F.col("doc_id").cast("string")) + F.lit(1)).alias("u"),
+        "doc_id", "lang")
+    return (keyed.join(F.broadcast(sample), "u")
+            .select("rank", "doc_id", "lang", "u", "w", "tau", "w_hat")
+            .orderBy("rank"))
+
+
+def _q_priority_lang_totals(spark, sf_dir) -> DataFrame:
+    """Subset-sum estimation from the same k=32 priority sample —
+    DLT'07's whole point: per-language total chars for subsets chosen
+    AFTER the sample was built, each estimated by summing w_hat over
+    the sample's members of that language, next to the exact totals.
+    The w_hat fold is pinned u-ascending (F.aggregate over a sorted
+    struct array == DuckDB list_sum(list(... ORDER BY u))) so the
+    <=32-term float sum is bit-exact cross-engine."""
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.queries import priority_sample_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    sample = priority_sample_weights(docs, "doc_id", "n_chars", k=32)
+    keyed = docs.select(
+        (md5_long60(F.col("doc_id").cast("string")) + F.lit(1)).alias("u"),
+        "lang")
+    j = keyed.join(F.broadcast(sample), "u")
+    est = (j.groupBy("lang")
+           .agg(F.count("*").cast("int").alias("n_sampled"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("u", "w_hat"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w_hat"]).alias("est_chars")))
+    exact = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("double").alias("exact_chars"))
+    return (exact.join(est, "lang", "left")
+            .select("lang", "exact_chars",
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+                    F.coalesce("est_chars", F.lit(0.0)).alias("est_chars"))
+            .orderBy("lang"))
+
+
 def _q_unicode_nfc(spark, sf_dir) -> DataFrame:
     """Unicode hygiene gate: deterministic decomposed sequences +
     control chars injected per doc, then strip-controls -> NFC (the
@@ -2504,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_gramian_bound": _q_fd_bound,
         "unicode_nfc_docs": _q_unicode_nfc,
         "theta_user_overlap": _q_theta_overlap,
+        "priority_sample_docs": _q_priority_sample_docs,
+        "priority_lang_totals": _q_priority_lang_totals,
     }
 
 
@@ -2584,6 +2642,46 @@ def _theta_overlap_oracle() -> str:
 
     src = "SELECT event_type, user_id::VARCHAR AS ukey FROM events"
     return theta_overlap_oracle_sql(src, "event_type", "ukey", k=64)
+
+
+def _priority_inner_sql() -> str:
+    from mahout_spark.sketch.queries import priority_sample_oracle_sql
+
+    return priority_sample_oracle_sql(
+        "SELECT * FROM documents", "doc_id::VARCHAR", "n_chars", k=32)
+
+
+def _priority_sample_oracle() -> str:
+    from mahout_spark.functions.hashutil import md5_long60_sql
+
+    u = f"({md5_long60_sql('doc_id::VARCHAR')} + 1)"
+    return f"""
+WITH __sample AS ({_priority_inner_sql()}),
+__keyed AS (SELECT {u} AS u, doc_id, lang FROM documents)
+SELECT s.rank, k.doc_id, k.lang, s.u, s.w, s.tau, s.w_hat
+FROM __sample s JOIN __keyed k USING (u)
+"""
+
+
+def _priority_totals_oracle() -> str:
+    from mahout_spark.functions.hashutil import md5_long60_sql
+
+    u = f"({md5_long60_sql('doc_id::VARCHAR')} + 1)"
+    return f"""
+WITH __sample AS ({_priority_inner_sql()}),
+__keyed AS (SELECT {u} AS u, lang FROM documents),
+__j AS (SELECT k.lang, s.u, s.w_hat
+        FROM __sample s JOIN __keyed k USING (u)),
+__agg AS (SELECT lang, count(*)::INT AS n_sampled,
+                 list_sum(list(w_hat ORDER BY u)) AS est_chars
+          FROM __j GROUP BY lang),
+__exact AS (SELECT lang, SUM(n_chars)::DOUBLE AS exact_chars
+            FROM documents GROUP BY lang)
+SELECT e.lang, e.exact_chars,
+       COALESCE(a.n_sampled, 0)::INT AS n_sampled,
+       COALESCE(a.est_chars, 0.0)::DOUBLE AS est_chars
+FROM __exact e LEFT JOIN __agg a USING (lang)
+"""
 
 
 def _unicode_nfc_oracle() -> str:
@@ -3625,6 +3723,8 @@ FROM u GROUP BY 1""",
             "TRUE AS apriori_ok"),
         "unicode_nfc_docs": _unicode_nfc_oracle(),
         "theta_user_overlap": _theta_overlap_oracle(),
+        "priority_sample_docs": _priority_sample_oracle(),
+        "priority_lang_totals": _priority_totals_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

@@ -43,6 +43,7 @@ from mahout_spark.core.cms import CountMinSketch
 from mahout_spark.core.countsketch import CountSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
+from mahout_spark.core.priority import PrioritySample
 from mahout_spark.core.spacesaving import MisraGries
 from mahout_spark.core.tdigest import TDigest
 from mahout_spark.core.theta import DOMAIN60, ThetaSketch
@@ -75,7 +76,7 @@ class SketchSpec:
         return {
             "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
             "mg": MisraGries, "theta": ThetaSketch, "csk": CountSketch,
-            "tdigest": TDigest, "kll": KLLSketch,
+            "tdigest": TDigest, "kll": KLLSketch, "psk": PrioritySample,
         }[self.kind].deserialize(bytes(blob))
 
 
@@ -187,6 +188,27 @@ def theta_spec(k: int = 64, domain: int = DOMAIN60) -> SketchSpec:
         needs_key=True, needs_value=False, preagg="distinct")
 
 
+def priority_spec(k: int = 64, domain: int = DOMAIN60) -> SketchSpec:
+    """Priority sample (Duffield-Lund-Thorup JACM'07, core/priority.py)
+
+    — mergeable weighted sample answering arbitrary subset sums from k
+    retained rows. Keys must be pre-hashed uniform int64 in
+    [1, domain]: pass ``key_expr=md5_long60(col) + 1`` (DuckDB-
+    replayable — a single ``ROW_NUMBER() OVER (ORDER BY w/u DESC, u)``
+    window rebuilds the state bit-exact). The 'sum' preagg is the merge
+    contract itself: duplicate keys share u, and the global per-key
+    groupBy guarantees no sketch ever sees a key it might later have to
+    re-weight after eviction — retained state is then a pure order
+    statistic of the union, identical under any merge tree.
+    Weights should be integer-valued (counts, byte/char totals) for
+    cross-engine sum exactness; any positive double works within the
+    usual float-fold caveat."""
+    return SketchSpec(
+        "psk", make=lambda: PrioritySample(k=k, domain=domain),
+        update=lambda s, kk, v: s.update_batch(kk, v),
+        needs_key=True, needs_value=False, preagg="sum")
+
+
 def countsketch_spec(eps: float = 0.01, delta: float = 0.01,
                      seed: int = 1, family: str = "fast") -> SketchSpec:
     """Count-Sketch (signed, UNBIASED two-sided estimates — core/
@@ -218,7 +240,8 @@ def countsketch_spec_shape(depth: int, width: int, seed: int = 1,
 
 SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
-                "theta": theta_spec, "csk": countsketch_spec}
+                "theta": theta_spec, "csk": countsketch_spec,
+                "psk": priority_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

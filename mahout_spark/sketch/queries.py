@@ -1151,3 +1151,78 @@ est AS (SELECT tok, median(v) AS delta FROM vals GROUP BY tok)
 SELECT tok AS {token_col}, delta AS {out_col}
 FROM est ORDER BY abs(delta) DESC, tok LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling: mergeable weighted sample -> subset-sum estimation
+# ---------------------------------------------------------------------------
+
+
+def priority_sample_weights(df: DataFrame, key_col: str,
+                            weight_col: str | None = None,
+                            k: int = 64) -> DataFrame:
+    """Global priority sample (core/priority.py) over per-key total
+    weights -> DataFrame[rank, u, w, tau, w_hat] with <= k rows.
+
+    ONE distributed build: the JVM groupBy pre-aggregates weight per key
+    (the merge contract — every u enters exactly one partial sample),
+    mapInPandas partials retain top-(k+1) by priority, the salted merge
+    tree re-truncates; retained state is an order statistic of the
+    union, so any partitioning yields the same bits. The final sample is
+    k rows — a bounded driver product like every model collect in this
+    repo. ``weight_col=None`` weights each key by its row count.
+
+    u = md5_long60(key)+1 (DuckDB-replayable); w = total weight
+    (exact cross-engine for integer-valued weights); tau = (k+1)-th
+    priority (0.0 while the sample is still exhaustive — estimates are
+    then EXACT); w_hat = max(w, tau), the DLT'07 unbiased per-item
+    estimator: any subset's total weight is estimated by summing w_hat
+    over the sample's members of that subset.
+    """
+    from ..core.priority import PrioritySample
+    from .agg import priority_spec, sketch_global
+
+    kc = df.schema[key_col].dataType.simpleString()
+    key = F.col(key_col) if kc == "string" else F.col(key_col).cast("string")
+    spec = priority_spec(k=k)
+    blob = sketch_global(df, spec, value_col=weight_col,
+                         key_expr=md5_long60(key) + F.lit(1))
+    ps = PrioritySample.deserialize(blob)
+    u, w, w_hat = ps.sample()
+    tau = ps.tau()
+    rows = [(i + 1, int(u[i]), float(w[i]), tau, float(w_hat[i]))
+            for i in range(len(u))]
+    return df.sparkSession.createDataFrame(
+        rows, "rank int, u long, w double, tau double, w_hat double")
+
+
+def priority_sample_oracle_sql(keyed_source_sql: str, key: str, weight: str,
+                               k: int = 64, domain: int = 1 << 60) -> str:
+    """DuckDB replay of priority_sample_weights: per-key weight sums,
+    one ROW_NUMBER() window over priority w/u (DESC, u ASC tie-break —
+    exactly core/priority.py's lexsort; the domain scaling is an exact
+    power-of-two shift so the un-normalized ratio induces the identical
+    order), tau = (w * domain) / u at rank k+1 with the same pinned
+    multiply-then-divide. Both engines perform identical IEEE double
+    ops, so every float (q-order, tau, w_hat) lands bit-exact.
+    ``weight`` may be any SQL expression over the source (use ``1`` for
+    row counts)."""
+    u = f"({md5_long60_sql(key)} + 1)"
+    return f"""
+WITH __ps_src AS ({keyed_source_sql}),
+__ps_agg AS (
+  SELECT {u} AS u, SUM({weight})::DOUBLE AS w FROM __ps_src GROUP BY 1
+),
+__ps_rank AS (
+  SELECT u, w, row_number() OVER (ORDER BY w / u DESC, u ASC) AS rnk
+  FROM __ps_agg
+),
+__ps_tau AS (
+  SELECT COALESCE(
+    (SELECT (w * {float(domain)}) / u FROM __ps_rank
+     WHERE rnk = {k + 1}), 0.0) AS tau
+)
+SELECT r.rnk::INT AS rank, r.u, r.w, t.tau,
+       CASE WHEN r.w >= t.tau THEN r.w ELSE t.tau END AS w_hat
+FROM __ps_rank r, __ps_tau t WHERE r.rnk <= {k}
+"""
