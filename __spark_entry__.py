@@ -1821,6 +1821,13 @@ def _heavy_hitters_oracle_sql() -> str:
         "SELECT token FROM (" + _toksrc_sql() + ")", "token", 0.002)
 
 
+def _skew_plan_oracle_sql() -> str:
+    from mahout_spark.plans.skewplan import skew_plan_oracle_sql
+
+    return skew_plan_oracle_sql(
+        "SELECT token FROM (" + _toksrc_sql() + ")", "token", 150)
+
+
 def _lm_perplexity_oracle_sql() -> str:
     from mahout_spark.functions.lm import lm_cross_entropy_sql
 
@@ -2418,6 +2425,20 @@ def _q_heavy_hitters(spark, sf_dir) -> DataFrame:
     return heavy_hitters(toks, "token", threshold_frac=0.002)
 
 
+def _q_skew_plan(spark, sf_dir) -> DataFrame:
+    """Sketch-driven skew planning (plans/skewplan.py): one Misra-Gries
+    pass + exact isin-verify finds every token owning more rows than a
+    task budget, and ceil(n/target) assigns its salt fan-out — the
+    deterministic salting plan salted_join/groupBy consumers broadcast
+    at 10^12-row scale (north rule: skew handled EXPLICITLY). The plan
+    is exact by construction, so the oracle is a plain GROUP BY/HAVING
+    with the same ceil arithmetic."""
+    from mahout_spark.plans.skewplan import skew_plan
+
+    toks = _doc_tokens(spark, sf_dir).select("token")
+    return skew_plan(toks, "token", target_rows_per_task=150)
+
+
 def _q_lm_perplexity(spark, sf_dir) -> DataFrame:
     """CCNet-style LM quality scoring (functions/lm.py): self-train an
     add-0.5-smoothed bigram LM on the documents corpus (two
@@ -2548,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_online_auc": _q_grouped_online_auc,
         "lm_doc_perplexity": _q_lm_perplexity,
         "heavy_hitters_tokens": _q_heavy_hitters,
+        "skew_salt_plan": _q_skew_plan,
         "dedup_keep_best": _q_dedup_keep_best,
         "stratified_sample": _q_stratified_sample,
         "thin_qr_r": _q_thin_qr_r,
@@ -3710,6 +3732,7 @@ FROM u GROUP BY 1""",
         "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
         "lm_doc_perplexity": _lm_perplexity_oracle_sql(),
         "heavy_hitters_tokens": _heavy_hitters_oracle_sql(),
+        "skew_salt_plan": _skew_plan_oracle_sql(),
         "stratified_sample": stratified_sample_sql_text,
         "pii_scrub": pii_scrub_sql_text,
         "substring_dup_spans": _substring_spans_oracle(),
