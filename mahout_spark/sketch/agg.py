@@ -577,7 +577,12 @@ def sketch_rollup(sketch_df: DataFrame, spec: SketchSpec, dims: list[str],
     merge-order-independent kinds (CMS/Count-Sketch cell addition, HLL
     register max, theta set union — byte-identical to a direct build,
     pytest-pinned) and within published bounds for KLL/t-digest. Dims
-    are emitted as strings (marker needs a common type).
+    are emitted as strings (marker needs a common type). Priority
+    samples ('psk') roll up exactly only when the fine groups' key
+    spaces are DISJOINT (e.g. doc ids under a partitioning dim): a key
+    present in two groups may have been evicted from one, and its
+    merged weight is then an undercount (core/priority.py merge
+    contract).
     """
     levels = []
     cur = sketch_df
