@@ -124,15 +124,27 @@ def main():
     ap.add_argument("--input", default="/tmp/scaling_pages.parquet")
     args = ap.parse_args()
 
-    if not os.path.exists(args.input):
-        print(f"generating {args.docs} pages -> {args.input}", flush=True)
-        generate_input(args.docs, args.input)
+    def ensure_input(path: str, docs: int) -> None:
+        # an existing path is reused ONLY if its row count matches: a
+        # stale leftover from a different --docs run would silently
+        # invalidate the N-vs-4N comparison (the weak protocol needs
+        # the 4N side at exactly 4x the 1N side's rows)
+        if os.path.exists(path):
+            import pyarrow.dataset as ds
+
+            have = ds.dataset(path, format="parquet").count_rows()
+            if have == docs:
+                return
+            print(f"{path} has {have} rows, need {docs} — regenerating",
+                  flush=True)
+        else:
+            print(f"generating {docs} pages -> {path}", flush=True)
+        generate_input(docs, path)
+
+    ensure_input(args.input, args.docs)
     weak_input = args.input + ".x4"
-    if os.environ.get("SPARK_GRAFT_SCALE_WEAK", "") == "1" \
-            and not os.path.exists(weak_input):
-        print(f"generating {4 * args.docs} pages -> {weak_input}",
-              flush=True)
-        generate_input(4 * args.docs, weak_input)
+    if os.environ.get("SPARK_GRAFT_SCALE_WEAK", "") == "1":
+        ensure_input(weak_input, 4 * args.docs)
 
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     n_big = n_small * 4
