@@ -214,3 +214,26 @@ def test_joinsize_cli(spark, tmp_path):
         (200 // 7 + (1 if k < 200 % 7 else 0)) * 20 for k in range(5))
     assert res["within_bound"] is True
     assert abs(res["join_size_est"] - res["true_size"]) <= res["err_bound"]
+
+
+def test_skewplan_cli(spark, tmp_path):
+    src = tmp_path / "skewed.parquet"
+    rows = [("head",) for _ in range(300)] + \
+           [("mid",) for _ in range(120)] + \
+           [(f"t{i}",) for i in range(40)]
+    spark.createDataFrame(rows, "k string") \
+        .write.mode("overwrite").parquet(str(src))
+    res = _run(["jobs/skewplan.py", "--input", str(src), "--key-col", "k",
+                "--target", "100", "--output", str(tmp_path / "plan")])
+    assert res["n_heavy_keys"] == 2
+    assert res["worst_key"] == "head"
+    assert res["worst_salt_factor"] == 3   # ceil(300/100)
+    assert res["total_salt_tasks"] == 3 + 2
+    plan = {r["k"]: r["salt_factor"] for r in spark.read.parquet(
+        str(tmp_path / "plan" / "plan.parquet")).collect()}
+    assert plan == {"head": 3, "mid": 2}
+    # determinism: a second run regenerates the identical plan
+    res2 = _run(["jobs/skewplan.py", "--input", str(src), "--key-col", "k",
+                 "--target", "100", "--output", str(tmp_path / "plan2")])
+    assert {k: res2[k] for k in res if k != "wall_s"} == \
+           {k: res[k] for k in res if k != "wall_s"}

@@ -95,6 +95,10 @@ def main():
         s2 = cpu_stat()
         rec["calib_wall_1b"] = run_calib(1, args.input)
         rec.update({
+            # record the workload size: pairs are only comparable ACROSS
+            # windows at equal n_docs (pairs 21-22 silently ran on a
+            # stale 40k-doc leftover — caught by this field's absence)
+            "n_docs": r1.get("n_docs"),
             "triad1_end": triad_probe(1), "triad4_end": triad_probe(4),
             "flag_wall_1": r1["wall_s"], "flag_wall_4": r4["wall_s"],
             "phases_1": r1["phases"], "phases_4": r4["phases"],
