@@ -54,6 +54,10 @@ def skew_plan(df: DataFrame, key_col: str,
     half the threshold fraction (heavy_hitters' completeness contract:
     eps < threshold_frac; the MG state is then <= 2N/target counters).
     Deterministic: same data -> same plan, any partitioning.
+
+    Cost: one count() (metadata-only on parquet sources) to turn the
+    row budget into a frequency threshold, one MG sketch scan, one
+    pushed-down isin verify scan.
     """
     from ..sketch.queries import heavy_hitters
 
@@ -80,7 +84,8 @@ def _row_salt(df: DataFrame, factor_col: F.Column, seed: int) -> F.Column:
 
 def salted_join(probe: DataFrame, build: DataFrame, key_col: str,
                 plan: DataFrame, how: str = "inner",
-                seed: int = 41) -> DataFrame:
+                seed: int = 41,
+                salt_expr: F.Column | None = None) -> DataFrame:
     """Plain ``probe.join(build, key_col, how)`` rewritten against a
 
     ``skew_plan``: heavy keys fan out over ``salt_factor`` sub-keys so no
@@ -88,16 +93,25 @@ def salted_join(probe: DataFrame, build: DataFrame, key_col: str,
     (the build side is replicated, so right/full semantics would need
     per-key dedup of unmatched rows — out of scope). Returns the same
     columns as the plain join (salt columns are internal).
+
+    The default probe salt hashes the full row content (retry-stable);
+    byte-identical duplicate rows therefore SHARE a salt — if the probe
+    can contain millions of fully identical rows, pass ``salt_expr``
+    (any deterministic long expression, e.g. a precomputed row id) to
+    spread them.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     p = F.broadcast(plan.select(F.col(key_col).alias("__pk"),
                                 F.col("salt_factor")))
+    raw_salt = (F.pmod(F.xxhash64(salt_expr, F.lit(seed)),
+                       F.col("salt_factor").cast("long"))
+                if salt_expr is not None else
+                _row_salt(probe, F.col("salt_factor").cast("long"), seed))
     pr = probe.join(p, probe[key_col] == F.col("__pk"), "left")
     pr = pr.withColumn(
         "__salt",
-        F.when(F.col("salt_factor").isNotNull(),
-               _row_salt(probe, F.col("salt_factor").cast("long"), seed))
+        F.when(F.col("salt_factor").isNotNull(), raw_salt)
          .otherwise(F.lit(0)).cast("int")).drop("__pk", "salt_factor")
 
     bl = build.join(p, build[key_col] == F.col("__pk"), "left")

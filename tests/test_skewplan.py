@@ -101,3 +101,15 @@ def test_salted_join_rejects_unsupported_how(skewed, spark):
     plan = skew_plan(skewed, "k", 100)
     with pytest.raises(ValueError, match="inner"):
         salted_join(skewed, build, "k", plan, how="right")
+
+
+def test_salted_join_custom_salt_expr(skewed, spark):
+    """Duplicate-heavy probes: a caller-supplied salt expression (here a
+    row id) must still produce exactly the plain join's result."""
+    probe = skewed.withColumn("rid", F.monotonically_increasing_id())
+    build = spark.createDataFrame(
+        [("head", "H1"), ("head", "H2"), ("mid", "M")], "k string, w string")
+    plan = skew_plan(skewed, "k", 100)
+    plain = probe.join(build, "k").select("k", "v", "rid", "w")
+    got = salted_join(probe, build, "k", plan, salt_expr=F.col("rid"))
+    assert _canon(got.select("k", "v", "rid", "w")) == _canon(plain)
