@@ -2228,6 +2228,42 @@ def _q_theta_overlap(spark, sf_dir) -> DataFrame:
     return theta_group_overlap(ev, "event_type", "user_id", k=64)
 
 
+PQ_M, PQ_KSUB = 4, 4  # fixed table-derived codebooks (vec_id < ksub)
+
+
+def _pq_fixed_books(spark, sf_dir):
+    import numpy as np
+
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: np.asarray(r["e"], dtype=np.float64)
+            for r in emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"))
+            .filter(F.col("vec_id") < PQ_KSUB).collect()}
+    x = np.stack([rows[i] for i in range(PQ_KSUB)])
+    dsub = x.shape[1] // PQ_M
+    return emb, np.stack([x[:, j * dsub:(j + 1) * dsub]
+                          for j in range(PQ_M)]), dsub
+
+
+def _q_pq_adc_topk(spark, sf_dir) -> DataFrame:
+    """Product-quantization gate (Jegou et al. TPAMI'11,
+    operators/pq.py): encode the embeddings table against fixed
+    table-derived codebooks (subvectors of vec_id < 4 — the
+    literal-center gate form), then ADC top-8 for two query vectors.
+    Every distance is the repo's pinned zip_with/aggregate IEEE fold and
+    the ADC sum is a j-ordered chain, so codes, distances and rankings
+    replay bit-exact in DuckDB (argmin = first-min == ORDER BY dist, c
+    LIMIT 1). Training (pq_train) is pytest-covered; the gate pins the
+    scan-side machinery a 10^12-vector corpus would run."""
+    from mahout_spark.operators.pq import adc_topk, pq_encode
+
+    emb, books, _ = _pq_fixed_books(spark, sf_dir)
+    q = emb.filter(F.col("vec_id").isin(7, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return adc_topk(pq_encode(emb, books), q, books, k=8)
+
+
 def _q_priority_sample_docs(spark, sf_dir) -> DataFrame:
     """Priority-sampling gate (Duffield-Lund-Thorup JACM'07,
     core/priority.py — the tenth mergeable sketch): global k=32
@@ -2584,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_user_overlap": _q_theta_overlap,
         "priority_sample_docs": _q_priority_sample_docs,
         "priority_lang_totals": _q_priority_lang_totals,
+        "pq_adc_topk": _q_pq_adc_topk,
     }
 
 
@@ -2664,6 +2701,23 @@ def _theta_overlap_oracle() -> str:
 
     src = "SELECT event_type, user_id::VARCHAR AS ukey FROM events"
     return theta_overlap_oracle_sql(src, "event_type", "ukey", k=64)
+
+
+def _pq_adc_oracle() -> str:
+    from mahout_spark.operators.pq import adc_topk_sql
+
+    # dsub is fixed by the testdata schema (64-dim embeddings / m=4),
+    # matching _pq_fixed_books' division of the same table
+    dsub = 64 // PQ_M
+    corpus_sql = "SELECT * FROM embeddings"
+    sp = ", ".join(f"({j}, {j * dsub + 1}, {(j + 1) * dsub})"
+                   for j in range(PQ_M))
+    book_sql = (f"SELECT vec_id AS c, j, (embedding::DOUBLE[])[lo:hi] AS cb "
+                f"FROM ({corpus_sql}) CROSS JOIN (VALUES {sp}) "
+                f"AS sp(j, lo, hi) WHERE vec_id < {PQ_KSUB}")
+    q_sql = (f"SELECT vec_id AS query_id, embedding FROM ({corpus_sql}) "
+             f"WHERE vec_id IN (7, 11)")
+    return adc_topk_sql(corpus_sql, book_sql, q_sql, PQ_M, dsub, k=8)
 
 
 def _priority_inner_sql() -> str:
@@ -3748,6 +3802,7 @@ FROM u GROUP BY 1""",
         "theta_user_overlap": _theta_overlap_oracle(),
         "priority_sample_docs": _priority_sample_oracle(),
         "priority_lang_totals": _priority_totals_oracle(),
+        "pq_adc_topk": _pq_adc_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

@@ -1,0 +1,163 @@
+"""Product quantization: encode argmin goldens vs NumPy, training
+shrinks quantization error, ADC == exact-on-reconstructions, recall vs
+brute force, determinism, and Spark-vs-DuckDB bit parity for codes and
+ADC top-k (fixed table-derived codebooks, the gate form)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_spark.operators.pq import (_sq_seq, adc_topk, adc_topk_sql,
+                                       pq_encode, pq_encode_sql, pq_train)
+from tests.conftest import SF_DIR
+
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+
+def _np_codes(x, books):
+    m, ksub, dsub = books.shape
+    out = np.empty((len(x), m), dtype=int)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j] = d2.argmin(axis=1)
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+@pytest.fixture(scope="module")
+def fixed_books(emb):
+    """Gate-form codebooks: subvectors of the first ksub=4 vec_ids."""
+    rows = {r["vec_id"]: np.asarray(r["e"], dtype=np.float64)
+            for r in emb.select("vec_id",
+                                F.col("embedding").cast("array<double>")
+                                .alias("e"))
+            .filter(F.col("vec_id") < 4).collect()}
+    x = np.stack([rows[i] for i in range(4)])
+    m, dsub = 4, x.shape[1] // 4
+    return np.stack([x[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+
+def test_encode_matches_numpy(spark, emb, fixed_books):
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, fixed_books).collect()}
+    x = np.array([r["e"] for r in
+                  emb.select(F.col("embedding").cast("array<double>")
+                             .alias("e"), "vec_id")
+                  .orderBy("vec_id").collect()])
+    ids = sorted(got)
+    exp = _np_codes(x, fixed_books)
+    for i, vid in enumerate(ids):
+        assert got[vid] == exp[i].tolist()
+
+
+def test_train_shrinks_quantization_error(spark, emb):
+    x = np.array([r["e"] for r in
+                  emb.select(F.col("embedding").cast("array<double>")
+                             .alias("e")).collect()])
+
+    def qerr(books):
+        m, ksub, dsub = books.shape
+        codes = _np_codes(x, books)
+        recon = np.concatenate(
+            [books[j][codes[:, j]] for j in range(m)], axis=1)
+        return float(((x - recon) ** 2).sum())
+
+    b1 = pq_train(emb, m=8, ksub=16, max_iter=1)
+    b10 = pq_train(emb, m=8, ksub=16, max_iter=10)
+    assert qerr(b10) <= qerr(b1)
+    # deterministic: retrain gives identical codebooks
+    assert np.array_equal(b10, pq_train(emb, m=8, ksub=16, max_iter=10))
+
+
+def test_adc_equals_exact_on_reconstructions(spark, emb):
+    """ADC dist is EXACTLY ||q - recon(c)||^2 by construction."""
+    books = pq_train(emb, m=8, ksub=8, max_iter=5)
+    enc = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {r["neighbor_id"]: r["adc_dist"]
+           for r in adc_topk(enc, q, books, k=5).collect()}
+    qv = np.asarray(emb.filter(F.col("vec_id") == 7)
+                    .select(F.col("embedding").cast("array<double>"))
+                    .collect()[0][0])
+    x = {r["vec_id"]: np.asarray(r["e"]) for r in
+         emb.select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("e")).collect()}
+    m, ksub, dsub = books.shape
+    for nid, dist in got.items():
+        codes = _np_codes(x[nid][None, :], books)[0]
+        # replay the j-ordered chain: sum of per-subspace seq folds
+        exp = 0.0
+        for j in range(m):
+            exp = exp + _sq_seq(qv[j * dsub:(j + 1) * dsub],
+                                books[j][codes[j]])
+        assert dist == exp
+
+
+def test_recall_vs_brute_force(spark, emb):
+    from mahout_spark.operators.ann import brute_force_topk
+
+    books = pq_train(emb, m=16, ksub=16, max_iter=10)
+    enc = pq_encode(emb, books).persist()
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # brute-force truth by euclidean ~ dot on unit-ish vectors; use
+    # squared-euclidean ADC vs exact squared-euclidean top-10
+    exact = {}
+    for r in q.collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        x = emb.select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("e"))
+        d = [(rr["vec_id"],
+              float(((np.asarray(rr["e"]) - qv) ** 2).sum()))
+             for rr in x.collect()]
+        exact[r["query_id"]] = {i for i, _ in
+                                sorted(d, key=lambda t: (t[1], t[0]))[:10]}
+    got = adc_topk(enc, q, books, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(by_q[qq] & exact[qq]) / 10 for qq in exact]
+    assert np.mean(recalls) >= 0.5, recalls
+    enc.unpersist()
+
+
+def test_validation(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7, ksub=4)
+    books = np.zeros((4, 2, 16))
+    q = emb.limit(0).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="at least one"):
+        adc_topk(pq_encode(emb, books), q, books)
+
+
+def test_duckdb_parity_codes_and_adc(spark, emb, fixed_books):
+    m, ksub, dsub = fixed_books.shape
+    corpus_sql = f"SELECT * FROM '{EMB}'"
+    book_sql = (f"SELECT vec_id AS c, j, (embedding::DOUBLE[])[lo:hi] AS cb "
+                f"FROM ({corpus_sql}) CROSS JOIN (VALUES "
+                + ", ".join(f"({j}, {j * dsub + 1}, {(j + 1) * dsub})"
+                            for j in range(m))
+                + ") AS sp(j, lo, hi) WHERE vec_id < 4")
+    sql = pq_encode_sql(corpus_sql, book_sql, m, dsub)
+    exp = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, fixed_books).collect()}
+    assert got == exp
+
+    q_sql = f"SELECT vec_id AS query_id, embedding FROM ({corpus_sql}) WHERE vec_id IN (7, 11)"
+    sql2 = adc_topk_sql(corpus_sql, book_sql, q_sql, m, dsub, k=5)
+    exp2 = duckdb.sql(sql2 + " ORDER BY query_id, adc_dist, neighbor_id") \
+        .fetchall()
+    q = emb.filter(F.col("vec_id").isin(7, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got2 = [(r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in
+            adc_topk(pq_encode(emb, fixed_books), q, fixed_books, k=5)
+            .orderBy("query_id", "adc_dist", "neighbor_id").collect()]
+    assert got2 == [tuple(r) for r in exp2]
