@@ -251,3 +251,74 @@ __pq_rank AS (
 SELECT {query_id}, neighbor_id, adc_dist
 FROM __pq_rank WHERE rn <= {k}
 """
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               n_cells: int = 8, n_probe: int = 2,
+               m: int = 8, ksub: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id: str = "query_id", seed: int = 7,
+               max_iter: int = 10, index=None,
+               codebooks: np.ndarray | None = None,
+               encoded: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ (Jégou et al. §V) — the canonical billion-scale recipe:
+
+    the IVF coarse quantizer prunes the corpus to ``n_probe`` cells per
+    query, then ADC scores only those candidates from their m-byte
+    codes. With ``assigned`` written partitioned by ``__cell``
+    (IVFIndex.save) the probe is dynamic partition pruning at the
+    parquet source: a query touches n_probe/n_cells of the data and
+    never a float vector.
+
+    Pass ``index`` / ``codebooks`` / ``encoded`` to reuse persisted
+    state (the repeated-workload path); otherwise each is built here.
+    Probing all cells (n_probe = n_cells) returns exactly
+    ``adc_topk``'s answer (pytest-pinned).
+    """
+    from .ann import ivf_build
+
+    idx = index if index is not None else ivf_build(
+        corpus, n_cells=n_cells, seed=seed, id_col=id_col,
+        vec_col=vec_col, max_iter=max_iter)
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col,
+        max_iter=max_iter, seed=seed)
+    mm, ksub_, dsub = _check_shape(books)
+    enc = encoded if encoded is not None else pq_encode(
+        corpus, books, id_col, vec_col)
+    cells = idx.assigned.select(F.col("neighbor_id").alias("__nid"),
+                                "__cell")
+    enc_cells = enc.join(cells, enc[id_col] == F.col("__nid")) \
+        .select(F.col(id_col), "codes", "__cell")
+
+    qrows = queries.select(query_id,
+                           F.col(vec_col).cast("array<double>")
+                           .alias("__qv")).collect()
+    if not qrows:
+        raise ValueError("ivfpq_topk needs at least one query row")
+    per_query = []
+    for r in qrows:
+        qv = np.asarray(r["__qv"], dtype=np.float64)
+        if len(qv) != mm * dsub:
+            raise ValueError("query dim != m * dsub")
+        # nearest n_probe cells, (dist, cell) order — the same
+        # sequential fold probe_cells_expr evaluates JVM-side
+        cd = sorted((_sq_seq(qv, c), i) for i, c in enumerate(idx.centers))
+        probes = [i for _, i in cd[:n_probe]]
+        luts = [
+            F.array(*[F.lit(_sq_seq(qv[j * dsub:(j + 1) * dsub],
+                                    books[j][c]))
+                      for c in range(ksub_)])
+            for j in range(mm)]
+        dist = reduce(
+            lambda acc, j: acc + F.element_at(
+                luts[j], F.col("codes")[j] + F.lit(1)),
+            range(mm), F.lit(0.0))
+        per_query.append(
+            enc_cells.filter(F.col("__cell").isin(probes)).select(
+                F.lit(r[query_id]).alias(query_id),
+                F.col(id_col).alias("neighbor_id"),
+                dist.alias("adc_dist")))
+    scored = reduce(lambda a, b: a.unionByName(b), per_query)
+    return topk_per_group(scored, [query_id], "adc_dist", k,
+                          descending=False, tiebreak_cols=["neighbor_id"])

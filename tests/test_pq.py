@@ -161,3 +161,47 @@ def test_duckdb_parity_codes_and_adc(spark, emb, fixed_books):
             adc_topk(pq_encode(emb, fixed_books), q, fixed_books, k=5)
             .orderBy("query_id", "adc_dist", "neighbor_id").collect()]
     assert got2 == [tuple(r) for r in exp2]
+
+
+def test_ivfpq_full_probe_equals_adc(spark, emb):
+    from mahout_spark.operators.pq import ivfpq_topk
+
+    books = pq_train(emb, m=8, ksub=8, max_iter=5)
+    enc = pq_encode(emb, books).persist()
+    q = emb.filter(F.col("vec_id").isin(3, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    full = ivfpq_topk(emb, q, k=7, n_cells=4, n_probe=4,
+                      codebooks=books, encoded=enc)
+    plain = adc_topk(enc, q, books, k=7)
+    got = sorted(tuple(r) for r in full.collect())
+    exp = sorted(tuple(r) for r in plain.collect())
+    assert got == exp
+    enc.unpersist()
+
+
+def test_ivfpq_partial_probe_subset_and_recall(spark, emb):
+    from mahout_spark.operators.ann import ivf_build
+    from mahout_spark.operators.pq import ivfpq_topk
+
+    books = pq_train(emb, m=8, ksub=16, max_iter=8)
+    enc = pq_encode(emb, books).persist()
+    idx = ivf_build(emb, n_cells=4, seed=7)
+    q = emb.filter(F.col("vec_id").isin(3, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    part = ivfpq_topk(emb, q, k=5, n_probe=2, index=idx,
+                      codebooks=books, encoded=enc)
+    rows = part.collect()
+    assert {r["query_id"] for r in rows} == {3, 9}
+    # every returned neighbor sits in one of the 2 probed cells
+    cells = {r["neighbor_id"]: r["__cell"] for r in
+             idx.assigned.select("neighbor_id", "__cell").collect()}
+    qvs = {r["vec_id"]: np.asarray(r["e"]) for r in
+           emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("e")).filter(F.col("vec_id").isin(3, 9))
+           .collect()}
+    for r in rows:
+        qv = qvs[r["query_id"]]
+        cd = sorted((_sq_seq(qv, c), i) for i, c in enumerate(idx.centers))
+        probes = {i for _, i in cd[:2]}
+        assert cells[r["neighbor_id"]] in probes
+    enc.unpersist()
