@@ -104,13 +104,13 @@ def pq_train(corpus: DataFrame, m: int = 8, ksub: int = 16,
     return books
 
 
-def _code_expr(vec: Column, book_j: np.ndarray, j: int, dsub: int) -> Column:
-    """argmin_c sqdist(subvec_j, centroid_c) — first-min, 0-based."""
+def _dists_expr(vec: Column, book_j: np.ndarray, j: int,
+                dsub: int) -> Column:
+    """array<double> of sqdist(subvec_j, centroid_c) for every c."""
     sub = F.slice(vec.cast("array<double>"), j * dsub + 1, dsub)
-    dists = F.array(*[
+    return F.array(*[
         squared_euclidean(sub, F.array(*[F.lit(float(v)) for v in c]))
         for c in book_j])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
@@ -118,12 +118,22 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
               vec_col: str = "embedding") -> DataFrame:
     """-> DataFrame[id_col, codes array<int>] — one map-only scan, all
 
-    JVM expressions (centroid literals; no UDF, no shuffle)."""
+    JVM expressions (centroid literals; no UDF, no shuffle). The
+    per-subspace distance arrays are materialized in a CHAINED
+    projection so the argmin's array_position(d, array_min(d)) reads an
+    attribute instead of duplicating ksub aggregate expressions — the
+    webquality lesson: at production ksub=256, m=16 the naive form
+    carries 2*m*ksub higher-order folds and the chained form m*ksub."""
     m, ksub, dsub = _check_shape(codebooks)
+    with_d = corpus.select(
+        F.col(id_col),
+        *[_dists_expr(F.col(vec_col), codebooks[j], j, dsub)
+          .alias(f"__d{j}") for j in range(m)])
     codes = F.array(*[
-        _code_expr(F.col(vec_col), codebooks[j], j, dsub)
+        (F.array_position(F.col(f"__d{j}"), F.array_min(F.col(f"__d{j}")))
+         - 1).cast("int")
         for j in range(m)])
-    return corpus.select(F.col(id_col), codes.alias("codes"))
+    return with_d.select(F.col(id_col), codes.alias("codes"))
 
 
 def adc_topk(encoded: DataFrame, queries: DataFrame,

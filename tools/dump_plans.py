@@ -151,6 +151,40 @@ def main():
                                                sparse_limit=0),
                                 ["lang", "source"]))))
 
+    import numpy as np
+
+    from mahout_spark.operators.pq import adc_topk, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = np.arange(4 * 4 * 16, dtype=np.float64).reshape(4, 4, 16) / 64.0
+    enc = pq_encode(emb, books)
+    sections.append((
+        "pq_encode + adc_topk — the ANN memory-scale scan",
+        "both stages are single map-only Projects over literal "
+        "centroid/LUT arrays followed by one Window top-K: encoding is "
+        "WholeStageCodegen (no Python, no shuffle; the 100 TB float "
+        "corpus becomes m ints/row) and the ADC query touches only the "
+        "codes column — m element_at lookups + an m-term addition chain",
+        formatted(adc_topk(
+            enc, emb.limit(1).select(F.col("vec_id").alias("query_id"),
+                                     "embedding"), books, k=5))))
+
+    from mahout_spark.plans.skewplan import salted_join, skew_plan
+
+    plan_df = spark.createDataFrame([("head", 500, 5)],
+                                    "k string, n long, salt_factor int")
+    probe = docs.select(F.col("lang").alias("k"), "doc_id")
+    build = docs.select(F.col("lang").alias("k"), "source").limit(100)
+    sections.append((
+        "salted_join — skew-join rewrite from a sketch-derived plan",
+        "the plan broadcasts twice (BroadcastHashJoin on both sides — "
+        "never a shuffle of the plan); the probe side salts with a pure "
+        "content-hash projection, the build side explodes ONLY heavy "
+        "keys (sequence(0, salt_factor-1) with factor 1 for light "
+        "keys), and the final join keys on (key, salt) so no reducer "
+        "owns a whole head key",
+        formatted(salted_join(probe, build, "k", plan_df))))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
