@@ -332,3 +332,113 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = reduce(lambda a, b: a.unionByName(b), per_query)
     return topk_per_group(scored, [query_id], "adc_dist", k,
                           descending=False, tiebreak_cols=["neighbor_id"])
+
+
+class IVFPQIndex:
+    """Persisted IVF-PQ state: codebooks + cell-assigned CODES table.
+
+    The 10^12-row layout: ``codes`` is written partitioned by
+    ``__cell`` (like IVFIndex.save), so a probe prunes whole cells at
+    the parquet source and each surviving row costs m ints — the float
+    corpus is never stored, never read. Build once with
+    ``ivfpq_build``, search many times with ``search``; reopened
+    indexes answer queries with zero retraining and zero rescans.
+    """
+
+    def __init__(self, centers: np.ndarray, codebooks: np.ndarray,
+                 codes: DataFrame, id_col: str):
+        self.centers = centers
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        self.codes = codes          # (id_col, codes array<int>, __cell)
+        self.id_col = id_col
+
+    def save(self, path: str) -> None:
+        spark = self.codes.sparkSession
+        (self.codes.write.mode("overwrite").partitionBy("__cell")
+         .parquet(f"{path}/codes"))
+        m, ksub, dsub = self.codebooks.shape
+        rows = [(j, c, [float(x) for x in self.codebooks[j][c]])
+                for j in range(m) for c in range(ksub)]
+        (spark.createDataFrame(rows, "j int, c int, cb array<double>")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/books"))
+        cr = [(i, [float(x) for x in v], self.id_col)
+              for i, v in enumerate(self.centers)]
+        (spark.createDataFrame(cr, "cell int, center array<double>, "
+                                   "id_col string")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centers"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        br = spark.read.parquet(f"{path}/books").collect()
+        m = 1 + max(r["j"] for r in br)
+        ksub = 1 + max(r["c"] for r in br)
+        books = np.empty((m, ksub, len(br[0]["cb"])), dtype=np.float64)
+        for r in br:
+            books[r["j"]][r["c"]] = r["cb"]
+        cr = sorted(spark.read.parquet(f"{path}/centers").collect(),
+                    key=lambda r: r["cell"])
+        centers = np.stack([np.asarray(r["center"]) for r in cr])
+        codes = spark.read.parquet(f"{path}/codes")
+        return cls(centers, books, codes, cr[0]["id_col"])
+
+    def search(self, queries: DataFrame, k: int = 10, n_probe: int = 2,
+               vec_col: str = "embedding",
+               query_id: str = "query_id") -> DataFrame:
+        """ADC top-k over the probed cells only (dynamic partition
+        pruning on a reopened index: the probe isin-filter sits on the
+        __cell partition column)."""
+        m, ksub, dsub = self.codebooks.shape
+        qrows = queries.select(query_id,
+                               F.col(vec_col).cast("array<double>")
+                               .alias("__qv")).collect()
+        if not qrows:
+            raise ValueError("search needs at least one query row")
+        per_query = []
+        for r in qrows:
+            qv = np.asarray(r["__qv"], dtype=np.float64)
+            if len(qv) != m * dsub:
+                raise ValueError("query dim != m * dsub")
+            cd = sorted((_sq_seq(qv, c), i)
+                        for i, c in enumerate(self.centers))
+            probes = [i for _, i in cd[:n_probe]]
+            luts = [
+                F.array(*[F.lit(_sq_seq(qv[j * dsub:(j + 1) * dsub],
+                                        self.codebooks[j][c]))
+                          for c in range(ksub)])
+                for j in range(m)]
+            dist = reduce(
+                lambda acc, j: acc + F.element_at(
+                    luts[j], F.col("codes")[j] + F.lit(1)),
+                range(m), F.lit(0.0))
+            per_query.append(
+                self.codes.filter(F.col("__cell").isin(probes)).select(
+                    F.lit(r[query_id]).alias(query_id),
+                    F.col(self.id_col).alias("neighbor_id"),
+                    dist.alias("adc_dist")))
+        scored = reduce(lambda a, b: a.unionByName(b), per_query)
+        return topk_per_group(scored, [query_id], "adc_dist", k,
+                              descending=False,
+                              tiebreak_cols=["neighbor_id"])
+
+
+def ivfpq_build(corpus: DataFrame, n_cells: int = 8, m: int = 8,
+                ksub: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding", seed: int = 7,
+                max_iter: int = 10) -> IVFPQIndex:
+    """Train coarse quantizer + codebooks, encode, assign — one corpus
+
+    scan for the codes+cells table (encode and cell argmin fuse into
+    the same map-only projection)."""
+    from .ann import ivf_build
+
+    idx = ivf_build(corpus, n_cells=n_cells, seed=seed, id_col=id_col,
+                    vec_col=vec_col, max_iter=max_iter)
+    books = pq_train(corpus, m=m, ksub=ksub, id_col=id_col,
+                     vec_col=vec_col, max_iter=max_iter, seed=seed)
+    enc = pq_encode(corpus, books, id_col, vec_col)
+    cell = corpus.select(
+        F.col(id_col).alias("__nid"),
+        idx.probe_cells_expr(F.col(vec_col), 1)[0].alias("__cell"))
+    codes = enc.join(cell, enc[id_col] == F.col("__nid")) \
+        .select(F.col(id_col), "codes", "__cell")
+    return IVFPQIndex(idx.centers, books, codes, id_col)

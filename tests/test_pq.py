@@ -205,3 +205,25 @@ def test_ivfpq_partial_probe_subset_and_recall(spark, emb):
         probes = {i for _, i in cd[:2]}
         assert cells[r["neighbor_id"]] in probes
     enc.unpersist()
+
+
+def test_ivfpq_index_save_load_search(spark, emb, tmp_path):
+    from mahout_spark.operators.pq import IVFPQIndex, ivfpq_build
+
+    idx = ivfpq_build(emb, n_cells=4, m=8, ksub=8, max_iter=5)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    re = IVFPQIndex.load(spark, path)
+    assert np.array_equal(re.codebooks, idx.codebooks)
+    assert np.array_equal(re.centers, idx.centers)
+    assert re.id_col == "vec_id"
+    q = emb.filter(F.col("vec_id").isin(3, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(tuple(r) for r in idx.search(q, k=5, n_probe=2).collect())
+    b = sorted(tuple(r) for r in re.search(q, k=5, n_probe=2).collect())
+    assert a == b and len(a) == 10
+    # full probe on the reopened index == plain ADC over its codes
+    full = sorted(tuple(r) for r in re.search(q, k=5, n_probe=4).collect())
+    plain = sorted(tuple(r) for r in adc_topk(
+        re.codes.drop("__cell"), q, re.codebooks, k=5).collect())
+    assert full == plain
