@@ -2320,6 +2320,32 @@ def _q_priority_lang_totals(spark, sf_dir) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_tuple_lang_totals(spark, sf_dir) -> DataFrame:
+    """Tuple-sketch gate (the DataSketches array-of-doubles line,
+    core/tuplesketch.py — the 11th mergeable sketch): per-language k=32
+    bottom-k state over doc_id, each retained hash carrying the summed
+    n_chars summary, from ONE distributed build (JVM per-key value-sum
+    preagg -> mapInPandas partials -> salted merge; bottom-k state is a
+    pure order statistic of the union, so any partitioning yields the
+    same bits). Output per language: retained count, knowledge horizon
+    theta, estimated distinct docs, estimated total chars, next to the
+    exact values. domain = 2^60 is a power of two, so each estimator is
+    one EXACT float64 exponent-shift multiply plus one IEEE divide —
+    the DuckDB window replay (tuple_totals_oracle_sql) is bit-exact
+    with NO rounding."""
+    from mahout_spark.sketch.queries import tuple_totals_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    est = tuple_totals_by_group(docs, "lang", "doc_id", "n_chars", k=32)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("double").alias("exact_docs"),
+        F.sum("n_chars").cast("double").alias("exact_chars"))
+    return (est.join(exact, "lang")
+            .select("lang", "n_retained", "theta", "est_distinct",
+                    "est_total", "exact_docs", "exact_chars")
+            .orderBy("lang"))
+
+
 def _q_unicode_nfc(spark, sf_dir) -> DataFrame:
     """Unicode hygiene gate: deterministic decomposed sequences +
     control chars injected per doc, then strip-controls -> NFC (the
@@ -2621,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_docs": _q_priority_sample_docs,
         "priority_lang_totals": _q_priority_lang_totals,
         "pq_adc_topk": _q_pq_adc_topk,
+        "tuple_lang_totals": _q_tuple_lang_totals,
     }
 
 
@@ -2736,6 +2763,23 @@ WITH __sample AS ({_priority_inner_sql()}),
 __keyed AS (SELECT {u} AS u, doc_id, lang FROM documents)
 SELECT s.rank, k.doc_id, k.lang, s.u, s.w, s.tau, s.w_hat
 FROM __sample s JOIN __keyed k USING (u)
+"""
+
+
+def _tuple_totals_oracle() -> str:
+    from mahout_spark.sketch.queries import tuple_totals_oracle_sql
+
+    inner = tuple_totals_oracle_sql(
+        "SELECT lang, doc_id::VARCHAR AS doc_id, n_chars FROM documents",
+        "lang", "doc_id", "n_chars", k=32)
+    return f"""
+WITH __tu AS ({inner}),
+__exact AS (SELECT lang, count(DISTINCT doc_id)::DOUBLE AS exact_docs,
+                   SUM(n_chars)::DOUBLE AS exact_chars
+            FROM documents GROUP BY lang)
+SELECT t.lang, t.n_retained, t.theta::BIGINT AS theta, t.est_distinct,
+       t.est_total, e.exact_docs, e.exact_chars
+FROM __tu t JOIN __exact e USING (lang)
 """
 
 
@@ -3803,6 +3847,7 @@ FROM u GROUP BY 1""",
         "priority_sample_docs": _priority_sample_oracle(),
         "priority_lang_totals": _priority_totals_oracle(),
         "pq_adc_topk": _pq_adc_oracle(),
+        "tuple_lang_totals": _tuple_totals_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

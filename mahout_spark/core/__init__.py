@@ -15,6 +15,7 @@ from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
 from mahout_spark.core.tdigest import TDigest
 from mahout_spark.core.theta import ThetaSketch
+from mahout_spark.core.tuplesketch import TupleSketch
 
 __all__ = [
     "BloomFilter",
@@ -24,4 +25,5 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "ThetaSketch",
+    "TupleSketch",
 ]

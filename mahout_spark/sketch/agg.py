@@ -47,6 +47,7 @@ from mahout_spark.core.priority import PrioritySample
 from mahout_spark.core.spacesaving import MisraGries
 from mahout_spark.core.tdigest import TDigest
 from mahout_spark.core.theta import DOMAIN60, ThetaSketch
+from mahout_spark.core.tuplesketch import TupleSketch
 
 
 @dataclass(frozen=True)
@@ -77,6 +78,7 @@ class SketchSpec:
             "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
             "mg": MisraGries, "theta": ThetaSketch, "csk": CountSketch,
             "tdigest": TDigest, "kll": KLLSketch, "psk": PrioritySample,
+            "tus": TupleSketch,
         }[self.kind].deserialize(bytes(blob))
 
 
@@ -209,6 +211,27 @@ def priority_spec(k: int = 64, domain: int = DOMAIN60) -> SketchSpec:
         needs_key=True, needs_value=False, preagg="sum")
 
 
+def tuple_spec(k: int = 64, domain: int = DOMAIN60,
+               mode: str = "sum") -> SketchSpec:
+    """Tuple (theta + per-key value summary) sketch
+    (core/tuplesketch.py) — estimated metric TOTALS over distinct-key
+    populations and their set expressions. Keys must be pre-hashed
+    uniform int64 in [0, domain): pass ``key_expr=md5_long60(col)``
+    for the DuckDB-replayable parity path. In ``sum`` mode the 'sum'
+    JVM preagg applies (duplicate keys' values add before ingest, the
+    same linearity CMS/priority use); ``min``/``max`` are idempotent
+    per-key folds, so the preagg collapses duplicates with the same
+    rule instead."""
+    if mode not in ("sum", "min", "max"):
+        raise ValueError("mode must be sum|min|max")
+    return SketchSpec(
+        "tus", make=lambda: TupleSketch(k=k, domain=domain, mode=mode),
+        update=lambda s, kk, v: s.update_batch(
+            kk, np.ones(len(kk)) if v is None else v),
+        needs_key=True, needs_value=False,
+        preagg="sum" if mode == "sum" else None)
+
+
 def countsketch_spec(eps: float = 0.01, delta: float = 0.01,
                      seed: int = 1, family: str = "fast") -> SketchSpec:
     """Count-Sketch (signed, UNBIASED two-sided estimates — core/
@@ -241,7 +264,7 @@ def countsketch_spec_shape(depth: int, width: int, seed: int = 1,
 SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
                 "theta": theta_spec, "csk": countsketch_spec,
-                "psk": priority_spec}
+                "psk": priority_spec, "tus": tuple_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

@@ -1226,3 +1226,79 @@ SELECT r.rnk::INT AS rank, r.u, r.w, t.tau,
        CASE WHEN r.w >= t.tau THEN r.w ELSE t.tau END AS w_hat
 FROM __ps_rank r, __ps_tau t WHERE r.rnk <= {k}
 """
+
+
+def tuple_totals_by_group(df: DataFrame, group_col: str, key_col: str,
+                          value_col: str | None = None,
+                          k: int = 64) -> DataFrame:
+    """Per-group tuple-sketch totals (core/tuplesketch.py, sum mode) ->
+    DataFrame[group, n_retained, theta, est_distinct, est_total].
+
+    ONE distributed build per group (JVM per-key value-sum preagg ->
+    mapInPandas partials -> salted merge; bottom-k state is an order
+    statistic of the union so any partitioning yields the same bits),
+    then a bounded driver decode — one sketch per group, exactly like
+    every model collect in this repo. ``value_col=None`` sums 1 per
+    row (the summary then counts rows per distinct key).
+
+    Estimator arithmetic is a single exact power-of-two multiply plus
+    one IEEE divide (integer-valued summaries), so a DuckDB window
+    replay (``tuple_totals_oracle_sql``) matches bit-exact.
+    """
+    from ..core.tuplesketch import TupleSketch
+    from .agg import sketch_by_key, tuple_spec
+
+    kc = df.schema[key_col].dataType.simpleString()
+    key = F.col(key_col) if kc == "string" else F.col(key_col).cast("string")
+    spec = tuple_spec(k=k)
+    sk = sketch_by_key(df, [group_col], spec, value_col=value_col,
+                       key_expr=md5_long60(key))
+    rows = []
+    for r in sk.collect():            # bounded: one row per group
+        ts = TupleSketch.deserialize(r["sketch"])
+        rows.append((r[group_col], len(ts.hashes), ts.theta,
+                     ts.estimate(), ts.total_estimate()))
+    return df.sparkSession.createDataFrame(
+        rows, f"{group_col} string, n_retained int, theta long, "
+              "est_distinct double, est_total double")
+
+
+def tuple_totals_oracle_sql(keyed_source_sql: str, group: str, key: str,
+                            value: str, k: int = 64,
+                            domain: int = 1 << 60) -> str:
+    """DuckDB replay of tuple_totals_by_group: per (group, key) value
+    sums under md5_long60, bottom-k per group by hash, theta = k-th
+    smallest when full else domain, and the two estimators with the
+    same pinned multiply-then-divide (domain is a power of two, so the
+    multiply is an exact float64 exponent shift — bit-exact cross-
+    engine for integer-valued summaries)."""
+    h = md5_long60_sql(key)
+    d = float(domain)
+    return f"""
+WITH __tu_src AS ({keyed_source_sql}),
+__tu_agg AS (
+  SELECT {group} AS g, {h} AS h, SUM({value})::DOUBLE AS v
+  FROM __tu_src GROUP BY 1, 2
+),
+__tu_rank AS (
+  SELECT g, h, v,
+         row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rnk,
+         count(*) OVER (PARTITION BY g) AS n_keys
+  FROM __tu_agg
+),
+__tu_kept AS (SELECT * FROM __tu_rank WHERE rnk <= {k}),
+__tu_state AS (
+  SELECT g, count(*)::INT AS n_retained,
+         CASE WHEN max(n_keys) >= {k} THEN max(h)
+              ELSE {domain} END AS theta,
+         SUM(v) AS v_all,
+         COALESCE(SUM(v) FILTER (WHERE rnk < {k}), 0.0) AS v_below
+  FROM __tu_kept GROUP BY g
+)
+SELECT g AS {group}, n_retained, theta,
+       CASE WHEN theta >= {domain} THEN n_retained::DOUBLE
+            ELSE ({float(k - 1)} * {d}) / theta::DOUBLE END AS est_distinct,
+       CASE WHEN theta >= {domain} THEN v_all
+            ELSE (v_below * {d}) / theta::DOUBLE END AS est_total
+FROM __tu_state
+"""
