@@ -2346,6 +2346,23 @@ def _q_tuple_lang_totals(spark, sf_dir) -> DataFrame:
             .orderBy("lang"))
 
 
+def _q_moments_lang_chars(spark, sf_dir) -> DataFrame:
+    """Moments-sketch gate (Gan et al. VLDB'18, core/moments.py — the
+    12th mergeable sketch): per-language power-sum state (n, min, max,
+    sum x..x^4) over n_chars from the generic distributed sketch build
+    (mapInPandas partials + salted merge — the same machinery every
+    sketch uses). n_chars <= ~600 keeps sum(x^4) ~1e12, far below
+    2^53, so every partial sum is an exact float64 integer under ANY
+    partitioning/merge order and the DuckDB chained-product replay is
+    bit-exact. Quantile recovery (the maxent solve) is an estimator
+    over this exact state — accuracy-pinned in tests/test_moments.py,
+    not oracle-replayable."""
+    from mahout_spark.sketch.queries import moments_by_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return moments_by_group(docs, "lang", "n_chars", t=4).orderBy("lang")
+
+
 def _q_unicode_nfc(spark, sf_dir) -> DataFrame:
     """Unicode hygiene gate: deterministic decomposed sequences +
     control chars injected per doc, then strip-controls -> NFC (the
@@ -2648,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lang_totals": _q_priority_lang_totals,
         "pq_adc_topk": _q_pq_adc_topk,
         "tuple_lang_totals": _q_tuple_lang_totals,
+        "moments_lang_chars": _q_moments_lang_chars,
     }
 
 
@@ -2781,6 +2799,13 @@ SELECT t.lang, t.n_retained, t.theta::BIGINT AS theta, t.est_distinct,
        t.est_total, e.exact_docs, e.exact_chars
 FROM __tu t JOIN __exact e USING (lang)
 """
+
+
+def _moments_oracle() -> str:
+    from mahout_spark.sketch.queries import moments_oracle_sql
+
+    return moments_oracle_sql("SELECT lang, n_chars FROM documents",
+                              "lang", "n_chars", t=4)
 
 
 def _priority_totals_oracle() -> str:
@@ -3848,6 +3873,7 @@ FROM u GROUP BY 1""",
         "priority_lang_totals": _priority_totals_oracle(),
         "pq_adc_topk": _pq_adc_oracle(),
         "tuple_lang_totals": _tuple_totals_oracle(),
+        "moments_lang_chars": _moments_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

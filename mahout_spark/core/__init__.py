@@ -13,6 +13,7 @@ from mahout_spark.core.fd import FrequentDirections
 from mahout_spark.core.cms import CountMinSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
+from mahout_spark.core.moments import MomentsSketch
 from mahout_spark.core.tdigest import TDigest
 from mahout_spark.core.theta import ThetaSketch
 from mahout_spark.core.tuplesketch import TupleSketch
@@ -23,6 +24,7 @@ __all__ = [
     "FrequentDirections",
     "HyperLogLog",
     "KLLSketch",
+    "MomentsSketch",
     "TDigest",
     "ThetaSketch",
     "TupleSketch",

@@ -46,6 +46,7 @@ from mahout_spark.core.kll import KLLSketch
 from mahout_spark.core.priority import PrioritySample
 from mahout_spark.core.spacesaving import MisraGries
 from mahout_spark.core.tdigest import TDigest
+from mahout_spark.core.moments import MomentsSketch
 from mahout_spark.core.theta import DOMAIN60, ThetaSketch
 from mahout_spark.core.tuplesketch import TupleSketch
 
@@ -78,7 +79,7 @@ class SketchSpec:
             "cms": CountMinSketch, "hll": HyperLogLog, "bloom": BloomFilter,
             "mg": MisraGries, "theta": ThetaSketch, "csk": CountSketch,
             "tdigest": TDigest, "kll": KLLSketch, "psk": PrioritySample,
-            "tus": TupleSketch,
+            "tus": TupleSketch, "mms": MomentsSketch,
         }[self.kind].deserialize(bytes(blob))
 
 
@@ -232,6 +233,24 @@ def tuple_spec(k: int = 64, domain: int = DOMAIN60,
         preagg="sum" if mode == "sum" else None)
 
 
+def moments_spec(t: int = 4, dedup_values: bool = False) -> SketchSpec:
+    """Moments sketch (Gan et al. VLDB'18, core/moments.py) — power
+    sums + count + min/max; the cheapest merge of any quantile summary
+    (vector add). With integer inputs every partial sum is an exact
+    float64 integer under ANY ingest/merge order, so a SQL oracle can
+    rebuild the distributed state bit-exact. ``dedup_values=True``
+    turns on the 'value_sum' JVM preagg (collapse duplicate values,
+    weighted power updates) — unlike t-digest this changes NOTHING in
+    the result (power sums are weight-linear), so it is safe whenever
+    the value cardinality is below the row count."""
+    return SketchSpec(
+        "mms", make=lambda: MomentsSketch(t=t),
+        update=lambda s, k, v: s.update_batch(v),
+        needs_key=False, needs_value=True,
+        preagg="value_sum" if dedup_values else None,
+        update_weighted=lambda s, v, w: s.update_batch(v, w))
+
+
 def countsketch_spec(eps: float = 0.01, delta: float = 0.01,
                      seed: int = 1, family: str = "fast") -> SketchSpec:
     """Count-Sketch (signed, UNBIASED two-sided estimates — core/
@@ -264,7 +283,8 @@ def countsketch_spec_shape(depth: int, width: int, seed: int = 1,
 SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
                 "theta": theta_spec, "csk": countsketch_spec,
-                "psk": priority_spec, "tus": tuple_spec}
+                "psk": priority_spec, "tus": tuple_spec,
+                "mms": moments_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

@@ -1302,3 +1302,72 @@ SELECT g AS {group}, n_retained, theta,
             ELSE (v_below * {d}) / theta::DOUBLE END AS est_total
 FROM __tu_state
 """
+
+
+def moments_by_group(df: DataFrame, group_col: str, value_col: str,
+                     t: int = 4, quantiles: list[float] | None = None,
+                     jvm_only: bool = False) -> DataFrame:
+    """Per-group moments-sketch state (core/moments.py) ->
+    DataFrame[group, n, lo, hi, m1..mt (+ q_* estimates)].
+
+    Two equivalent builds (pytest pins them bit-identical on integer
+    inputs): ``jvm_only=True`` computes the power sums as built-in
+    Spark aggregates over chained products — the 100-TB path, pure
+    whole-stage codegen, zero Python; the default routes through the
+    generic sketch machinery (mapInPandas partials + salted merge),
+    exercising the same serialize/merge code every other sketch uses.
+    ``quantiles`` appends driver-side maxent estimates (estimator
+    columns — accuracy-tested, not oracle-replayable).
+    """
+    from ..core.moments import MomentsSketch
+    from .agg import moments_spec, sketch_by_key
+
+    mcols = [f"m{k}" for k in range(1, t + 1)]
+    if jvm_only:
+        v = F.col(value_col).cast("double")
+        powers, p = [], v
+        for _ in range(t):
+            powers.append(p)
+            p = p * v
+        state = df.groupBy(group_col).agg(
+            F.count("*").cast("double").alias("n"),
+            F.min(v).alias("lo"), F.max(v).alias("hi"),
+            *[F.sum(powers[k]).alias(mcols[k]) for k in range(t)])
+        rows = [(r[group_col], r["n"], r["lo"], r["hi"],
+                 *[r[c] for c in mcols]) for r in state.collect()]
+        sketches = {r[0]: MomentsSketch(
+            t, r[1], r[2], r[3], np.array(r[4:], dtype=np.float64))
+            for r in rows}
+    else:
+        sk = sketch_by_key(df, [group_col], moments_spec(t=t),
+                           value_col=value_col)
+        sketches = {r[group_col]: MomentsSketch.deserialize(r["sketch"])
+                    for r in sk.collect()}   # bounded: one row per group
+    out = []
+    for g, s in sketches.items():
+        row = [g, s.n, s.lo, s.hi, *[float(x) for x in s.sums]]
+        for q in (quantiles or []):
+            row.append(float(s.quantile(q)))
+        out.append(tuple(row))
+    qcols = "".join(f", q{str(q).replace('.', '_')} double"
+                    for q in (quantiles or []))
+    return df.sparkSession.createDataFrame(
+        out, f"{group_col} string, n double, lo double, hi double, "
+             + ", ".join(f"{c} double" for c in mcols) + qcols)
+
+
+def moments_oracle_sql(source_sql: str, group: str, value: str,
+                       t: int = 4) -> str:
+    """DuckDB replay of the moments-sketch state: count, min, max and
+    the power sums as CHAINED PRODUCTS (x*x*..., never pow() — pow may
+    route through exp/log) so with integer inputs every sum is an
+    exact float64 integer identical to the distributed build under any
+    partitioning."""
+    prods = [" * ".join([f"({value})::DOUBLE"] * k) for k in range(1, t + 1)]
+    msel = ", ".join(f"SUM({p}) AS m{k}" for k, p in enumerate(prods, 1))
+    return f"""
+SELECT {group}, count(*)::DOUBLE AS n,
+       MIN(({value})::DOUBLE) AS lo, MAX(({value})::DOUBLE) AS hi,
+       {msel}
+FROM ({source_sql}) __mm_src GROUP BY {group}
+"""
