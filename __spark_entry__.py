@@ -2363,6 +2363,47 @@ def _q_moments_lang_chars(spark, sf_dir) -> DataFrame:
     return moments_by_group(docs, "lang", "n_chars", t=4).orderBy("lang")
 
 
+CBF_CAP, CBF_FP, CBF_SEED, CBF_PROBES = 4000, 0.01, 3, 100
+
+
+def _q_counting_bloom_retract(spark, sf_dir) -> DataFrame:
+    """Counting-Bloom gate (Fan et al. ToN'00, core/countingbloom.py —
+    the 13th mergeable sketch): build a parity counting filter over
+    every 'en' token occurrence (JVM per-key multiplicity preagg),
+    RETRACT the doc_id%7==0 subset by merging the negated sketch of
+    that subset (counter linearity — the thing a bit-OR Bloom cannot
+    do), then probe the global head-100 tokens: per-token min counter
+    across the k affine probes + the membership decision. Counters are
+    integer adds under the DuckDB-replayable affine family, so the
+    whole build + retraction + probe replays bit-exact."""
+    from mahout_spark.core.countingbloom import CountingBloomFilter
+    from mahout_spark.functions.hashutil import md5_long60
+    from mahout_spark.sketch.agg import countingbloom_spec, sketch_global
+
+    toks = _doc_tokens(spark, sf_dir).persist()
+    spec = countingbloom_spec(capacity=CBF_CAP, fp_rate=CBF_FP,
+                              seed=CBF_SEED, parity=True)
+    en = toks.filter(F.col("lang") == "en")
+    add = CountingBloomFilter.deserialize(sketch_global(
+        en, spec, key_expr=md5_long60(F.col("token"))))
+    rem = CountingBloomFilter.deserialize(sketch_global(
+        en.filter(F.col("doc_id") % 7 == 0), spec,
+        key_expr=md5_long60(F.col("token"))))
+    net = add.merge(rem.negate())
+    head = (toks.groupBy("token").count()
+            .orderBy(F.desc("count"), "token").limit(CBF_PROBES)
+            .select("token", md5_long60(F.col("token")).alias("__key"))
+            .collect())                        # bounded: CBF_PROBES rows
+    toks.unpersist()
+    import numpy as np
+    keys = np.array([r["__key"] for r in head], dtype=np.int64)
+    mins = net.counts[net._positions(keys)].min(axis=0)
+    rows = [(r["token"], int(m), bool(m > 0))
+            for r, m in zip(head, mins)]
+    return spark.createDataFrame(
+        rows, "token string, min_count long, maybe_contains boolean")
+
+
 def _q_unicode_nfc(spark, sf_dir) -> DataFrame:
     """Unicode hygiene gate: deterministic decomposed sequences +
     control chars injected per doc, then strip-controls -> NFC (the
@@ -2666,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "tuple_lang_totals": _q_tuple_lang_totals,
         "moments_lang_chars": _q_moments_lang_chars,
+        "counting_bloom_retract": _q_counting_bloom_retract,
     }
 
 
@@ -2875,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
     from mahout_spark.functions.corpus import per_language_stats_sql
     from mahout_spark.plans.joinsize import countsketch_join_size_oracle_sql
     from mahout_spark.sketch.queries import (bloom_filter_count_oracle_sql,
+                                             counting_bloom_oracle_sql,
                                              cms_pairwise_noised_oracle_sql,
                                              cms_pairwise_oracle_sql,
                                              cms_point_grouped_oracle_sql,
@@ -3641,6 +3684,13 @@ FROM u
         "bloom_token_filter": bloom_filter_count_oracle_sql(
             toksrc, BLOOM_HEAD, BLOOM_CAP, BLOOM_FP, BLOOM_SEED,
             group_col="lang"),
+        "counting_bloom_retract": counting_bloom_oracle_sql(
+            f"SELECT token AS t FROM ({toksrc}) WHERE lang = 'en'",
+            f"SELECT token AS t FROM ({toksrc}) "
+            f"WHERE lang = 'en' AND doc_id % 7 = 0",
+            f"SELECT token AS t FROM ({toksrc}) GROUP BY token "
+            f"ORDER BY count(*) DESC, token LIMIT {CBF_PROBES}",
+            CBF_CAP, CBF_FP, CBF_SEED),
         "tdigest_price_quantiles": quantile_bound_oracle_sql(
             "SELECT l_returnflag, l_extendedprice FROM lineitem",
             ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75], QEPS),

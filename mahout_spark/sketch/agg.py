@@ -40,6 +40,7 @@ from pyspark.sql.types import (BinaryType, StructField, StructType)
 
 from mahout_spark.core.bloom import BloomFilter
 from mahout_spark.core.cms import CountMinSketch
+from mahout_spark.core.countingbloom import CountingBloomFilter
 from mahout_spark.core.countsketch import CountSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
@@ -80,6 +81,7 @@ class SketchSpec:
             "mg": MisraGries, "theta": ThetaSketch, "csk": CountSketch,
             "tdigest": TDigest, "kll": KLLSketch, "psk": PrioritySample,
             "tus": TupleSketch, "mms": MomentsSketch,
+            "cbf": CountingBloomFilter,
         }[self.kind].deserialize(bytes(blob))
 
 
@@ -233,6 +235,21 @@ def tuple_spec(k: int = 64, domain: int = DOMAIN60,
         preagg="sum" if mode == "sum" else None)
 
 
+def countingbloom_spec(capacity: int = 100_000, fp_rate: float = 0.01,
+                       seed: int = 1, parity: bool = False) -> SketchSpec:
+    """Counting Bloom filter (Fan et al. ToN'00, core/countingbloom.py)
+    — deletable membership. Counter-linear, so the 'sum' JVM preagg
+    applies: the shuffle carries (key, multiplicity), and a negated
+    sketch merge retracts a partition without a rebuild."""
+    return SketchSpec(
+        "cbf",
+        make=lambda: CountingBloomFilter.from_capacity(
+            capacity, fp_rate, seed, parity=parity),
+        update=lambda s, k, v: s.add_batch(
+            k, None if v is None else v),
+        needs_key=True, needs_value=False, preagg="sum")
+
+
 def moments_spec(t: int = 4, dedup_values: bool = False) -> SketchSpec:
     """Moments sketch (Gan et al. VLDB'18, core/moments.py) — power
     sums + count + min/max; the cheapest merge of any quantile summary
@@ -284,7 +301,7 @@ SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
                 "theta": theta_spec, "csk": countsketch_spec,
                 "psk": priority_spec, "tus": tuple_spec,
-                "mms": moments_spec}
+                "mms": moments_spec, "cbf": countingbloom_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

@@ -1371,3 +1371,43 @@ SELECT {group}, count(*)::DOUBLE AS n,
        {msel}
 FROM ({source_sql}) __mm_src GROUP BY {group}
 """
+
+
+def counting_bloom_oracle_sql(add_source_sql: str, rem_source_sql: str,
+                              probe_source_sql: str, capacity: int,
+                              fp_rate: float, seed: int) -> str:
+    """DuckDB replay of a parity counting-Bloom build + retraction +
+    probe: net counter at every (probe row, position) = added
+    multiplicities minus removed ones under the affine probe family;
+    membership = min over the k probe counters > 0. Sources emit one
+    occurrence per row in column ``t``; probes emit distinct ``t``."""
+    from mahout_spark.core.bloom import bloom_geometry
+
+    m, k = bloom_geometry(capacity, fp_rate)
+    params = affine_params(seed, k)
+    hashes_rows = ", ".join(f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+                            for i, (a, b) in enumerate(params))
+    return f"""
+WITH hashes(i, a, b) AS (SELECT * FROM (VALUES {hashes_rows}) v(i, a, b)),
+addc AS (SELECT {md5_long60_sql('t')} AS key, count(*)::BIGINT AS c
+         FROM ({add_source_sql}) GROUP BY 1),
+remc AS (SELECT {md5_long60_sql('t')} AS key, -count(*)::BIGINT AS c
+         FROM ({rem_source_sql}) GROUP BY 1),
+net AS (
+  SELECT h.i, ((h.a * u.key + h.b) % {BIG_PRIME}) % {m} AS pos,
+         SUM(u.c)::BIGINT AS cnt
+  FROM (SELECT * FROM addc UNION ALL SELECT * FROM remc) u
+  CROSS JOIN hashes h GROUP BY 1, 2
+),
+probes AS (SELECT t, {md5_long60_sql('t')} AS key
+           FROM ({probe_source_sql})),
+probe_pos AS (
+  SELECT p.t, h.i, ((h.a * p.key + h.b) % {BIG_PRIME}) % {m} AS pos
+  FROM probes p CROSS JOIN hashes h
+)
+SELECT pp.t AS token,
+       MIN(COALESCE(n.cnt, 0))::BIGINT AS min_count,
+       (MIN(COALESCE(n.cnt, 0)) > 0) AS maybe_contains
+FROM probe_pos pp LEFT JOIN net n ON n.i = pp.i AND n.pos = pp.pos
+GROUP BY pp.t
+"""
