@@ -2404,6 +2404,45 @@ def _q_counting_bloom_retract(spark, sf_dir) -> DataFrame:
         rows, "token string, min_count long, maybe_contains boolean")
 
 
+AGGPLAN_PARAMS = dict(
+    docs_lang=dict(target_rows_per_task=150, groups_per_partition=4,
+                   max_partitions=8, min_combine_ratio=4.0, hll_p=14),
+    events_id=dict(target_rows_per_task=1_000_000,
+                   groups_per_partition=1000, max_partitions=8192,
+                   min_combine_ratio=4.0, hll_p=14),
+    events_user=dict(target_rows_per_task=1_000_000,
+                     groups_per_partition=1000, max_partitions=8192,
+                     min_combine_ratio=4.0, hll_p=14),
+)
+
+
+def _q_agg_strategy_plan(spark, sf_dir) -> DataFrame:
+    """Aggregation-planner gate (plans/aggplan.py — closes the
+    sketch-driven planning triad: skew salts, join sizes, agg shape):
+    three plans exercising all three strategies — documents.lang with
+    a tiny per-task budget (the 'en' head group forces
+    salted_two_phase), events.event_id (unique key: combine can't pay
+    for itself -> wide_shuffle), events.user_id (hundreds of rows per
+    user -> direct). Every number is an exact count, an exact-verified
+    heavy-group count, or the UNROUNDED parity-HLL estimate (bit-exact
+    register math, one shared ln), and every branch compares identical
+    doubles — the DuckDB replay is hash-exact with no rounding."""
+    from mahout_spark.plans.aggplan import agg_plan_row
+
+    docs = _read(spark, sf_dir, "documents")
+    events = _read(spark, sf_dir, "events")
+    rows = [
+        agg_plan_row(docs, "lang", "docs_lang",
+                     **AGGPLAN_PARAMS["docs_lang"]),
+        agg_plan_row(events, "event_id", "events_id",
+                     **AGGPLAN_PARAMS["events_id"]),
+        agg_plan_row(events, "user_id", "events_user",
+                     **AGGPLAN_PARAMS["events_user"]),
+    ]
+    from functools import reduce
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("plan_for")
+
+
 def _q_unicode_nfc(spark, sf_dir) -> DataFrame:
     """Unicode hygiene gate: deterministic decomposed sequences +
     control chars injected per doc, then strip-controls -> NFC (the
@@ -2708,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_lang_totals": _q_tuple_lang_totals,
         "moments_lang_chars": _q_moments_lang_chars,
         "counting_bloom_retract": _q_counting_bloom_retract,
+        "agg_strategy_plan": _q_agg_strategy_plan,
     }
 
 
@@ -2841,6 +2881,22 @@ SELECT t.lang, t.n_retained, t.theta::BIGINT AS theta, t.est_distinct,
        t.est_total, e.exact_docs, e.exact_chars
 FROM __tu t JOIN __exact e USING (lang)
 """
+
+
+def _agg_plan_oracle() -> str:
+    from mahout_spark.plans.aggplan import agg_plan_oracle_sql
+
+    parts = [
+        agg_plan_oracle_sql("SELECT lang FROM documents", "lang",
+                            "docs_lang", **AGGPLAN_PARAMS["docs_lang"]),
+        agg_plan_oracle_sql("SELECT event_id FROM events",
+                            "event_id::VARCHAR", "events_id",
+                            **AGGPLAN_PARAMS["events_id"]),
+        agg_plan_oracle_sql("SELECT user_id FROM events",
+                            "user_id::VARCHAR", "events_user",
+                            **AGGPLAN_PARAMS["events_user"]),
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
 def _moments_oracle() -> str:
@@ -3924,6 +3980,7 @@ FROM u GROUP BY 1""",
         "pq_adc_topk": _pq_adc_oracle(),
         "tuple_lang_totals": _tuple_totals_oracle(),
         "moments_lang_chars": _moments_oracle(),
+        "agg_strategy_plan": _agg_plan_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

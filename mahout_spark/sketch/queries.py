@@ -448,7 +448,7 @@ def hll_distinct_oracle_sql(token_source_sql: str, p: int,
                             group_col: str = "lang",
                             token_col: str = "token",
                             out_col: str = "distinct_est",
-                            round_dp: int = 2,
+                            round_dp: int | None = 2,
                             group_exprs: list[tuple[str, str]] | None = None
                             ) -> str:
     """DuckDB query replaying the parity-HLL estimate per group.
@@ -492,12 +492,15 @@ summed AS (SELECT {gnames}, ({m} - nreg) AS zeros,
                    + ({m} - nreg)::HUGEINT * {1 << rmax}::HUGEINT)::DOUBLE
                   / {float(1 << rmax)!r} AS sumexp
            FROM agg),
-vals AS (SELECT {gnames}, zeros, {am2!r} / sumexp AS e FROM summed)
+vals AS (SELECT {gnames}, zeros, {am2!r} / sumexp AS e FROM summed),
+raw AS (SELECT {gnames}, zeros,
+               CASE WHEN e <= {2.5 * m!r} AND zeros > 0
+                    THEN {m} * ln({m} / zeros::DOUBLE) ELSE e END AS e
+        FROM vals)
 SELECT {gout},
-       round(CASE WHEN e <= {2.5 * m!r} AND zeros > 0
-             THEN {m} * ln({m} / zeros::DOUBLE) ELSE e END,
-             {round_dp}) AS {out_col}
-FROM vals
+       {f'round(e, {round_dp})' if round_dp is not None else 'e'}
+       AS {out_col}
+FROM raw
 """
 
 
