@@ -237,3 +237,25 @@ def test_skewplan_cli(spark, tmp_path):
                  "--target", "100", "--output", str(tmp_path / "plan2")])
     assert {k: res2[k] for k in res if k != "wall_s"} == \
            {k: res[k] for k in res if k != "wall_s"}
+
+
+def test_aggplan_cli(spark, tmp_path):
+    src = tmp_path / "groups.parquet"
+    rows = [("head",) for _ in range(300)] + \
+           [(f"g{i % 6}",) for i in range(120)]
+    spark.createDataFrame(rows, "k string") \
+        .write.mode("overwrite").parquet(str(src))
+    res = _run(["jobs/aggplan.py", "--input", str(src), "--key-col", "k",
+                "--target", "100", "--groups-per-partition", "2",
+                "--max-partitions", "3",
+                "--output", str(tmp_path / "aplan")])
+    assert res["strategy"] == "salted_two_phase"
+    assert res["n_heavy"] == 1 and res["max_salt_factor"] == 3
+    assert res["n_rows"] == 420
+    assert res["shuffle_partitions"] == 3          # clamped
+    assert 5.0 < res["est_groups"] < 9.0           # 7 distinct keys
+    # high budget + fast family -> direct, same exact fields
+    res2 = _run(["jobs/aggplan.py", "--input", str(src), "--key-col", "k",
+                 "--target", "100000", "--fast",
+                 "--output", str(tmp_path / "aplan2")])
+    assert res2["strategy"] == "direct" and res2["n_heavy"] == 0
