@@ -1836,6 +1836,109 @@ def _lm_perplexity_oracle_sql() -> str:
             f"cross_entropy FROM ({inner})")
 
 
+def _q_cg_solve(spark, sf_dir) -> DataFrame:
+    """Distributed conjugate-gradient gate (mr/.../solver/
+    DistributedConjugateGradientSolver.java:42-76): solve A x = b where
+    A = X'X + 1000 I is an SPD integer matrix derived from orders
+    (X[i][j] = #orders with o_custkey%6==i, o_orderkey%6==j) and
+    b[i] = 1 + #orders with o_orderkey%6==i. Every CG iteration is one
+    REAL distributed matvec (per-row j-ordered F.aggregate fold —
+    TimesMapper shape, no cross-row reduce); driver scalar updates use
+    sequential folds, so the fixed 8-iteration schedule is
+    bit-reproducible and the DuckDB oracle replays it with a recursive
+    CTE over list columns — hash-exact with NO rounding, the first
+    iterative linear solver in the gate battery."""
+    import numpy as np
+
+    from mahout_spark.operators.solver import cg_solve
+
+    n, k = 6, 8
+    od = _read(spark, sf_dir, "orders")
+    cells = (od.groupBy((F.col("o_custkey") % n).cast("int").alias("i"),
+                        (F.col("o_orderkey") % n).cast("int").alias("j"))
+             .agg(F.count("*").alias("c")).collect())
+    x_m = np.zeros((n, n), dtype=np.int64)
+    for r in cells:
+        x_m[r["i"], r["j"]] = r["c"]
+    a = (x_m.T @ x_m + 1000 * np.eye(n, dtype=np.int64)).astype(np.float64)
+    brows = (od.groupBy((F.col("o_orderkey") % n).cast("int").alias("i"))
+             .agg(F.count("*").alias("c")).collect())
+    b = np.ones(n, dtype=np.float64)
+    for r in brows:
+        b[r["i"]] += float(r["c"])
+    triples = [(int(i), int(j), float(a[i, j]))
+               for i in range(n) for j in range(n) if a[i, j] != 0.0]
+    drm = spark.createDataFrame(triples,
+                                "row_id long, col_id long, value double")
+    x = cg_solve(drm, b, n, max_iterations=k, max_error=0.0,
+                 seq_folds=True)
+    return spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(x)], "i int, x double")
+
+
+def _cg_solve_oracle_sql() -> str:
+    n, k = 6, 8
+    rng = f"range(1,{n + 1})"
+
+    def dot(var, expr):
+        return (f"list_reduce(list_transform({rng}, {var} -> {expr}), "
+                f"(s,t) -> s + t)")
+
+    return f"""
+WITH RECURSIVE
+__cg_x AS (
+  SELECT (o_custkey % {n})::INT AS i, (o_orderkey % {n})::INT AS j,
+         COUNT(*)::DOUBLE AS c
+  FROM orders GROUP BY 1, 2),
+__cg_cells AS (
+  SELECT ii.i::INT AS i, jj.j::INT AS j, COALESCE(x.c, 0.0) AS c
+  FROM range({n}) ii(i) CROSS JOIN range({n}) jj(j)
+  LEFT JOIN __cg_x x ON x.i = ii.i AND x.j = jj.j),
+__cg_ata AS (
+  SELECT l.j AS i, r.j AS j,
+         SUM(l.c * r.c) + CASE WHEN l.j = r.j THEN 1000.0 ELSE 0.0 END AS v
+  FROM __cg_cells l JOIN __cg_cells r ON l.i = r.i
+  GROUP BY l.j, r.j),
+__cg_arow AS (
+  SELECT i, list(v ORDER BY j) AS row FROM __cg_ata GROUP BY i),
+__cg_a AS (SELECT list(row ORDER BY i) AS a FROM __cg_arow),
+__cg_b AS (
+  SELECT list(1.0 + COALESCE(c.cnt, 0.0) ORDER BY t.i) AS b
+  FROM range({n}) t(i) LEFT JOIN (
+    SELECT (o_orderkey % {n})::INT AS i, COUNT(*)::DOUBLE AS cnt
+    FROM orders GROUP BY 1) c ON c.i = t.i),
+__cg_it AS (
+  SELECT 0 AS k, CAST(list_transform({rng}, i -> 0.0) AS DOUBLE[]) AS x,
+         b AS r, b AS p,
+         {dot("i", "b[i]*b[i]")} AS rs,
+         CAST(NULL AS DOUBLE) AS prev
+  FROM __cg_b
+  UNION ALL
+  SELECT k+1,
+         CAST(list_transform({rng}, i -> x[i] + alpha*p2[i]) AS DOUBLE[]),
+         CAST(list_transform({rng}, i -> r[i] - alpha*ap[i]) AS DOUBLE[]),
+         p2,
+         {dot("i", "(r[i] - alpha*ap[i])*(r[i] - alpha*ap[i])")},
+         rs
+  FROM (
+    SELECT *, rs / {dot("i", "p2[i]*ap[i]")} AS alpha
+    FROM (
+      SELECT *, CAST(list_transform({rng}, i ->
+               {dot("j", "a[i][j]*p2[j]")}) AS DOUBLE[]) AS ap
+      FROM (
+        SELECT it.*, a.a, CAST(CASE WHEN k=0 THEN r ELSE
+               list_transform({rng}, i -> (rs/prev)*p[i] + r[i])
+             END AS DOUBLE[]) AS p2
+        FROM __cg_it it, __cg_a a WHERE k < {k}
+      )
+    )
+  )
+)
+SELECT t.i::INT AS i, x[t.i + 1] AS x
+FROM (SELECT x FROM __cg_it WHERE k = {k}) f CROSS JOIN range({n}) t(i)
+"""
+
+
 GROUPED_ONLINE_AUC_SQL = """
 WITH RECURSIVE
 __oa_src AS (
@@ -2726,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "domain_stats": _q_domain_stats,
         "grouped_online_auc": _q_grouped_online_auc,
+        "cg_solve": _q_cg_solve,
         "lm_doc_perplexity": _q_lm_perplexity,
         "heavy_hitters_tokens": _q_heavy_hitters,
         "skew_salt_plan": _q_skew_plan,
@@ -3959,6 +4063,7 @@ SELECT {url_domain_sql('url')} AS domain,
        sum(length(text))::BIGINT AS sum_chars
 FROM u GROUP BY 1""",
         "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
+        "cg_solve": _cg_solve_oracle_sql(),
         "lm_doc_perplexity": _lm_perplexity_oracle_sql(),
         "heavy_hitters_tokens": _heavy_hitters_oracle_sql(),
         "skew_salt_plan": _skew_plan_oracle_sql(),
