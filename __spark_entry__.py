@@ -897,6 +897,30 @@ def _q_rating_sgd_recommend(spark, sf_dir) -> DataFrame:
         "user_id", "item_id", F.round("score", 6).alias("score"))
 
 
+def _q_implicit_als_recommend(spark, sf_dir) -> DataFrame:
+    """Implicit-feedback ALS (Hu/Koren/Volinsky; math/.../als/
+    ImplicitFeedbackAlternatingLeastSquaresSolver.java:60-170) over
+    order-count interactions → top-3 per user. NO DuckDB oracle:
+    per-entity k x k solves against the confidence-weighted Gramian are
+    not ANSI-SQL-replayable, so the driver records the rows-only check;
+    value correctness is pytest-proven against an in-core replay of the
+    reference formulas (tests/test_implicit_als.py)."""
+    from mahout_spark.operators.svdrec import (implicit_als_factorize,
+                                               svd_recommend)
+
+    o = _read(spark, sf_dir, "orders")
+    # implicit strength = interaction count per (customer-bucket,
+    # clerk-ish item bucket) — small dense-ish grid, deterministic
+    inter = (o.groupBy((F.col("o_custkey") % 120).alias("user_id"),
+                       (F.col("o_orderkey") % 60).alias("item_id"))
+             .agg(F.count("*").cast("double").alias("pref"))
+             .filter(F.col("pref") > 2.0))
+    uf, vf = implicit_als_factorize(inter, k=4, lambda_=0.1, alpha=5.0,
+                                    iterations=3)
+    return svd_recommend(uf, vf, inter, top_n=3).select(
+        "user_id", "item_id", F.round("score", 6).alias("score"))
+
+
 def _q_recommend_itembased(spark, sf_dir) -> DataFrame:
     """GenericItemBasedRecommender with cooccurrence-count item similarity
 
@@ -2794,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_similarity_spearman": _q_user_similarity_spearman,
         "abt_product": _q_abt_product,
         "rating_sgd_recommend": _q_rating_sgd_recommend,
+        "implicit_als_recommend": _q_implicit_als_recommend,
         "projection_search_topk": _q_projection_search,
         "recommend_anonymous": _q_recommend_anonymous,
         "dsq_dist": _q_dsq_dist,

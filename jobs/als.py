@@ -16,6 +16,8 @@ Usage:
       [--factorizer als|sgd|svdpp]  (sgd = RatingSGDFactorizer,
       svdpp = SVDPlusPlusFactorizer; both accept --learning-rate and
       --n-shards)
+      [--implicit-feedback [--alpha 40]]  (Hu/Koren/Volinsky implicit
+      ALS — the reference job's --implicitFeedback path)
   ... recommend --input ratings.parquet --factors /tmp/als \
       --output /tmp/recs [--num-recommendations 10]
   ... evaluate --probes probe.parquet --factors /tmp/als
@@ -52,6 +54,13 @@ def main(argv=None):
                     help="als = ALS-WR (ALSWRFactorizer); sgd = biased "
                     "SGD (RatingSGDFactorizer); svdpp = SVD++ "
                     "(SVDPlusPlusFactorizer)")
+    ap.add_argument("--implicit-feedback", action="store_true",
+                    help="treat prefs as implicit counts and factorize "
+                    "with the Hu/Koren/Volinsky confidence-weighted "
+                    "solve (ParallelALSFactorizationJob "
+                    "--implicitFeedback)")
+    ap.add_argument("--alpha", type=float, default=40.0,
+                    help="implicit confidence slope c = 1 + alpha*r")
     ap.add_argument("--learning-rate", type=float, default=0.01)
     ap.add_argument("--n-shards", type=int, default=None)
     ap.add_argument("--user-col", default="user_id")
@@ -76,7 +85,14 @@ def main(argv=None):
         if not (args.input and args.output):
             ap.error("factorize requires --input --output")
         prefs = spark.read.parquet(args.input)
-        if args.factorizer == "als":
+        if args.factorizer == "als" and args.implicit_feedback:
+            from mahout_spark.operators.svdrec import implicit_als_factorize
+            u, m = implicit_als_factorize(
+                prefs, k=args.num_features, lambda_=args.lambda_,
+                alpha=args.alpha, iterations=args.num_iterations,
+                user=args.user_col, item=args.item_col,
+                pref=args.pref_col, seed=args.seed)
+        elif args.factorizer == "als":
             u, m = alswr_factorize(prefs, k=args.num_features,
                                    lambda_=args.lambda_,
                                    iterations=args.num_iterations,

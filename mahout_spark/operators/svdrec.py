@@ -136,6 +136,108 @@ def alswr_factorize(prefs: DataFrame, k: int = 10, lambda_: float = 0.065,
     return u, v
 
 
+def implicit_als_factorize(prefs: DataFrame, k: int = 10,
+                           lambda_: float = 0.065, alpha: float = 40.0,
+                           iterations: int = 10, user: str = "user_id",
+                           item: str = "item_id", pref: str = "pref",
+                           seed: int = 77,
+                           init_v: DataFrame | None = None
+                           ) -> tuple[DataFrame, DataFrame]:
+    """(U, V) factors for IMPLICIT feedback — Hu/Koren/Volinsky 2008.
+
+    Reference anchors (studied, not copied):
+    - math/.../als/ImplicitFeedbackAlternatingLeastSquaresSolver.java:
+      60-170 — confidence c = 1 + alpha*r; per-entity system
+      (Y'Y + Y'(Cu - I)Y + lambda*I) w = Y' Cu p(u) with p = 1 on every
+      observed cell; lambda NOT scaled by n_u (unlike the explicit
+      ALS-WR solve); Y'Y computed once per sweep over ALL counter-side
+      entities.
+    - mr/.../cf/taste/hadoop/als/ParallelALSFactorizationJob.java:
+      200-214, 309-311 — same U-then-M alternation and item init
+      (feature 0 = average interaction strength) as the explicit job,
+      with the solver mapper swapped.
+
+    Spark shape: the global k x k Gramian Y'Y is ONE ata_slim pass
+    (per-partition BLAS partial, driver-merged — it is k x k no matter
+    how many entities exist), broadcast into the solver closure; the
+    per-entity correction touches only that entity's OBSERVED rows, so
+    each sweep is the same join + bucketed applyInPandas as the
+    explicit path. ``init_v`` overrides the deterministic default init
+    (test hook: lets an in-core replay start from identical factors).
+    Score with svd_estimate — the dot is the predicted preference.
+    """
+    from mahout_spark.operators.drm import ata_slim
+
+    p = prefs.select(F.col(user).alias("u"), F.col(item).alias("i"),
+                     F.col(pref).cast("double").alias("r")).persist()
+    if init_v is not None:
+        v = init_v.select(*TRIPLE)
+    else:
+        coin = (F.pmod(F.xxhash64("row_id", "col_id", F.lit(seed)),
+                       F.lit(1 << 24)).cast("double") / F.lit(float(1 << 24)))
+        jcols = F.array(*[F.lit(j) for j in range(k)])
+        v = (p.groupBy(F.col("i").alias("row_id"))
+             .agg(F.avg("r").alias("__avg"))
+             .select("row_id", F.explode(jcols).alias("col_id"), "__avg")
+             .withColumn("value",
+                         F.when(F.col("col_id") == 0, F.col("__avg"))
+                         .otherwise(coin * 0.1))
+             .select(*TRIPLE))
+
+    n_buckets = max(64, p.sparkSession.sparkContext.defaultParallelism * 4)
+    id_types = {"u": p.schema["u"].dataType.simpleString(),
+                "i": p.schema["i"].dataType.simpleString()}
+
+    def _sweep(ratings: DataFrame, other: DataFrame,
+               entity: str, counter: str) -> DataFrame:
+        yty = ata_slim(other, k)  # k x k, broadcast via task closure
+
+        joined = (ratings
+                  .join(_pack(other, k, counter, "__y"), counter)
+                  .select(F.col(entity).alias("__e"), "r", "__y",
+                          F.pmod(F.xxhash64(entity), F.lit(n_buckets))
+                          .alias("__bkt")))
+
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_ids, out_w = [], []
+            lam_eye = lambda_ * np.eye(k)
+            for eid, g in pdf.groupby("__e", sort=False):
+                y = np.array(g["__y"].tolist(), dtype=np.float64)  # (n, k)
+                cm1 = alpha * g["r"].to_numpy(dtype=np.float64)  # c - 1
+                a = yty + y.T @ (cm1[:, None] * y) + lam_eye
+                rhs = y.T @ (1.0 + cm1)  # Y' Cu p(u), p = 1 observed
+                out_w.append(np.linalg.solve(a, rhs))
+                out_ids.append(eid)
+            return pd.DataFrame({
+                "row_id": np.repeat(np.asarray(out_ids, dtype=object), k),
+                "col_id": np.tile(np.arange(k, dtype=np.int32),
+                                  len(out_ids)),
+                "value": np.concatenate(out_w) if out_w else
+                np.empty(0)})
+
+        solve_schema = (f"row_id {id_types[entity]}, col_id int, "
+                        f"value double")
+        return joined.groupBy("__bkt").applyInPandas(solve, solve_schema)
+
+    u = None
+    for _ in range(iterations):
+        # unlike the explicit sweep (one deep plan, analyzed once at the
+        # final action), every implicit sweep runs an EAGER side action
+        # (the ata_slim Gramian collect), so the cumulative lineage would
+        # be re-analyzed per iteration and Catalyst analysis time blows
+        # up super-linearly (measured ~1.8x/iteration).  localCheckpoint
+        # truncates the plan to O(1) per sweep — the dedup_groups
+        # pointer-doubling lesson applied here.
+        u = _sweep(p.select(F.col("u"), F.col("i").alias("counter_id"),
+                            "r"),
+                   v, "u", "counter_id").localCheckpoint(eager=True)
+        v = _sweep(p.select(F.col("i"), F.col("u").alias("counter_id"),
+                            "r"),
+                   u, "i", "counter_id").localCheckpoint(eager=True)
+    p.unpersist()
+    return u, v
+
+
 def svd_estimate(user_factors: DataFrame, item_factors: DataFrame,
                  pairs: DataFrame, user: str = "user_id",
                  item: str = "item_id") -> DataFrame:
