@@ -211,6 +211,19 @@ def ab(a: DataFrame, b: DataFrame) -> DataFrame:
     return abt(a, at(b))
 
 
+def pairwise_inner_products(basis: DataFrame) -> DataFrame:
+    """Gram matrix of the basis rows — OrthonormalityVerifier.
+
+    math/.../OrthonormalityVerifier.java:29-46 materializes every
+    slice1.dot(slice2) into a dense matrix with a nested driver loop;
+    the Gram matrix IS basis %*% basis.t, so here it is one ABt join
+    (zero cells absent, as everywhere in the triple encoding).  An
+    orthonormal basis verifies as the identity pattern: diagonal 1,
+    off-diagonal ~0.
+    """
+    return abt(basis, basis)
+
+
 def ax(a: DataFrame, x: np.ndarray) -> DataFrame:
     """A %*% x with broadcast in-core vector (OpAx, blas/Ax.scala).
 

@@ -58,6 +58,16 @@ def test_ab(mats):
           mats["a"] @ mats["b"].T)
 
 
+def test_pairwise_inner_products_orthonormality(spark, mats):
+    # OrthonormalityVerifier: Gram of the rows; an orthonormal basis
+    # verifies as the identity
+    close(D.drm_collect(D.pairwise_inner_products(mats["da"]), 12, 12),
+          mats["a"] @ mats["a"].T)
+    q, _ = np.linalg.qr(np.random.default_rng(3).standard_normal((6, 6)))
+    dq = D.drm_parallelize(spark, q, 2)
+    close(D.drm_collect(D.pairwise_inner_products(dq), 6, 6), np.eye(6))
+
+
 def test_ax_atx(mats):
     x = np.arange(1.0, 8.0)
     close(D.drm_collect(D.ax(mats["da"], x), 12, 1).ravel(), mats["a"] @ x)
