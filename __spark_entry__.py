@@ -1860,6 +1860,61 @@ def _lm_perplexity_oracle_sql() -> str:
             f"cross_entropy FROM ({inner})")
 
 
+def _q_pii_redaction(spark, sf_dir) -> DataFrame:
+    """PII scrub gate (functions/webquality.py PII_RULES; no reference
+    anchor — the standard pre-training curation stage the reference
+    lacks, deployed via jobs/curate.py --scrub-pii): emails / card
+    numbers / IPv4 / phones seeded deterministically into document text
+    from doc_id arithmetic, then counted (sequential consumption
+    semantics) and redacted with the pinned rule chain. Redacted
+    strings and counts are hash-exact — the Spark side rewrites \\b to
+    an explicit ASCII lookaround so Java regex and DuckDB's RE2 agree
+    byte for byte."""
+    from mahout_spark.functions.webquality import pii_counts, scrub_pii
+
+    d = (_read(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 17 == 0)
+         .select("doc_id", "lang", "text"))
+    seeded = d.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact u"), F.col("doc_id").cast("string"),
+                 F.lit("@crawl-"), F.col("lang"), F.lit(".org"),
+                 F.lit(" node 10."), (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+                 F.lit(" tel +1 555-"),
+                 (F.col("doc_id") % 900 + 100).cast("string"),
+                 F.lit("-"), (F.col("doc_id") % 9000 + 1000).cast("string"),
+                 F.lit(" ref 4111111111111"),
+                 (F.col("doc_id") % 900 + 100).cast("string")))
+    counts = pii_counts(F.col("text"))
+    return seeded.select(
+        "doc_id", *[v.alias(k) for k, v in counts.items()],
+        scrub_pii(F.col("text")).alias("redacted"))
+
+
+def _pii_redaction_oracle_sql() -> str:
+    from mahout_spark.functions.webquality import (pii_counts_sql,
+                                                   scrub_pii_sql)
+
+    seeded = ("text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+              "'@crawl-' || lang || '.org' || "
+              "' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+              "CAST(doc_id % 100 AS VARCHAR) || "
+              "' tel +1 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || "
+              "'-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || "
+              "' ref 4111111111111' || CAST(doc_id % 900 + 100 AS VARCHAR)")
+    counts = pii_counts_sql("t2")
+    count_cols = ", ".join(f"{v} AS {k}" for k, v in counts.items())
+    return f"""
+WITH __pii_src AS (
+  SELECT doc_id, {seeded} AS t2
+  FROM documents WHERE doc_id % 17 = 0)
+SELECT doc_id, {count_cols}, {scrub_pii_sql('t2')} AS redacted
+FROM __pii_src
+"""
+
+
 def _q_cg_solve(spark, sf_dir) -> DataFrame:
     """Distributed conjugate-gradient gate (mr/.../solver/
     DistributedConjugateGradientSolver.java:42-76): solve A x = b where
@@ -2855,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "grouped_online_auc": _q_grouped_online_auc,
         "cg_solve": _q_cg_solve,
+        "pii_redaction": _q_pii_redaction,
         "lm_doc_perplexity": _q_lm_perplexity,
         "heavy_hitters_tokens": _q_heavy_hitters,
         "skew_salt_plan": _q_skew_plan,
@@ -4089,6 +4145,7 @@ SELECT {url_domain_sql('url')} AS domain,
 FROM u GROUP BY 1""",
         "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
         "cg_solve": _cg_solve_oracle_sql(),
+        "pii_redaction": _pii_redaction_oracle_sql(),
         "lm_doc_perplexity": _lm_perplexity_oracle_sql(),
         "heavy_hitters_tokens": _heavy_hitters_oracle_sql(),
         "skew_salt_plan": _skew_plan_oracle_sql(),

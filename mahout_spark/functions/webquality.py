@@ -775,6 +775,13 @@ PII_RULES: list[tuple[str, str, str]] = [
     ("email",
      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
      "<EMAIL>"),
+    # card BEFORE phone: a 16-digit grouped run must become <CARD>,
+    # never phone fragments. Four - or space-separated groups (mixing
+    # allowed — uniform separators would need a backreference, which
+    # RE2 lacks) or a bare 13-19-digit run.
+    ("card",
+     "\\b[0-9]{4}([- ][0-9]{4}){2}[- ][0-9]{1,7}\\b|\\b[0-9]{13,19}\\b",
+     "<CARD>"),
     ("ipv4",
      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
      "<IP>"),

@@ -278,6 +278,28 @@ def test_scrub_pii_golden(pii_df):
     assert got[4] == PII_TEXTS[4] and got[5] == ""
 
 
+def test_scrub_pii_card_rule(spark):
+    df = spark.createDataFrame(
+        [(0, "card 4111 1111 1111 1111 expires; order 4111111111111111"),
+         (1, "the 1990 census counted 248709873 people"),
+         (2, "mixed 4111-1111 2222-3333 is grouped digits")],
+        "id long, text string")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", wq.scrub_pii(F.col("text")).alias("s")).collect()}
+    # spaced and bare card runs both become <CARD>, never <PHONE>
+    assert got[0] == "card <CARD> expires; order <CARD>"
+    # 9-digit prose run: below the card's 13-digit floor, but the
+    # (pre-existing) phone rule's zero-separator alternative consumes
+    # 8+ bare digit runs — card must NOT have claimed it first
+    assert got[1] == "the 1990 census counted <PHONE> people"
+    # mixed separators allowed (no backrefs in RE2)
+    assert got[2] == "mixed <CARD> is grouped digits"
+    c = wq.pii_counts(F.col("text"))
+    counts = {r["id"]: r for r in df.select(
+        "id", *[v.alias(k) for k, v in c.items()]).collect()}
+    assert counts[0]["n_card"] == 2 and counts[0]["n_phone"] == 0
+
+
 def test_pii_counts_golden(pii_df):
     c = wq.pii_counts(F.col("text"))
     got = {r["id"]: r for r in pii_df.select(
