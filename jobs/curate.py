@@ -39,7 +39,7 @@ label-propagation rounds; 4 is two combinable aggs + an anti-join;
 Usage:
   spark-submit --py-files dist/mahout_spark.zip jobs/curate.py \
       --input docs.parquet --output /tmp/curated \
-      [--no-gopher] [--c4] [--line-dedup] \
+      [--no-gopher] [--c4] [--line-dedup] [--scrub-pii] \
       [--minhash-perm 16] [--bands 8] [--threshold 0.125] \
       [--rates en=0.5,de=0.25] [--splits 0.8,0.1,0.1] [--seed 1]
 

@@ -72,7 +72,7 @@ def test_curate_cli(tmp_path):
                 "--rates", "en=0.5,de=0.5,fr=0.5,es=0.5,zh=0.5",
                 "--seed", "1"])
     assert res["counts"]["input"] == 500
-    assert set(res["pii"]) == {"n_email", "n_ipv4", "n_phone"}
+    assert set(res["pii"]) == {"n_email", "n_card", "n_ipv4", "n_phone"}
     assert all(isinstance(v, int) and v >= 0 for v in res["pii"].values())
     # near-dup removal dropped something; sampling halved the rest
     assert 0 < res["counts"]["neardup"] <= 500
