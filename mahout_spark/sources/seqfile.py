@@ -19,8 +19,10 @@ Formats implemented from public specs (studied, not copied):
   sync + vint record-count + four independently-compressed sections
   (key-lengths, keys, value-lengths, values — the length sections are
   concatenated VInts). Codecs: DefaultCodec (zlib), GzipCodec (gzip),
-  BZip2Codec (bz2) — all Python stdlib; Snappy/LZO/ZStandard raise
-  with a clear message naming the codec.
+  BZip2Codec (bz2) — all Python stdlib — plus SnappyCodec via the
+  pure-Python raw-snappy + BlockCompressorStream framing in
+  ``sources/snappycodec.py``; LZO/ZStandard raise with a clear message
+  naming the codec.
 - Hadoop WritableUtils VInt/VLong (one byte in [-112, 127]; otherwise
   a length-coding first byte, magnitude big-endian, ones-complement
   for negatives).
@@ -54,26 +56,34 @@ _VW_DENSE, _VW_SEQ, _VW_NAMED, _VW_LAX = 0x1, 0x2, 0x4, 0x8
 DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
 BZIP2_CODEC = "org.apache.hadoop.io.compress.BZip2Codec"
+SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
 
 
 def _codec_fns(codec_class: str):
     """(compress, decompress) for a Hadoop codec class name — each call
     handles one complete stream (Hadoop resets the compressor per
-    record/section, so streams are self-contained)."""
+    record/section, so streams are self-contained). Snappy is a
+    block-style codec: its stream is BlockCompressorStream-framed raw
+    snappy (sources/snappycodec.py, pure Python)."""
     import bz2
     import gzip
     import zlib
+
+    from mahout_spark.sources.snappycodec import (hadoop_snappy_compress,
+                                                  hadoop_snappy_decompress)
     table = {
         DEFAULT_CODEC: (zlib.compress, zlib.decompress),
         GZIP_CODEC: (gzip.compress, gzip.decompress),
         BZIP2_CODEC: (bz2.compress, bz2.decompress),
+        SNAPPY_CODEC: (hadoop_snappy_compress, hadoop_snappy_decompress),
     }
     fns = table.get(codec_class)
     if fns is None:
         raise ValueError(
             f"unsupported SequenceFile codec {codec_class!r} — "
-            f"stdlib codecs are DefaultCodec (zlib), GzipCodec, "
-            f"BZip2Codec; re-export with one of those or uncompressed")
+            f"supported codecs are DefaultCodec (zlib), GzipCodec, "
+            f"BZip2Codec, SnappyCodec; re-export with one of those or "
+            f"uncompressed")
     return fns
 
 

@@ -92,6 +92,7 @@ def test_text_keys_and_rejects():
     "org.apache.hadoop.io.compress.DefaultCodec",
     "org.apache.hadoop.io.compress.GzipCodec",
     "org.apache.hadoop.io.compress.BZip2Codec",
+    "org.apache.hadoop.io.compress.SnappyCodec",
 ])
 @pytest.mark.parametrize("compression", ["record", "block"])
 def test_compressed_round_trip(codec, compression):
@@ -117,12 +118,12 @@ def test_compressed_vector_writable_and_unsupported_codec():
     got = list(read_sequence_file(blob))
     assert len(got) == 50
     assert np.allclose(got[3][1]["values"], np.arange(20) * 3.0)
-    with pytest.raises(ValueError, match="SnappyCodec"):
+    with pytest.raises(ValueError, match="LzoCodec"):
         write_sequence_file(
             recs[:1], "org.apache.hadoop.io.IntWritable",
             "org.apache.mahout.math.VectorWritable",
             compression="record",
-            codec="org.apache.hadoop.io.compress.SnappyCodec")
+            codec="com.hadoop.compression.lzo.LzoCodec")
     with pytest.raises(ValueError, match="record"):
         write_sequence_file(recs[:1], "org.apache.hadoop.io.IntWritable",
                             "org.apache.mahout.math.VectorWritable",
