@@ -259,3 +259,23 @@ def test_aggplan_cli(spark, tmp_path):
                  "--target", "100000", "--fast",
                  "--output", str(tmp_path / "aplan2")])
     assert res2["strategy"] == "direct" and res2["n_heavy"] == 0
+
+
+def test_warcingest_cli(tmp_path):
+    from mahout_spark.sources.warc import write_warc
+    from mahout_spark.sources.webpages import webpages_pandas
+    pdf = webpages_pandas(8)
+    pages = [(r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+              bytes(r.html)) for r in pdf.itertuples()]
+    seg = tmp_path / "segments"
+    seg.mkdir()
+    (seg / "a.warc").write_bytes(write_warc(pages[:5]))
+    (seg / "b.warc.gz").write_bytes(
+        write_warc(pages[5:], per_record_gzip=True))
+    res = _run(["jobs/warcingest.py", "--input", str(seg),
+                "--output", str(tmp_path / "pages.parquet")])
+    assert res["rows"] == 8
+    # --records keeps warcinfo rows too (one per file)
+    res2 = _run(["jobs/warcingest.py", "--input", str(seg), "--records",
+                 "--output", str(tmp_path / "recs.parquet")])
+    assert res2["rows"] == 10
