@@ -328,10 +328,14 @@ def _component_symbols(qblocks: np.ndarray) -> tuple[list, list, list]:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JPEG bytes (4:4:4, or 4:2:0 with
+                subsample: bool = False,
+                progressive: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> JPEG bytes (4:4:4, or 4:2:0 with
     ``subsample=True``). Per-image optimal Huffman tables, all tables
-    written into DQT/DHT."""
+    written into DQT/DHT. ``progressive=True`` emits SOF2 with a
+    spectral-selection + successive-approximation scan script; the
+    quantized coefficients sent are identical to the baseline path, so
+    decode(progressive) == decode(baseline) exactly (pytest-pinned)."""
     img = np.asarray(img)
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("expected (h, w, 3) uint8 RGB")
@@ -361,6 +365,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
     # interleaved MCU order
     mcu_rows, mcu_cols = mh // (8 * hs), mw // (8 * hs)
+    if progressive:
+        return _encode_progressive(h, w, qt, plane_q, comp_blocks, hs,
+                                   mcu_rows, mcu_cols)
     per_comp_streams = [_component_symbols(_mcu_order(b, hs if i == 0
                                                       else 1, mcu_rows,
                                                       mcu_cols))
@@ -473,6 +480,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart = 0
+    progressive = False
+    prog = None  # per-component coefficient grids (progressive only)
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -505,9 +514,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(seg[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _HuffDecoder(counts, syms)
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -517,24 +527,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}) — "
-                "only baseline sequential (SOF0) is implemented")
+                "baseline sequential (SOF0) and progressive (SOF2) are "
+                "implemented")
         elif marker == 0xDD:
             restart = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_tabs = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tabs[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(d, pos + ln, frame, qt, huff, scan_tabs,
-                                restart)
+                scan_comps.append(cid)
+            if not progressive:
+                return _decode_scan(d, pos + ln, frame, qt, huff,
+                                    scan_tabs, restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = prog.decode_scan(d, pos + ln, huff, scan_comps,
+                                   scan_tabs, ss, se, ahal >> 4,
+                                   ahal & 0xF, restart)
+            continue
         pos += ln
+    if progressive and prog is not None and prog.saw_scan:
+        return prog.reconstruct(qt)
     raise ValueError("no scan data found (missing SOS)")
 
 
@@ -604,3 +628,408 @@ def _mcu_unorder_hv(blocks, s_h, s_v, mcu_rows, mcu_cols):
         return blocks
     b = blocks.reshape(mcu_rows, mcu_cols, s_v, s_h, 8, 8)
     return b.transpose(0, 2, 1, 3, 4, 5).reshape(-1, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+class _ProgressiveState:
+    """SOF2 decode state: per-component zigzag coefficient grids filled
+    across scans (T.81 G.2). DC scans may be interleaved; AC scans are
+    single-component over the component's TRUE block grid (ceil(dim/8)
+    from the frame dims, not the MCU-padded grid). The AC refinement
+    walk follows the spec's decode procedure (figure G.7): r counts
+    zero-HISTORY positions only, correction bits are consumed at every
+    nonzero-history position passed, and an EOB run corrects the rest
+    of the band."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.frame = frame
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcu_cols = -(-w // (8 * self.hmax))
+        self.mcu_rows = -(-h // (8 * self.vmax))
+        self.by_id = {c["id"]: c for c in comps}
+        self.grids = {}
+        self.true_dims = {}
+        for c in comps:
+            bv, bh = self.mcu_rows * c["v"], self.mcu_cols * c["h"]
+            self.grids[c["id"]] = np.zeros((bv, bh, 64), np.int32)
+            ch = -(-h * c["v"] // self.vmax)
+            cw = -(-w * c["h"] // self.hmax)
+            self.true_dims[c["id"]] = (-(-ch // 8), -(-cw // 8))
+        self.saw_scan = False
+
+    def decode_scan(self, d, pos, huff, scan_comps, scan_tabs,
+                    ss, se, ah, al, restart) -> int:
+        """Consume one scan's entropy data; return the stream position of
+        the next marker."""
+        self.saw_scan = True
+        br = _BitReader(d, pos)
+        if len(scan_comps) > 1:
+            if ss != 0 or se != 0:
+                raise ValueError(
+                    "interleaved progressive scan must be DC-only")
+            self._dc_interleaved(br, huff, scan_comps, scan_tabs, ah, al,
+                                 restart)
+        elif ss == 0:
+            self._dc_single(br, huff, scan_comps[0],
+                            scan_tabs[scan_comps[0]], ah, al, restart)
+        else:
+            self._ac_scan(br, huff, scan_comps[0],
+                          scan_tabs[scan_comps[0]], ss, se, ah, al,
+                          restart)
+        p, n = br.pos, len(d)
+        while p + 1 < n:
+            if (d[p] == 0xFF and d[p + 1] != 0x00
+                    and not 0xD0 <= d[p + 1] <= 0xD7):
+                return p
+            p += 1
+        return n
+
+    # -- DC band ---------------------------------------------------------
+    def _dc_interleaved(self, br, huff, scan_comps, scan_tabs, ah, al,
+                        restart):
+        comps = [self.by_id[cid] for cid in scan_comps]
+        pred = {cid: 0 for cid in scan_comps}
+        for m in range(self.mcu_rows * self.mcu_cols):
+            if restart and m and m % restart == 0:
+                br.align_restart()
+                pred = {cid: 0 for cid in scan_comps}
+            r, c0 = divmod(m, self.mcu_cols)
+            for comp in comps:
+                cid = comp["id"]
+                grid = self.grids[cid]
+                for v in range(comp["v"]):
+                    for u in range(comp["h"]):
+                        zz = grid[r * comp["v"] + v, c0 * comp["h"] + u]
+                        if ah == 0:
+                            size = huff[(0, scan_tabs[cid][0])].decode(br)
+                            pred[cid] += (_extend(br.bits(size), size)
+                                          if size else 0)
+                            zz[0] = pred[cid] << al
+                        else:
+                            zz[0] |= br.bits(1) << al
+
+    def _dc_single(self, br, huff, cid, tabs, ah, al, restart):
+        grid = self.grids[cid]
+        rows, cols = self.true_dims[cid]
+        pred, i = 0, 0
+        for r in range(rows):
+            for c in range(cols):
+                if restart and i and i % restart == 0:
+                    br.align_restart()
+                    pred = 0
+                i += 1
+                zz = grid[r, c]
+                if ah == 0:
+                    size = huff[(0, tabs[0])].decode(br)
+                    pred += _extend(br.bits(size), size) if size else 0
+                    zz[0] = pred << al
+                else:
+                    zz[0] |= br.bits(1) << al
+
+    # -- AC band ---------------------------------------------------------
+    def _ac_scan(self, br, huff, cid, tabs, ss, se, ah, al, restart):
+        grid = self.grids[cid]
+        rows, cols = self.true_dims[cid]
+        act = huff[(1, tabs[1])]
+        eobrun, i = 0, 0
+        for r in range(rows):
+            for c in range(cols):
+                if restart and i and i % restart == 0:
+                    br.align_restart()
+                    eobrun = 0
+                i += 1
+                if ah == 0:
+                    eobrun = self._ac_first(br, act, grid[r, c], ss, se,
+                                            al, eobrun)
+                else:
+                    eobrun = self._ac_refine(br, act, grid[r, c], ss, se,
+                                             al, eobrun)
+
+    @staticmethod
+    def _ac_first(br, act, zz, ss, se, al, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            sym = act.decode(br)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            zz[k] = _extend(br.bits(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(br, act, zz, ss, se, al, eobrun):
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = act.decode(br)
+                r, s = sym >> 4, sym & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15: ZRL — pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid symbol in AC refinement scan")
+                    val = p1 if br.bits(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bits(1) and (int(zz[k]) & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bits(1) and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- reconstruction ---------------------------------------------------
+    def reconstruct(self, qt) -> np.ndarray:
+        h, w, comps = self.frame
+        planes = []
+        for comp in comps:
+            grid = self.grids[comp["id"]]
+            bv, bh = grid.shape[:2]
+            blocks = grid.reshape(-1, 64)[:, _UNZZ].astype(np.float64)
+            blocks = blocks.reshape(-1, 8, 8) * qt[comp["tq"]][None]
+            pix = np.einsum("ji,bjk,kl->bil", _C, blocks, _C) + 128.0
+            plane = _unblocks(pix, bv * 8, bh * 8)
+            plane = np.repeat(
+                np.repeat(plane, self.vmax // comp["v"], axis=0),
+                self.hmax // comp["h"], axis=1)
+            planes.append(plane[:h, :w])
+        if len(planes) == 1:
+            y = np.clip(planes[0] + 0.5, 0, 255).astype(np.uint8)
+            return np.stack([y, y, y], axis=-1)
+        return _ycbcr_to_rgb(*planes)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder
+# ---------------------------------------------------------------------------
+
+
+def _ac_first_tokens(grid, rows, cols, ss, se, al):
+    """AC first scan (Ah=0): run/size coding of sign*(|v|>>Al) with ZRL
+    and a per-block EOB0 (eobrun accumulation is a size optimization the
+    format does not require)."""
+    toks, freq = [], {}
+
+    def sym(s):
+        freq[s] = freq.get(s, 0) + 1
+        toks.append(("s", s))
+
+    for r in range(rows):
+        for c in range(cols):
+            zz = grid[r, c]
+            vals = [int(zz[k]) for k in range(ss, se + 1)]
+            ts = [abs(v) >> al for v in vals]
+            last = max((i for i, t in enumerate(ts) if t), default=-1)
+            run = 0
+            for i in range(last + 1):
+                t = ts[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    sym(0xF0)
+                    run -= 16
+                size, amp = _encode_value(t if vals[i] > 0 else -t)
+                sym((run << 4) | size)
+                toks.append(("b", amp, size))
+                run = 0
+            if last < se - ss:
+                sym(0x00)  # EOB0
+    return freq, toks
+
+
+def _ac_refine_tokens(grid, rows, cols, ss, se, al):
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients as
+    (run, 1)+sign, correction bits buffered for already-significant
+    coefficients and flushed after each emitted symbol — the
+    check-ZRL-before-buffer ordering keeps every flushed bit inside the
+    decoder's walk for that symbol (T.81 figure G.7 discipline)."""
+    toks, freq = [], {}
+
+    def sym(s):
+        freq[s] = freq.get(s, 0) + 1
+        toks.append(("s", s))
+
+    def flush(pending):
+        for b in pending:
+            toks.append(("b", b, 1))
+        pending.clear()
+
+    for r in range(rows):
+        for c in range(cols):
+            zz = grid[r, c]
+            vals = [int(zz[k]) for k in range(ss, se + 1)]
+            news = [i for i, v in enumerate(vals) if (abs(v) >> al) == 1]
+            last_new = news[-1] if news else -1
+            run, pending = 0, []
+            for i, v in enumerate(vals):
+                t = abs(v) >> al
+                if i <= last_new:
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        sym(0xF0)
+                        flush(pending)
+                        run -= 16
+                    if t > 1:  # already significant: one correction bit
+                        pending.append(t & 1)
+                        continue
+                    sym((run << 4) | 1)  # newly significant
+                    toks.append(("b", 1 if v > 0 else 0, 1))
+                    flush(pending)
+                    run = 0
+                elif t > 1:  # trailing region: bits ride the EOB
+                    pending.append(t & 1)
+            if last_new < se - ss or pending:
+                sym(0x00)
+                flush(pending)
+    return freq, toks
+
+
+def _encode_progressive(h, w, qt, plane_q, comp_blocks, hs, mcu_rows,
+                        mcu_cols):
+    """SOF2 writer. Scan script (spec-legal, exercises every progressive
+    decode path): (1) interleaved DC first scan at Al=1; (2) DC
+    refinement to Al=0 (raw bits); per component and spectral band
+    (1-5, 6-63): (3) AC first scan at Al=1, (4) AC refinement to Al=0.
+    Every coefficient bit is eventually sent, so the decoded image
+    equals the baseline encoding of the same input exactly."""
+    sampling = [(hs, hs), (1, 1), (1, 1)]
+    grids, trues = [], []
+    for ci, blocks in enumerate(comp_blocks):
+        sh, sv = sampling[ci]
+        bv, bh = mcu_rows * sv, mcu_cols * sh
+        grids.append(blocks.reshape(-1, 64)[:, _ZZ].reshape(bv, bh, 64))
+        ch, cw = -(-h * sv // hs), -(-w * sh // hs)
+        trues.append((-(-ch // 8), -(-cw // 8)))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    for i, q in enumerate(qt):
+        out += seg(0xDB, bytes([i]) + bytes(q.ravel()[_ZZ].astype(
+            np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([3])
+    for ci in range(3):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, plane_q[ci]])
+    out += seg(0xC2, sof)
+
+    def emit_scan(scan_comps, ss, se, ah, al, tables, toks):
+        """tables: {(cls, tid): freq}; toks: ('s', sym) keyed to the
+        scan's single class-1 table, or ('s2', tid, sym) for the
+        two-table DC scan, or ('b', val, n)."""
+        codes = {}
+        for (cls, tid), freq in tables.items():
+            lengths = _huffman_lengths(freq)
+            out.extend(seg(0xC4, _dht_payload(cls, tid, lengths)))
+            codes[(cls, tid)] = _canonical_codes(lengths)
+        sos = bytes([len(scan_comps)])
+        for cid, tab in scan_comps:
+            sos += bytes([cid, tab])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(seg(0xDA, sos))
+        bw = _BitWriter()
+        for tok in toks:
+            if tok[0] == "s":
+                code, ln = codes[(1, 0)][tok[1]]
+                bw.write(code, ln)
+            elif tok[0] == "s2":
+                code, ln = codes[(0, tok[1])][tok[2]]
+                bw.write(code, ln)
+            else:
+                _, v, n = tok
+                if n:
+                    bw.write(v, n)
+        out.extend(bw.flush())
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift, T.81 G.1.2.1)
+    toks, freqs = [], {(0, 0): {}, (0, 1): {}}
+    pred = [0, 0, 0]
+    for m in range(mcu_rows * mcu_cols):
+        r, c = divmod(m, mcu_cols)
+        for ci in range(3):
+            sh, sv = sampling[ci]
+            t = 0 if ci == 0 else 1
+            for v in range(sv):
+                for u in range(sh):
+                    dc = int(grids[ci][r * sv + v, c * sh + u, 0]) >> 1
+                    size, amp = _encode_value(dc - pred[ci])
+                    pred[ci] = dc
+                    freqs[(0, t)][size] = freqs[(0, t)].get(size, 0) + 1
+                    toks.append(("s2", t, size))
+                    if size:
+                        toks.append(("b", amp, size))
+    dc_comps = [(ci + 1, ((0 if ci == 0 else 1) << 4)) for ci in range(3)]
+    emit_scan(dc_comps, 0, 0, 0, 1, freqs, toks)
+
+    # scan 2: DC refinement Ah=1 -> Al=0 (one raw bit per block, no DHT)
+    toks = []
+    for m in range(mcu_rows * mcu_cols):
+        r, c = divmod(m, mcu_cols)
+        for ci in range(3):
+            sh, sv = sampling[ci]
+            for v in range(sv):
+                for u in range(sh):
+                    toks.append(
+                        ("b", int(grids[ci][r * sv + v, c * sh + u, 0])
+                         & 1, 1))
+    emit_scan(dc_comps, 0, 0, 1, 0, {}, toks)
+
+    # scans 3-4: per-component AC bands, first pass then refinement
+    bands = [(1, 5), (6, 63)]
+    for maker, ah, al in ((_ac_first_tokens, 0, 1),
+                          (_ac_refine_tokens, 1, 0)):
+        for ci in range(3):
+            rows, cols = trues[ci]
+            for ss, se in bands:
+                freq, toks = maker(grids[ci], rows, cols, ss, se, al)
+                if not freq:  # all-zero band still needs its EOBs
+                    freq = {0x00: 1}
+                emit_scan([(ci + 1, 0)], ss, se, ah, al, {(1, 0): freq},
+                          toks)
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -61,16 +61,17 @@ def _image_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _real_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Codec-library integration point. BMP/PPM/PNG/baseline-JPEG
+    """Codec-library integration point. BMP/PPM/PNG and both JPEG
 
-    decode IS implemented pure-NumPy (decoder='image'); this slot is
-    for media that need external libraries (video/audio via ffmpeg,
-    progressive/12-bit JPEG via libjpeg) absent from this container.
+    processes (baseline SOF0 + progressive SOF2) ARE implemented
+    pure-NumPy (decoder='image'); this slot is for media that need
+    external libraries (video/audio via ffmpeg, 12-bit/lossless JPEG
+    via libjpeg) absent from this container.
     """
     raise NotImplementedError(
         "external media codecs are not installed in this environment; "
-        "implemented pure-NumPy: decoder='image' (BMP/PPM/PNG/baseline "
-        "JPEG), decoder='audio' (PCM WAV), sample_frames(decoder="
+        "implemented pure-NumPy: decoder='image' (BMP/PPM/PNG/JPEG "
+        "baseline+progressive), decoder='audio' (PCM WAV), sample_frames(decoder="
         "'mjpeg') (MJPEG AVI). This slot is for compressed formats "
         "that genuinely need ffmpeg/libav (H.264, AAC, MP3, ...): plug "
         "a decoder into mahout_spark.sources.multimodal._REGISTRY")

@@ -69,12 +69,12 @@ def test_dispatch_and_errors():
     assert decode_image(blob).shape == (16, 16, 3)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01garbage")
-    # progressive (SOF2) must be rejected by name, not mis-decoded
-    prog = bytearray(blob)
-    idx = prog.find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF0|baseline"):
-        decode_jpeg(bytes(prog))
+    # lossless (SOF3) must be rejected by name, not mis-decoded
+    lossless = bytearray(blob)
+    idx = lossless.find(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF0|baseline|progressive"):
+        decode_jpeg(bytes(lossless))
     with pytest.raises(ValueError):
         decode_jpeg(blob[:40])  # truncated before any scan
 
@@ -132,3 +132,59 @@ def test_quality_clamped():
     for q in (-5, 0, 150):
         out = decode_jpeg(encode_jpeg(img, quality=q))
         assert out.shape == (8, 8, 3)
+
+
+# -- progressive (SOF2) ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("quality,subsample", [
+    (85, False), (85, True), (50, True), (95, False)])
+def test_progressive_equals_baseline_exactly(quality, subsample):
+    # the scan script sends every coefficient bit, so the decoded pixels
+    # must equal the baseline encoding of the same input bit-for-bit
+    img = _test_img()
+    base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                   subsample=subsample))
+    prog = decode_jpeg(encode_jpeg(img, quality=quality,
+                                   subsample=subsample, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (17, 23), (40, 56), (9, 64)])
+def test_progressive_odd_dimensions(h, w):
+    img = _test_img(h, w)
+    base = decode_jpeg(encode_jpeg(img, quality=80, subsample=True))
+    prog = decode_jpeg(encode_jpeg(img, quality=80, subsample=True,
+                                   progressive=True))
+    assert prog.shape == (h, w, 3)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_random_content():
+    # incompressible noise exercises long symbol runs, ZRLs in both AC
+    # passes, and the correction-bit buffering
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_image():
+    # all-zero AC bands: every AC scan is pure EOB runs
+    img = np.full((24, 24, 3), 77, np.uint8)
+    prog = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+    assert int(np.abs(prog.astype(int) - 77).max()) <= 1
+
+
+def test_progressive_is_sof2():
+    blob = encode_jpeg(_test_img(), progressive=True)
+    assert b"\xff\xc2" in blob[:200] and b"\xff\xc0" not in blob[:200]
+    # multiple SOS segments (1 DC first + 1 DC refine + 12 AC scans)
+    assert blob.count(b"\xff\xda") == 14
+
+
+def test_progressive_deterministic_bytes():
+    img = _test_img()
+    assert encode_jpeg(img, progressive=True) == \
+        encode_jpeg(img, progressive=True)
