@@ -1,18 +1,20 @@
 """Pure-NumPy baseline JPEG codec (stdlib only — no external codecs).
 
 Closes the last documented multimodal decode stub: `decode_jpeg` handles
-baseline sequential DCT JPEGs (SOF0, 8-bit, 1 or 3 components, 4:4:4 /
-4:2:2 / 4:2:0 chroma subsampling, restart markers), and `encode_jpeg`
-produces fixtures/output (4:4:4 or 4:2:0, per-image optimal Huffman
-tables). The codec is SELF-CONSISTENT by construction: quantization and
+both DCT processes — baseline sequential (SOF0) and progressive (SOF2,
+spectral selection + successive approximation) — for 8-bit, 1 or 3
+components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers;
+`encode_jpeg` produces fixtures/output (4:4:4 or 4:2:0, per-image
+optimal Huffman tables, baseline or a progressive scan script whose
+decode equals the baseline bit-for-bit). The codec is SELF-CONSISTENT by construction: quantization and
 Huffman tables are read from the file's own DQT/DHT segments, never
 assumed, so any spec-conformant baseline JPEG decodes — including ones
 our encoder didn't produce.
 
 Reference anchors (studied, not copied): the reference repo ships no
 image codecs at all (the builder brief asks for multimodal columns);
-format layout follows the public ITU-T T.81 baseline process — marker
-segments (SOI/DQT/SOF0/DHT/SOS/EOI), zigzag order, DC-prediction +
+format layout follows the public ITU-T T.81 processes — marker
+segments (SOI/DQT/SOF0|SOF2/DHT/SOS/EOI), zigzag order, DC-prediction +
 (run, size) AC coding, canonical Huffman from (BITS, HUFFVAL),
 0xFF00 byte stuffing, level shift ±128, BT.601 YCbCr.
 
@@ -466,11 +468,12 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+    """JPEG bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
 
-    Supports SOF0, 8-bit, 1 or 3 components, sampling factors 1-2,
-    restart intervals. Progressive (SOF2) / arithmetic / 12-bit inputs
-    raise ValueError naming the unsupported feature.
+    Supports baseline (SOF0) and progressive (SOF2) DCT processes,
+    8-bit, 1 or 3 components, sampling factors 1-2, restart intervals.
+    Arithmetic-coded / hierarchical / lossless / 12-bit inputs raise
+    ValueError naming the unsupported feature.
     """
     d = payload
     if d[:2] != b"\xff\xd8":

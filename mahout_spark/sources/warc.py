@@ -51,12 +51,16 @@ _VERSION_RE = re.compile(rb"^WARC/(\d+\.\d+)$")
 
 
 def _split_gzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
+    """Decompress a concatenation of gzip members (the .warc.gz layout).
+    Raises on a truncated final member — silent partial data would drop
+    trailing records from the ingest with no error."""
     out = bytearray()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out += d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz")
         tail = d.unused_data
         if not tail:
             break
@@ -78,7 +82,9 @@ def _read_headers(buf: io.BytesIO) -> dict[str, str] | None:
     last_key = None
     while True:
         line = buf.readline()
-        if line in (_CRLF, b"\n", b""):
+        if line == b"":  # EOF inside the header section
+            raise ValueError("truncated WARC record header")
+        if line in (_CRLF, b"\n"):
             return headers
         raw = line.rstrip(b"\r\n")
         if raw[:1] in (b" ", b"\t") and last_key:  # continuation fold
@@ -101,38 +107,53 @@ def _dechunk(body: bytes) -> bytes:
         size = int(size_line.split(b";", 1)[0], 16)
         if size == 0:
             break
-        out += buf.read(size)
+        chunk = buf.read(size)
+        if len(chunk) != size:
+            raise ValueError("truncated chunk in chunked HTTP body")
+        out += chunk
         buf.read(2)  # chunk-terminating CRLF
     return bytes(out)
 
 
 def http_payload(block: bytes) -> bytes:
     """Payload of an HTTP message block: bytes after the header section,
-    de-chunked when Transfer-Encoding: chunked is declared."""
+    de-chunked when Transfer-Encoding: chunked is declared and inflated
+    when Content-Encoding: gzip/x-gzip/deflate is declared (both common
+    in real crawl captures; warcio calls this decode_content)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         return block  # headerless block — take it whole
     head, body = block[:sep], block[sep + 4:]
     if re.search(rb"(?im)^transfer-encoding:.*\bchunked\b", head):
         body = _dechunk(body)
+    m = re.search(rb"(?im)^content-encoding:[ \t]*([a-zA-Z0-9_-]+)", head)
+    if m:
+        enc = m.group(1).lower()
+        if enc in (b"gzip", b"x-gzip"):
+            body = zlib.decompress(body, wbits=zlib.MAX_WBITS | 16)
+        elif enc == b"deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:  # raw-deflate servers (historic quirk)
+                body = zlib.decompress(body, wbits=-zlib.MAX_WBITS)
+        # identity / unknown encodings pass through unchanged
     return body
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """All records of one WARC file (plain or .warc.gz bytes) as dicts:
-
-    ``type``, ``url``, ``date`` (ISO-8601 string or ''), ``content_type``,
-    ``block`` (raw bytes), ``payload`` (HTTP body for response/request
-    blocks, else == block).
-    """
+def iter_warc(data: bytes, keep_block: bool = True):
+    """Generator over the records of one WARC file (plain or .warc.gz
+    bytes) as dicts: ``type``, ``url``, ``date`` (ISO-8601 string or ''),
+    ``content_type``, ``payload`` (decoded HTTP body for
+    application/http blocks, else the raw block) and — when
+    ``keep_block`` — ``block`` (raw bytes). The Spark ingest path passes
+    ``keep_block=False`` so a segment's records are not held twice."""
     if data[:2] == b"\x1f\x8b":
         data = _split_gzip_members(data)
     buf = io.BytesIO(data)
-    records = []
     while True:
         headers = _read_headers(buf)
         if headers is None:
-            return records
+            return
         n = int(headers.get("content-length", "0"))
         block = buf.read(n)
         if len(block) != n:
@@ -140,14 +161,21 @@ def parse_warc(data: bytes) -> list[dict]:
         ctype = headers.get("content-type", "")
         payload = (http_payload(block)
                    if ctype.startswith("application/http") else block)
-        records.append({
+        rec = {
             "type": headers.get("warc-type", ""),
             "url": headers.get("warc-target-uri", ""),
             "date": headers.get("warc-date", ""),
             "content_type": ctype,
-            "block": block,
             "payload": payload,
-        })
+        }
+        if keep_block:
+            rec["block"] = block
+        yield rec
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """All records of one WARC file as a list (see ``iter_warc``)."""
+    return list(iter_warc(data))
 
 
 # -- writer (round-trip tests + export) ------------------------------------------
@@ -214,19 +242,26 @@ def warc_records(spark: SparkSession, path: str,
              .load(path))
     keep = set(types)
 
+    def ts(date: str):
+        if not date:
+            return pd.NaT
+        t = pd.Timestamp(date)
+        if t.tzinfo is not None:  # convert to UTC, then drop tzinfo
+            t = t.tz_convert("UTC").tz_localize(None)
+        return t
+
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for content, fpath in zip(pdf["content"], pdf["path"]):
-                for rec in parse_warc(bytes(content)):
+                for rec in iter_warc(bytes(content), keep_block=False):
                     if keep and rec["type"] not in keep:
                         continue
                     rows.append({
                         "warc_file": fpath,
                         "record_type": rec["type"],
                         "url": rec["url"],
-                        "warc_ts": pd.Timestamp(rec["date"]).tz_localize(None)
-                        if rec["date"] else pd.NaT,
+                        "warc_ts": ts(rec["date"]),
                         "content_type": rec["content_type"],
                         "payload": rec["payload"],
                         "text": extract_text(rec["payload"]),

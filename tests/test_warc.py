@@ -100,3 +100,100 @@ def test_warc_webpages_table(spark, tmp_path):
         # synthetic tokN text carries no real-language n-grams -> 'und'
         assert got.lang is not None and 2 <= len(got.lang) <= 3
     df.unpersist()
+
+
+def test_warc_to_sketch_pipeline(spark, tmp_path):
+    """North-star path end to end: raw crawl segments -> web-page table
+    -> per-partition CMS build -> point estimates within eps*N of exact
+    token counts."""
+    from pyspark.sql import functions as F
+
+    from mahout_spark.functions.text import explode_tokens
+    from mahout_spark.sketch.agg import cms_spec, sketch_by_key
+    from mahout_spark.sketch.queries import cms_point_lookup
+
+    pages = _pages(40)
+    seg = tmp_path / "crawl"
+    seg.mkdir()
+    for i in range(4):
+        (seg / f"part-{i}.warc.gz").write_bytes(
+            write_warc(pages[i::4], per_record_gzip=True))
+    docs = warc_webpages(spark, str(seg)).select(
+        F.col("url").alias("doc_id"), "text")
+    toks = explode_tokens(docs, "doc_id", "text").cache()
+    exact = {r.token: r.n for r in
+             toks.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+
+    spec = cms_spec(eps=0.01, delta=0.01, seed=3)
+    toks8 = toks.repartition(8).withColumn("g", F.lit("all"))
+    sk = sketch_by_key(toks8, ["g"], spec, key_col="token")
+    probes = (toks.select("token").distinct().limit(50)
+              .withColumn("g", F.lit("all")))
+    est = {r.token: r.cms_estimate for r in cms_point_lookup(
+        sk, probes, F.xxhash64(F.col("token")),
+        join_cols=["g"]).collect()}
+    for tok, e in est.items():
+        assert exact[tok] <= e <= exact[tok] + 0.01 * n_total
+    toks.unpersist()
+
+
+# -- robustness (review findings) --------------------------------------------------
+
+
+def test_content_encoding_gzip_payload():
+    import gzip as _gz
+    html = b"<html><head><title>t</title></head><body><p>b</p></body></html>"
+    gz = _gz.compress(html, mtime=0)
+    block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+             + f"Content-Length: {len(gz)}\r\n\r\n".encode() + gz)
+    assert http_payload(block) == html
+
+
+def test_content_encoding_deflate_payload():
+    import zlib as _z
+    html = b"<p>deflated</p>"
+    raw = _z.compressobj(wbits=-15)
+    for body in (_z.compress(html),                      # zlib-wrapped
+                 raw.compress(html) + raw.flush()):      # raw (quirk)
+        block = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+                 + body)
+        assert http_payload(block) == html
+
+
+def test_truncated_warc_gz_raises():
+    blob = write_warc(_pages(3), per_record_gzip=True)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(blob[:-20])
+
+
+def test_truncated_header_raises():
+    blob = write_warc(_pages(1))
+    # cut inside the second record's header section
+    cut = blob.find(b"WARC-Target-URI")
+    with pytest.raises(ValueError, match="header"):
+        parse_warc(blob[:cut + 5])
+
+
+def test_truncated_chunked_body_raises():
+    block = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+             b"ff\r\nonly-a-few-bytes")
+    with pytest.raises(ValueError, match="chunk"):
+        http_payload(block)
+
+
+def test_warc_date_offset_converted_to_utc(spark, tmp_path):
+    url = "https://x.example.com/p"
+    blob = write_warc([(url, "2020-06-01T05:00:00+02:00", b"<p>x</p>")])
+    (tmp_path / "o.warc").write_bytes(blob)
+    from mahout_spark.sources.warc import warc_records
+    row = warc_records(spark, str(tmp_path)).collect()[0]
+    # +02:00 wall time 05:00 is 03:00 UTC
+    assert (row.warc_ts.year, row.warc_ts.hour) == (2020, 3)
+
+
+def test_iter_warc_skips_block_copy():
+    recs = list(__import__("mahout_spark.sources.warc", fromlist=["iter_warc"])
+                .iter_warc(write_warc(_pages(1)), keep_block=False))
+    assert all("block" not in r for r in recs)
+    assert recs[1]["payload"] == _pages(1)[0][2]
