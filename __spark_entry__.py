@@ -2018,6 +2018,128 @@ FROM (SELECT x FROM __cg_it WHERE k = {k}) f CROSS JOIN range({n}) t(i)
 """
 
 
+def _q_lanczos_tridiag(spark, sf_dir) -> DataFrame:
+    """Distributed Lanczos tridiagonalization gate (math/.../lanczos/
+    LanczosSolver.java:92-145 + mr/.../DistributedLanczosSolver.java —
+    the `svd` registry program, round-5 session 11): X is the dense
+    8x5 count matrix X[i][j] = #orders with o_custkey%8==i and
+    o_orderkey%5==j, held as a DISTRIBUTED triple DRM (dense so both
+    engines fold the identical element set); each Lanczos iteration is
+    one real distributed timesSquared pass (two seq-fold shuffles —
+    TimesSquaredJob shape). With seq_folds every dot/norm/scale is a
+    pinned sequential order, so the fixed 3-iteration schedule
+    (rank 4) replays bit-exactly in a DuckDB recursive CTE over list
+    columns — alphas and betas hash-exact with NO rounding. The
+    eigendecomposition of the tridiagonal is LAPACK-side and is
+    pytest-verified instead (test_lanczos vs numpy SVD)."""
+    from mahout_spark.operators.lanczos import lanczos_svd
+
+    m, n, k = 8, 5, 4
+    od = _read(spark, sf_dir, "orders")
+    counts = (od.groupBy(
+        (F.col("o_custkey") % m).cast("long").alias("row_id"),
+        (F.col("o_orderkey") % n).cast("long").alias("col_id"))
+        .agg(F.count("*").cast("double").alias("c")))
+    grid = (spark.range(m).select(F.col("id").alias("row_id"))
+            .crossJoin(spark.range(n).select(F.col("id").alias("col_id"))))
+    drm = (grid.join(counts, ["row_id", "col_id"], "left")
+           .select("row_id", "col_id",
+                   F.coalesce(F.col("c"), F.lit(0.0)).alias("value")))
+    st = lanczos_svd(drm, n, k, seq_folds=True)
+    rows = [(i + 1, float(st.alphas[i]), float(st.betas[i]))
+            for i in range(len(st.alphas))]
+    return spark.createDataFrame(rows,
+                                 "iter int, alpha double, beta double")
+
+
+def _lanczos_tridiag_oracle_sql() -> str:
+    m, n, k = 8, 5, 4
+    rn, rm = f"range(1,{n + 1})", f"range(1,{m + 1})"
+
+    def dot(rng, var, expr):
+        return (f"list_reduce(list_transform({rng}, {var} -> {expr}), "
+                f"(s,t) -> s + t)")
+
+    init = (f"CAST(list_transform({rn}, i -> 1.0/sqrt({n}.0)) "
+            f"AS DOUBLE[])")
+    return f"""
+WITH RECURSIVE
+__lz_cnt AS (
+  SELECT (o_custkey % {m})::INT AS i, (o_orderkey % {n})::INT AS j,
+         COUNT(*)::DOUBLE AS c
+  FROM orders GROUP BY 1, 2),
+__lz_cells AS (
+  SELECT ii.i::INT AS i, jj.j::INT AS j, COALESCE(x.c, 0.0) AS c
+  FROM range({m}) ii(i) CROSS JOIN range({n}) jj(j)
+  LEFT JOIN __lz_cnt x ON x.i = ii.i AND x.j = jj.j),
+__lz_xrow AS (
+  SELECT i, list(c ORDER BY j) AS row FROM __lz_cells GROUP BY i),
+__lz_x AS (SELECT list(row ORDER BY i) AS xm FROM __lz_xrow),
+__lz_it AS (
+  SELECT 1 AS step, [{init}] AS basis, {init} AS cur,
+         CAST(NULL AS DOUBLE[]) AS prev,
+         0.0::DOUBLE AS beta, 0.0::DOUBLE AS scale,
+         CAST(NULL AS DOUBLE) AS alpha_out,
+         CAST(NULL AS DOUBLE) AS beta_out
+  UNION ALL
+  SELECT step + 1, list_append(basis, nrm), nrm, cur, beta2, scale2,
+         alpha, beta2
+  FROM (
+    SELECT step, basis, cur, scale2, alpha,
+           sqrt({dot(rn, "i", "v3[i]*v3[i]")}) AS beta2,
+           CAST(list_transform({rn}, i -> v3[i] * (1.0/beta2))
+                AS DOUBLE[]) AS nrm
+    FROM (
+      SELECT *,
+             CAST(list_reduce(
+                 list_prepend(CAST(list_transform({rn}, i ->
+                     v1[i] + cur[i]*(-alpha)) AS DOUBLE[]), basis),
+                 (acc, b) -> CASE
+                     WHEN {dot(rn, "i", "acc[i]*b[i]")} = 0.0 THEN acc
+                     ELSE list_transform({rn}, i ->
+                         acc[i] + b[i]*(-{dot(rn, "q", "acc[q]*b[q]")}))
+                 END) AS DOUBLE[]) AS v3
+      FROM (
+        SELECT *, {dot(rn, "i", "cur[i]*v1[i]")} AS alpha
+        FROM (
+          SELECT *,
+                 CAST(CASE WHEN prev IS NULL THEN v0
+                      ELSE list_transform({rn}, i ->
+                          v0[i] + prev[i]*(-beta))
+                 END AS DOUBLE[]) AS v1
+          FROM (
+            SELECT *,
+                   CASE WHEN scale <= 0
+                        THEN sqrt({dot(rn, "i", "ts[i]*ts[i]")})
+                        ELSE scale END AS scale2,
+                   CAST(list_transform({rn}, i ->
+                       ts[i] * (1.0/(CASE WHEN scale <= 0
+                           THEN sqrt({dot(rn, "q", "ts[q]*ts[q]")})
+                           ELSE scale END))) AS DOUBLE[]) AS v0
+            FROM (
+              SELECT *,
+                     CAST(list_transform({rn}, c ->
+                         {dot(rm, "r", "xm[r][c]*u[r]")})
+                         AS DOUBLE[]) AS ts
+              FROM (
+                SELECT it.*, x.xm,
+                       CAST(list_transform({rm}, r ->
+                           {dot(rn, "j", "xm[r][j]*cur[j]")})
+                           AS DOUBLE[]) AS u
+                FROM __lz_it it, __lz_x x WHERE it.step < {k}
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT (step - 1)::INT AS iter, alpha_out AS alpha, beta_out AS beta
+FROM __lz_it WHERE step > 1
+"""
+
+
 GROUPED_ONLINE_AUC_SQL = """
 WITH RECURSIVE
 __oa_src AS (
@@ -2910,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "grouped_online_auc": _q_grouped_online_auc,
         "cg_solve": _q_cg_solve,
+        "lanczos_tridiag": _q_lanczos_tridiag,
         "pii_redaction": _q_pii_redaction,
         "lm_doc_perplexity": _q_lm_perplexity,
         "heavy_hitters_tokens": _q_heavy_hitters,
@@ -4145,6 +4268,7 @@ SELECT {url_domain_sql('url')} AS domain,
 FROM u GROUP BY 1""",
         "grouped_online_auc": GROUPED_ONLINE_AUC_SQL,
         "cg_solve": _cg_solve_oracle_sql(),
+        "lanczos_tridiag": _lanczos_tridiag_oracle_sql(),
         "pii_redaction": _pii_redaction_oracle_sql(),
         "lm_doc_perplexity": _lm_perplexity_oracle_sql(),
         "heavy_hitters_tokens": _heavy_hitters_oracle_sql(),

@@ -279,3 +279,26 @@ def test_warcingest_cli(tmp_path):
     res2 = _run(["jobs/warcingest.py", "--input", str(seg), "--records",
                  "--output", str(tmp_path / "recs.parquet")])
     assert res2["rows"] == 10
+
+
+def test_lanczos_svd_cli(spark, tmp_path):
+    import numpy as np
+    x = (np.arange(1, 61, dtype=np.float64).reshape(12, 5) % 9) + 1
+    rows = [(i, j, float(x[i, j])) for i in range(12) for j in range(5)]
+    src = tmp_path / "drm.parquet"
+    spark.createDataFrame(
+        rows, "row_id long, col_id long, value double") \
+        .write.mode("overwrite").parquet(str(src))
+    out = tmp_path / "svd"
+    res = _run(["jobs/lanczossvd.py", "svd", "--input", str(src),
+                "--output", str(out), "--rank", "5", "--clean"])
+    assert res["n_vectors"] == 5 and res["n_clean"] >= 1
+    sigma = json.load(open(out / "sigma.json"))
+    top = max(sigma["singular_values"])
+    want = np.linalg.svd(x, compute_uv=False)[0]
+    assert abs(top - want) / want < 1e-6
+    # standalone cleansvd over the raw output matches the chained run
+    res2 = _run(["jobs/lanczossvd.py", "cleansvd", "--input", str(src),
+                 "--eigens", str(out / "rawEigenvectors"),
+                 "--output", str(tmp_path / "clean")])
+    assert res2["n_clean"] == res["n_clean"]
