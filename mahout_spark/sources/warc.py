@@ -34,6 +34,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import os
 import re
 import zlib
 from typing import Iterator
@@ -291,3 +292,44 @@ def warc_webpages(spark: SparkSession, path: str) -> DataFrame:
         F.col("payload").alias("html"),
         F.col("text"),
         detect_lang(F.col("text")).alias("lang"))
+
+
+def warc_export(df: DataFrame, out_dir: str,
+                per_record_gzip: bool = True,
+                software: str = "mahout-spark-warc/1.0") -> int:
+    """Export a web-page table (url, warc_ts, html) back to WARC —
+    the round-trip sink for handing curated corpora to crawl tooling.
+
+    One ``part-<pid>.warc[.gz]`` file per partition, written by the
+    executors (mapInPandas — nothing funnels through the driver); file
+    contents are a pure function of partition contents (deterministic
+    record ids in write_warc), so identical partitioning re-exports
+    byte-identical files. Returns the number of records written.
+    """
+    import pandas as pd  # noqa: F401 (schema side)
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if per_record_gzip else ".warc"
+
+    def dump(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pages, n = [], 0
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["html"]):
+                iso = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                pages.append((url, iso, bytes(html)))
+                n += 1
+        if pages:
+            path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+            with open(path, "wb") as fh:
+                fh.write(write_warc(pages, per_record_gzip=per_record_gzip,
+                                    software=software))
+        yield pd.DataFrame({"n": [n]})
+
+    counts = (df.select("url", "warc_ts", "html")
+              .mapInPandas(dump, schema="n long").collect())
+    return int(sum(r["n"] for r in counts))

@@ -197,3 +197,21 @@ def test_iter_warc_skips_block_copy():
                 .iter_warc(write_warc(_pages(1)), keep_block=False))
     assert all("block" not in r for r in recs)
     assert recs[1]["payload"] == _pages(1)[0][2]
+
+
+def test_warc_export_round_trip(spark, tmp_path):
+    from mahout_spark.sources.warc import warc_export
+
+    pdf = webpages_pandas(10)
+    df = spark.createDataFrame(pdf[["url", "warc_ts", "html"]]) \
+        .repartition(3)
+    out = tmp_path / "export"
+    n = warc_export(df, str(out))
+    assert n == 10
+    files = sorted(out.glob("part-*.warc.gz"))
+    assert 1 <= len(files) <= 3
+    back = {r.url: r for r in warc_webpages(spark, str(out)).collect()}
+    assert len(back) == 10
+    for r in pdf.itertuples():
+        assert bytes(back[r.url].html) == bytes(r.html)
+        assert back[r.url].warc_ts == r.warc_ts.to_pydatetime()
