@@ -2936,6 +2936,84 @@ def _q_domain_stats(spark, sf_dir) -> DataFrame:
         extra_aggs=[F.sum(F.length("text")).alias("sum_chars")])
 
 
+# BPE tokenizer + packing/shard gates (session 12): the training-data
+# pipeline's tokenize -> pack -> shard last mile. Both BPE oracles replay
+# the ENTIRE merge-learning loop in a recursive CTE (no Python-derived
+# literals); pack/shard oracles replay the two-phase offsets as one
+# global window.
+BPE_MERGES_N = 32
+PACK_BLOCK, PACK_SEED = 256, 7
+SHARD_N, SHARD_SEED = 8, 3
+
+
+def _q_bpe_merges(spark, sf_dir) -> DataFrame:
+    """BPE vocabulary training: one corpus-scale word-count pass +
+    deterministic driver-side merge loop (the SentencePiece shape;
+    operators/bpe.py). Hash-exact vs the recursive-CTE replay of the
+    same loop."""
+    from mahout_spark.operators.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    model = bpe_train(docs, "text", n_merges=BPE_MERGES_N)
+    return model.merges_df(spark).select(
+        F.col("rank").cast("long").alias("rank"), "left", "right", "merged")
+
+
+def _q_bpe_encode(spark, sf_dir) -> DataFrame:
+    """BPE encoding as a pure JVM replace-chain expression (train on the
+    same corpus, then encode every document). The oracle re-learns the
+    merges AND re-applies them by rank — the full tokenizer pipeline
+    replayed end to end."""
+    from mahout_spark.operators.bpe import SEP, bpe_encode_expr, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    model = bpe_train(docs, "text", n_merges=BPE_MERGES_N)
+    toks = bpe_encode_expr(F.col("text"), model.merges)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(SEP, toks)).alias("tokens_md5"))
+
+
+def _q_sequence_pack(spark, sf_dir) -> DataFrame:
+    """GPT-style concat-and-chunk packing of tokenized documents into
+    fixed 256-token training sequences in a deterministic pseudo-shuffle
+    order (operators/packing.py): two-phase distributed prefix sum,
+    slice fan-out, one assembly groupBy."""
+    from mahout_spark.functions.text import tokens_array
+    from mahout_spark.operators.packing import SEP, pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens_array(F.col("text")).alias("toks"))
+    packed = pack_sequences(docs, "doc_id", "toks", PACK_BLOCK,
+                            drop_last=True, seed=PACK_SEED)
+    return packed.select(
+        "seq_id", "n_docs", "n_tokens",
+        F.md5(F.concat_ws(",", F.transform(
+            "doc_ids", lambda i: i.cast("string")))).alias("doc_ids_md5"),
+        F.md5(F.concat_ws(SEP, "tokens")).alias("tokens_md5"))
+
+
+def _q_shard_plan(spark, sf_dir) -> DataFrame:
+    """Deterministic size-balanced shard plan (token-weighted, 8 shards):
+    contiguous ranges of the pseudo-shuffle order via exact integer
+    arithmetic over the same two-phase offsets."""
+    from mahout_spark.functions.text import token_count
+    from mahout_spark.operators.packing import shard_assignments
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("w"))
+    sh = shard_assignments(docs, "doc_id", SHARD_N, weight_col="w",
+                           seed=SHARD_SEED)
+    return (sh.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("w").cast("long").alias("sum_weight"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col("__k"), F.col("doc_id").alias("i")))),
+                     lambda s: s["i"].cast("string")))).alias("ids_md5")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3056,6 +3134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_lang_chars": _q_moments_lang_chars,
         "counting_bloom_retract": _q_counting_bloom_retract,
         "agg_strategy_plan": _q_agg_strategy_plan,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        "sequence_pack": _q_sequence_pack,
+        "shard_plan": _q_shard_plan,
     }
 
 
@@ -3189,6 +3271,38 @@ SELECT t.lang, t.n_retained, t.theta::BIGINT AS theta, t.est_distinct,
        t.est_total, e.exact_docs, e.exact_chars
 FROM __tu t JOIN __exact e USING (lang)
 """
+
+
+def _bpe_merges_oracle() -> str:
+    from mahout_spark.operators.bpe import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql("SELECT text FROM documents", BPE_MERGES_N)
+
+
+def _bpe_encode_oracle() -> str:
+    from mahout_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql("SELECT doc_id, text FROM documents",
+                                 BPE_MERGES_N)
+
+
+def _sequence_pack_oracle() -> str:
+    from mahout_spark.functions.text import tokens_array_sql
+    from mahout_spark.operators.packing import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id",
+        tokens_array_sql("text"), PACK_BLOCK, drop_last=True,
+        seed=PACK_SEED)
+
+
+def _shard_plan_oracle() -> str:
+    from mahout_spark.functions.text import tokens_array_sql
+    from mahout_spark.operators.packing import shard_plan_oracle_sql
+
+    return shard_plan_oracle_sql(
+        "SELECT doc_id, text FROM documents", "doc_id",
+        f"len({tokens_array_sql('text')})", SHARD_N, seed=SHARD_SEED)
 
 
 def _agg_plan_oracle() -> str:
@@ -4292,6 +4406,10 @@ FROM u GROUP BY 1""",
         "tuple_lang_totals": _tuple_totals_oracle(),
         "moments_lang_chars": _moments_oracle(),
         "agg_strategy_plan": _agg_plan_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
+        "sequence_pack": _sequence_pack_oracle(),
+        "shard_plan": _shard_plan_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,
