@@ -3014,6 +3014,30 @@ def _q_shard_plan(spark, sf_dir) -> DataFrame:
                      lambda s: s["i"].cast("string")))).alias("ids_md5")))
 
 
+def _q_bpe_pack(spark, sf_dir) -> DataFrame:
+    """Tokenize→pack COMPOSITION: BPE-encode every document with a
+    corpus-trained merge table (operators/bpe.py), then concat-and-chunk
+    the token streams into fixed blocks (operators/packing.py). The
+    oracle replays the ENTIRE chain — merge learning, rank-order encode,
+    global-order prefix sum, block slicing — in one DuckDB statement
+    with no Python-derived literals: the last mile of the training-data
+    pipeline proven hash-exact end to end, not just stage by stage."""
+    from mahout_spark.operators.bpe import bpe_encode_expr, bpe_train
+    from mahout_spark.operators.packing import SEP, pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    model = bpe_train(docs, "text", n_merges=BPE_MERGES_N)
+    enc = docs.select(
+        "doc_id", bpe_encode_expr(F.col("text"), model.merges).alias("toks"))
+    packed = pack_sequences(enc, "doc_id", "toks", PACK_BLOCK,
+                            drop_last=True, seed=PACK_SEED)
+    return packed.select(
+        "seq_id", "n_docs", "n_tokens",
+        F.md5(F.concat_ws(",", F.transform(
+            "doc_ids", lambda i: i.cast("string")))).alias("doc_ids_md5"),
+        F.md5(F.concat_ws(SEP, "tokens")).alias("tokens_md5"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3138,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "sequence_pack": _q_sequence_pack,
         "shard_plan": _q_shard_plan,
+        "bpe_pack": _q_bpe_pack,
     }
 
 
@@ -3294,6 +3319,16 @@ def _sequence_pack_oracle() -> str:
         "SELECT doc_id, text FROM documents", "doc_id",
         tokens_array_sql("text"), PACK_BLOCK, drop_last=True,
         seed=PACK_SEED)
+
+
+def _bpe_pack_oracle() -> str:
+    from mahout_spark.operators.bpe import bpe_encode_arrays_sql
+    from mahout_spark.operators.packing import pack_sequences_oracle_sql
+
+    enc = bpe_encode_arrays_sql("SELECT doc_id, text FROM documents",
+                                BPE_MERGES_N)
+    return pack_sequences_oracle_sql(enc, "doc_id", "tokens", PACK_BLOCK,
+                                     drop_last=True, seed=PACK_SEED)
 
 
 def _shard_plan_oracle() -> str:
@@ -4410,6 +4445,7 @@ FROM u GROUP BY 1""",
         "bpe_encode": _bpe_encode_oracle(),
         "sequence_pack": _sequence_pack_oracle(),
         "shard_plan": _shard_plan_oracle(),
+        "bpe_pack": _bpe_pack_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

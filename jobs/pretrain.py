@@ -1,0 +1,209 @@
+"""spark-submit job: the COMPLETE pretraining-data pipeline, one deploy.
+
+Chains every stage this repo ships, raw documents to training shards:
+
+  1. curation   — jobs/curate.py invoked as a sub-stage with its own
+                  RESULT.json (unicode hygiene, Gopher/C4 quality, line
+                  dedup, MinHash-LSH near-dup keep-best, optional
+                  substring dedup / decontamination / PII scrub /
+                  LM+DSIR selection, stratified sampling,
+                  train/val/test split) — composition by the file
+                  contract, the same way the reference's driver chains
+                  its MR jobs
+  2. tokenizer  — BPE merges learned on the TRAIN split only
+                  (operators/bpe.py: one corpus word-count pass +
+                  deterministic driver merge loop); vocabulary = sorted
+                  distinct train tokens, so val/test leakage into the
+                  model is structurally impossible (unseen tokens map
+                  to the reserved unk id)
+  3. encode     — bpe_encode_pandas (Arrow batches, per-partition
+                  segment cache) + tokens_to_ids_pandas (closure dict,
+                  O(1)/token) over every split
+  4. pack       — GPT-style concat-and-chunk into fixed blocks per
+                  split (operators/packing.py: deterministic
+                  pseudo-shuffle, two-phase distributed prefix sum;
+                  drop_last only on train — eval sets keep their tail)
+  5. shard      — size-balanced deterministic shard export per split
+                  (write_shards: contiguous ranges of the shuffle
+                  order, exact integer arithmetic, partitionBy(shard))
+
+Every stage is hash-coin deterministic: the same inputs + seed produce
+the same shards on any cluster size, any partitioning, any retry —
+the CLI test asserts byte-identical block contents across reruns.
+
+The stages themselves are individually CORRECTNESS-gated (gopher_quality,
+dedup_keep_best, stratified_sample, bpe_merges/bpe_encode,
+sequence_pack, shard_plan) and the tokenize→pack composition is gated
+end-to-end (bpe_pack); this job is their deployable composition.
+
+Usage:
+  spark-submit --py-files dist/mahout_spark.zip jobs/pretrain.py \
+      --input docs.parquet --output /tmp/pretrain \
+      [--merges 64] [--min-count 2] [--block-size 256] [--n-shards 8] \
+      [--skip-curation] [--no-gopher] [--c4] [--line-dedup] \
+      [--scrub-pii] [--rates en=0.5] [--splits 0.9,0.05,0.05] [--seed 1]
+
+Output layout:
+  {output}/curate/curated/        curated docs + split column
+  {output}/tokenizer/merges/      BPE merge table (rank, left, right)
+  {output}/tokenizer/vocab/       (token_id, token)
+  {output}/packed/split=N/shard=S/  fixed-length blocks
+  {output}/RESULT.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SPLIT_NAMES = {0: "train", 1: "val", 2: "test"}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--lang-col", default="lang")
+    # curation pass-through (subset of jobs/curate.py's surface)
+    ap.add_argument("--skip-curation", action="store_true",
+                    help="input already has a `split` column; go "
+                         "straight to tokenization")
+    ap.add_argument("--no-gopher", action="store_true")
+    ap.add_argument("--c4", action="store_true")
+    ap.add_argument("--line-dedup", action="store_true")
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--no-neardup", action="store_true")
+    ap.add_argument("--rates", default="")
+    ap.add_argument("--splits", default="0.9,0.05,0.05")
+    # tokenizer
+    ap.add_argument("--merges", type=int, default=64)
+    ap.add_argument("--min-count", type=int, default=2)
+    ap.add_argument("--max-words", type=int, default=None)
+    # pack + shard
+    ap.add_argument("--block-size", type=int, default=256)
+    ap.add_argument("--n-shards", type=int, default=8,
+                    help="shards for the train split; val/test get a "
+                         "token-proportional share (min 1)")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from mahout_spark.operators.bpe import (BPEModel, bpe_encode_pandas,
+                                            bpe_train, build_vocab,
+                                            tokens_to_ids_pandas)
+    from mahout_spark.operators.packing import pack_sequences, write_shards
+    from mahout_spark.session import get_spark
+
+    idc, tc = args.id_col, args.text_col
+    result: dict = {"stages": {}}
+    t_all = time.time()
+
+    # -- stage 1: curation (sub-job via the file contract) --------------------
+    if args.skip_curation:
+        curated_path = args.input
+    else:
+        from jobs import curate
+
+        curate_out = f"{args.output}/curate"
+        cargv = ["--input", args.input, "--output", curate_out,
+                 "--id-col", idc, "--text-col", tc,
+                 "--lang-col", args.lang_col,
+                 "--splits", args.splits, "--seed", str(args.seed),
+                 "--cpus", str(args.cpus)]
+        for flag, on in [("--no-gopher", args.no_gopher),
+                         ("--c4", args.c4),
+                         ("--line-dedup", args.line_dedup),
+                         ("--scrub-pii", args.scrub_pii),
+                         ("--no-neardup", args.no_neardup)]:
+            if on:
+                cargv.append(flag)
+        if args.rates:
+            cargv += ["--rates", args.rates]
+        t0 = time.time()
+        curate.main(cargv)  # runs + stops its own SparkSession
+        result["stages"]["curate"] = json.load(
+            open(f"{curate_out}/RESULT.json"))
+        result["stages"]["curate"]["wall_s"] = round(time.time() - t0, 2)
+        curated_path = f"{curate_out}/curated"
+
+    spark = get_spark("pretrain", master=f"local[{args.cpus}]",
+                      shuffle_partitions=max(args.cpus * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(curated_path).filter(F.col("split") >= 0)
+
+    # -- stage 2: tokenizer (train split only) ---------------------------------
+    t0 = time.time()
+    train_docs = docs.filter(F.col("split") == 0)
+    model = bpe_train(train_docs, tc, n_merges=args.merges,
+                      min_count=args.min_count, max_words=args.max_words)
+    model.save(f"{args.output}/tokenizer/merges")
+    enc = bpe_encode_pandas(docs, idc, tc, model.merges) \
+        .join(docs.select(idc, "split"), idc).persist()
+    vocab = build_vocab(enc.filter(F.col("split") == 0), "tokens")
+    unk_id = len(vocab)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)] + [(unk_id, "<unk>")],
+        "token_id int, token string").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{args.output}/tokenizer/vocab")
+    result["stages"]["tokenizer"] = {
+        "n_merges": len(model.merges), "vocab_size": unk_id + 1,
+        "wall_s": round(time.time() - t0, 2)}
+
+    # -- stages 3-5 per split: encode -> ids -> pack -> shards -----------------
+    t0 = time.time()
+    ids = tokens_to_ids_pandas(enc, idc, "tokens", vocab, unk_id=unk_id) \
+        .join(docs.select(idc, "split"), idc).persist()
+    tok_stats = {int(r["split"]): (int(r["docs"]), int(r["toks"]))
+                 for r in ids.groupBy("split")
+                 .agg(F.count(F.lit(1)).alias("docs"),
+                      F.sum(F.size("token_ids")).alias("toks")).collect()}
+    enc.unpersist()
+    result["stages"]["encode"] = {
+        SPLIT_NAMES.get(s, str(s)): {"docs": d, "tokens": n}
+        for s, (d, n) in sorted(tok_stats.items())}
+    result["stages"]["encode"]["wall_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    train_toks = tok_stats.get(0, (0, 1))[1] or 1
+    packs = {}
+    for s, (n_docs, n_toks) in sorted(tok_stats.items()):
+        name = SPLIT_NAMES.get(s, str(s))
+        part = ids.filter(F.col("split") == s)
+        packed = pack_sequences(part, idc, "token_ids", args.block_size,
+                                drop_last=(s == 0), seed=args.seed + s)
+        n_shards = args.n_shards if s == 0 else max(
+            1, round(args.n_shards * n_toks / train_toks))
+        write_shards(packed, "seq_id",
+                     f"{args.output}/packed/split={s}", n_shards,
+                     weight_col="n_tokens", seed=args.seed + s)
+        out = spark.read.parquet(f"{args.output}/packed/split={s}")
+        agg = out.agg(F.count(F.lit(1)).alias("blocks"),
+                      F.sum("n_tokens").alias("toks")).collect()[0]
+        packs[name] = {"blocks": int(agg["blocks"]),
+                       "tokens": int(agg["toks"] or 0),
+                       "n_shards": n_shards}
+    ids.unpersist()
+    result["stages"]["pack"] = dict(packs)
+    result["stages"]["pack"]["wall_s"] = round(time.time() - t0, 2)
+
+    result["block_size"] = args.block_size
+    result["wall_s"] = round(time.time() - t_all, 2)
+    print(json.dumps(result))
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/RESULT.json", "w") as f:
+        json.dump(result, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -362,3 +362,106 @@ FROM enc
 WHERE it = (SELECT coalesce(max(rank), 0) FROM mg)
 ORDER BY {id_col}
 """
+
+
+# -- token ids: vocabulary ranks for packed training shards --------------------
+
+def build_vocab(encoded: DataFrame, tokens_col: str = "tokens") -> list[str]:
+    """Sorted distinct tokens of an encoded corpus — merged symbols plus
+    the surviving base characters, so every token the encoder can emit
+    on its own training corpus gets an id. Bounded by |merges| + the
+    corpus alphabet (Heaps-law sublinear, NOT corpus-proportional), so
+    the collect is a driver-bounded model artifact like the merge table
+    itself. Sort is binary codepoint order — identical in Python,
+    Spark's UTF8String comparison and DuckDB's binary varchar collation,
+    so id assignment is engine-exact.
+    """
+    rows = (encoded.select(F.explode(tokens_col).alias("t"))
+            .distinct().orderBy("t").collect())
+    return [r["t"] for r in rows]
+
+
+def token_ids_expr(tokens: Column, vocab: Sequence[str],
+                   unk_id: int = -1) -> Column:
+    """array<int> ids via a literal-map lookup — pure JVM, no shuffle.
+
+    For bounded vocabularies (gates, probes, ablations): the map ships
+    inside the plan. Production vocabularies (50k merges) use
+    `tokens_to_ids_pandas`. Unseen tokens map to `unk_id`
+    (`try_element_at`: ANSI-safe NULL on a missing key).
+    """
+    m = F.create_map(*[x for i, v in enumerate(vocab)
+                       for x in (F.lit(v), F.lit(i))])
+    return F.transform(
+        tokens,
+        lambda t: F.coalesce(F.try_element_at(m, t),
+                             F.lit(unk_id)).cast("int"))
+
+
+def token_ids_sql(tokens_sql: str, vocab_list_sql: str,
+                  unk_id: int = -1) -> str:
+    """DuckDB twin of the id lookup. `vocab_list_sql` must be an
+    expression of type VARCHAR[] holding the sorted vocabulary (DuckDB
+    forbids subqueries inside lambdas, so callers bind it once via a
+    cross join: ``CROSS JOIN (SELECT list(token ORDER BY token) AS vl
+    FROM vocab)``); id = 0-based position in that order (list_position
+    is 1-based, hence the -1; coalesce handles unseen tokens)."""
+    return (f"list_transform({tokens_sql}, t -> coalesce("
+            f"list_position({vocab_list_sql}, t) - 1, {unk_id})::INT)")
+
+
+def tokens_to_ids_pandas(df: DataFrame, id_col: str, tokens_col: str,
+                         vocab: Sequence[str], out_col: str = "token_ids",
+                         unk_id: int = -1) -> DataFrame:
+    """(id, token_ids array<int>) — the production path: a closure dict
+    ships once per executor (broadcast-sized), lookup is O(1)/token in
+    Arrow batches. Same id convention as `token_ids_expr`
+    (pytest-pinned equal)."""
+    index = {t: i for i, t in enumerate(vocab)}
+
+    def map_batches(batches: Iterator["pd.DataFrame"]) \
+            -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [[index.get(t, unk_id) for t in toks]
+                   for toks in pdf[tokens_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: ids})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, tokens_col).mapInPandas(
+        map_batches, schema=f"{id_col} {id_type}, {out_col} array<int>")
+
+
+def bpe_encode_arrays_sql(docs_sql: str, n_merges: int,
+                          id_col: str = "doc_id", text: str = "text",
+                          min_count: int = 1,
+                          max_words: int | None = None) -> str:
+    """Training replay + encode replay emitting (id, tokens LIST) — the
+    composition form: feed it as `docs_sql` to
+    packing.pack_sequences_oracle_sql (or any consumer of token arrays)
+    so a DuckDB oracle replays tokenize→downstream end to end with no
+    Python-derived literals."""
+    wc = word_counts_sql(docs_sql, text, min_count, max_words)
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"""
+WITH RECURSIVE {_TRAIN_CTES(wc, n_merges)},
+enc AS (
+  SELECT {id_col}, 0 AS it,
+         coalesce(array_to_string(list_transform(
+           regexp_extract_all(replace({text}, {_S}, ''), '{pat}', 0),
+           g -> regexp_replace(g, '(.)', {_S} || '\\1' || {_S}, 'gs')),
+           {_S}), '') AS s
+  FROM ({docs_sql})
+  UNION ALL
+  SELECT e.{id_col}, e.it + 1,
+         replace(e.s, {_S}||m."left"||{_S}||{_S}||m."right"||{_S},
+                 {_S}||m.merged||{_S})
+  FROM enc e JOIN mg m ON m.rank = e.it + 1
+)
+SELECT {id_col},
+       list_filter(string_split_regex(s, {_S}||'+'), t -> t <> '')
+         AS tokens
+FROM enc
+WHERE it = (SELECT coalesce(max(rank), 0) FROM mg)
+"""

@@ -1,0 +1,157 @@
+"""End-to-end pretraining-pipeline job (jobs/pretrain.py) + token-id layer.
+
+The job composes individually-gated stages (curate -> BPE -> ids ->
+pack -> shards); these tests pin the composition contracts: token
+conservation across pack, id-range validity, drop_last semantics per
+split, on-disk shard layout, and bit-identical reruns.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    out = subprocess.run([sys.executable] + args, capture_output=True,
+                         text=True, env=env, cwd=REPO, timeout=timeout)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pretrain") / "run1")
+    res = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
+                "--no-gopher", "--no-neardup", "--merges", "8",
+                "--min-count", "1", "--block-size", "64",
+                "--n-shards", "2", "--seed", "1"])
+    return out, res
+
+
+def test_pretrain_stages_and_conservation(pipeline):
+    out, res = pipeline
+    st = res["stages"]
+    assert st["curate"]["counts"]["input"] == 500
+    assert st["tokenizer"]["n_merges"] == 8
+    V = st["tokenizer"]["vocab_size"]
+    assert V > 8  # merges + base chars + <unk>
+    enc, pack = st["encode"], st["pack"]
+    # train: drop_last -> whole blocks only, nothing but the tail lost
+    assert pack["train"]["blocks"] * 64 == pack["train"]["tokens"]
+    assert 0 <= enc["train"]["tokens"] - pack["train"]["tokens"] < 64
+    # val/test keep their tail: every encoded token lands in a block
+    for s in ("val", "test"):
+        assert pack[s]["tokens"] == enc[s]["tokens"]
+        assert pack[s]["n_shards"] == 1
+    assert pack["train"]["n_shards"] == 2
+
+
+def test_pretrain_output_layout(pipeline, spark):
+    out, res = pipeline
+    V = res["stages"]["tokenizer"]["vocab_size"]
+    # shard directories exist per split
+    for s, n in [(0, 2), (1, 1), (2, 1)]:
+        p = f"{out}/packed/split={s}"
+        shards = sorted(d for d in os.listdir(p) if d.startswith("shard="))
+        assert shards == [f"shard={i}" for i in range(n)]
+    train = spark.read.parquet(f"{out}/packed/split=0")
+    # every train block is exactly block_size, ids in [0, V)
+    bad = train.filter(
+        (F.size("tokens") != 64)
+        | F.exists("tokens", lambda t: (t < 0) | (t >= V))).count()
+    assert bad == 0
+    # vocab table: dense ids, <unk> last
+    vocab = spark.read.parquet(f"{out}/tokenizer/vocab").collect()
+    ids = sorted(r["token_id"] for r in vocab)
+    assert ids == list(range(V))
+    assert [r["token"] for r in vocab if r["token_id"] == V - 1] == ["<unk>"]
+    # merge table round-trips through BPEModel.load
+    from mahout_spark.operators.bpe import BPEModel
+    model = BPEModel.load(spark, f"{out}/tokenizer/merges")
+    assert len(model.merges) == 8
+
+
+def test_pretrain_rerun_identical(pipeline, spark, tmp_path):
+    out, res = pipeline
+    out2 = str(tmp_path / "run2")
+    res2 = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out2,
+                 "--no-gopher", "--no-neardup", "--merges", "8",
+                 "--min-count", "1", "--block-size", "64",
+                 "--n-shards", "2", "--seed", "1"])
+
+    def strip_wall(d):
+        if isinstance(d, dict):
+            return {k: strip_wall(v) for k, v in d.items()
+                    if k != "wall_s"}
+        return d
+
+    assert strip_wall(res) == strip_wall(res2)
+    # block CONTENTS bit-identical, not just counts
+    for s in (0, 1, 2):
+        a = {r["seq_id"]: r["tokens"] for r in
+             spark.read.parquet(f"{out}/packed/split={s}").collect()}
+        b = {r["seq_id"]: r["tokens"] for r in
+             spark.read.parquet(f"{out2}/packed/split={s}").collect()}
+        assert a == b
+
+
+def test_token_ids_expr_pandas_sql_parity(spark):
+    import duckdb
+
+    from mahout_spark.operators.bpe import (bpe_encode_expr, bpe_train,
+                                            build_vocab, token_ids_expr,
+                                            token_ids_sql,
+                                            tokens_to_ids_pandas)
+
+    docs = spark.read.parquet(DOCS).limit(40)
+    model = bpe_train(docs, "text", n_merges=6)
+    enc = docs.select(
+        "doc_id", bpe_encode_expr(F.col("text"), model.merges)
+        .alias("tokens"))
+    vocab = build_vocab(enc, "tokens")
+    unk = len(vocab)
+    a = {r["doc_id"]: r["ids"] for r in enc.select(
+        "doc_id", token_ids_expr(F.col("tokens"), vocab, unk_id=unk)
+        .alias("ids")).collect()}
+    b = {r["doc_id"]: r["token_ids"] for r in
+         tokens_to_ids_pandas(enc, "doc_id", "tokens", vocab,
+                              unk_id=unk).collect()}
+    assert a == b and all(all(0 <= i < unk for i in v)
+                          for v in a.values())
+    # SQL twin over the same (token array, vocab) inputs
+    con = duckdb.connect()
+    pdf = enc.toPandas()
+    con.register("enc", pdf)
+    import pandas as pd
+    con.register("voc", pd.DataFrame({"token": vocab}))
+    got = {r[0]: r[1] for r in con.execute(
+        f"SELECT doc_id, {token_ids_sql('tokens', 'vl', unk)} "
+        f"FROM enc CROSS JOIN "
+        f"(SELECT list(token ORDER BY token) AS vl FROM voc) v"
+    ).fetchall()}
+    assert {k: list(v) for k, v in got.items()} == a
+
+
+def test_token_ids_unknown_maps_to_unk(spark):
+    from mahout_spark.operators.bpe import (token_ids_expr,
+                                            tokens_to_ids_pandas)
+
+    vocab = ["a", "b"]
+    df = spark.createDataFrame([(1, ["a", "zz", "b"])],
+                               "doc_id long, tokens array<string>")
+    exp = [0, 2, 1]
+    got_e = df.select(token_ids_expr(
+        F.col("tokens"), vocab, unk_id=2).alias("i")).collect()[0]["i"]
+    got_p = tokens_to_ids_pandas(df, "doc_id", "tokens", vocab,
+                                 unk_id=2).collect()[0]["token_ids"]
+    assert got_e == exp and got_p == exp
