@@ -3014,6 +3014,46 @@ def _q_shard_plan(spark, sf_dir) -> DataFrame:
                      lambda s: s["i"].cast("string")))).alias("ids_md5")))
 
 
+MIX_SHARES = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+MIX_EPOCHS, MIX_SEED = 2.0, 11
+
+
+def _q_mixture_plan(spark, sf_dir) -> DataFrame:
+    """Corpus mixture plan (functions/mixing.py): target token shares +
+    measured per-language availability → closed-form water-filling
+    rates with upsampling capped at 2 epochs. One algebraic aggregation;
+    every float op pinned multiply-then-divide — hash-exact with no
+    rounding."""
+    from mahout_spark.functions.mixing import mixture_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_plan(docs, "lang", "n_chars", MIX_SHARES,
+                        max_epochs=MIX_EPOCHS).orderBy("stratum")
+
+
+def _q_mixture_sample(spark, sf_dir) -> DataFrame:
+    """Mixture plan APPLIED: per-document copy counts from the md5 coin
+    against driver-computed integer thresholds (floor(rate) full copies
+    + fractional coin), aggregated per language. The oracle recomputes
+    the plan AND the thresholds fully in-engine — floor((rate −
+    floor(rate))·2^60) is an exact exponent shift, so the two threshold
+    derivations agree bit-for-bit."""
+    from mahout_spark.functions.mixing import apply_mixture, mixture_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    plan = mixture_plan(docs, "lang", "n_chars", MIX_SHARES,
+                        max_epochs=MIX_EPOCHS)
+    ap = apply_mixture(docs, "lang", "doc_id", plan, seed=MIX_SEED)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                   F.col("copy").cast("string"))
+    return (ap.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list(key)))).alias("keys_md5")))
+
+
 def _q_bpe_pack(spark, sf_dir) -> DataFrame:
     """Tokenize→pack COMPOSITION: BPE-encode every document with a
     corpus-trained merge table (operators/bpe.py), then concat-and-chunk
@@ -3163,6 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "shard_plan": _q_shard_plan,
         "bpe_pack": _q_bpe_pack,
+        "mixture_plan": _q_mixture_plan,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -3319,6 +3361,33 @@ def _sequence_pack_oracle() -> str:
         "SELECT doc_id, text FROM documents", "doc_id",
         tokens_array_sql("text"), PACK_BLOCK, drop_last=True,
         seed=PACK_SEED)
+
+
+def _mixture_plan_oracle() -> str:
+    from mahout_spark.functions.mixing import mixture_plan_sql
+
+    return (mixture_plan_sql("SELECT * FROM documents", "lang",
+                             "n_chars", MIX_SHARES,
+                             max_epochs=MIX_EPOCHS)
+            + " ORDER BY stratum")
+
+
+def _mixture_sample_oracle() -> str:
+    from mahout_spark.functions.mixing import mixture_sample_oracle_sql
+
+    ap = mixture_sample_oracle_sql(
+        "SELECT * FROM documents", "lang", "doc_id", "n_chars",
+        MIX_SHARES, max_epochs=MIX_EPOCHS, seed=MIX_SEED)
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       md5(array_to_string(
+           list(doc_id::VARCHAR || '#' || copy::VARCHAR
+                ORDER BY doc_id::VARCHAR || '#' || copy::VARCHAR), ','))
+         AS keys_md5
+FROM ({ap}) GROUP BY lang
+"""
 
 
 def _bpe_pack_oracle() -> str:
@@ -4446,6 +4515,8 @@ FROM u GROUP BY 1""",
         "sequence_pack": _sequence_pack_oracle(),
         "shard_plan": _shard_plan_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
+        "mixture_plan": _mixture_plan_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

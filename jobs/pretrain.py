@@ -86,6 +86,15 @@ def main(argv=None):
     ap.add_argument("--merges", type=int, default=64)
     ap.add_argument("--min-count", type=int, default=2)
     ap.add_argument("--max-words", type=int, default=None)
+    # mixture (train split only)
+    ap.add_argument("--mix", default="",
+                    help="target token shares per lang, k=v,... "
+                         "(functions/mixing.py): the train split is "
+                         "re-mixed by water-filling rates before "
+                         "packing; strata outside the recipe drop")
+    ap.add_argument("--mix-epochs", type=float, default=1.0,
+                    help="repetition cap for scarce strata (rate > 1 "
+                         "emits full copies + a fractional coin)")
     # pack + shard
     ap.add_argument("--block-size", type=int, default=256)
     ap.add_argument("--n-shards", type=int, default=8,
@@ -174,13 +183,42 @@ def main(argv=None):
     result["stages"]["encode"]["wall_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    parts = {s: (ids.filter(F.col("split") == s), idc) for s in tok_stats}
+    if args.mix and 0 in tok_stats:
+        from jobs.curate import _parse_rates
+        from mahout_spark.functions.mixing import (apply_mixture,
+                                                   mixture_plan)
+
+        shares = _parse_rates(args.mix)
+        train_part = (ids.filter(F.col("split") == 0)
+                      .join(docs.select(idc, args.lang_col), idc)
+                      .withColumn("__w", F.size("token_ids")))
+        plan = mixture_plan(train_part, args.lang_col, "__w", shares,
+                            max_epochs=args.mix_epochs)
+        plan_rows = plan.orderBy("stratum").collect()
+        mixed = (apply_mixture(train_part, args.lang_col, idc, plan,
+                               seed=args.seed + 7)
+                 .withColumn("__pack_id",
+                             F.concat(F.col(idc).cast("string"),
+                                      F.lit("#"),
+                                      F.col("copy").cast("string"))))
+        parts[0] = (mixed, "__pack_id")
+        agg = mixed.agg(F.count(F.lit(1)).alias("d"),
+                        F.sum(F.size("token_ids")).alias("t")).collect()[0]
+        tok_stats[0] = (int(agg["d"]), int(agg["t"] or 0))
+        result["stages"]["mix"] = {
+            "plan": [{k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in r.asDict().items()} for r in plan_rows],
+            "train_rows": tok_stats[0][0],
+            "train_tokens": tok_stats[0][1]}
     train_toks = tok_stats.get(0, (0, 1))[1] or 1
     packs = {}
     for s, (n_docs, n_toks) in sorted(tok_stats.items()):
         name = SPLIT_NAMES.get(s, str(s))
-        part = ids.filter(F.col("split") == s)
-        packed = pack_sequences(part, idc, "token_ids", args.block_size,
-                                drop_last=(s == 0), seed=args.seed + s)
+        part, pack_key = parts[s]
+        packed = pack_sequences(part, pack_key, "token_ids",
+                                args.block_size, drop_last=(s == 0),
+                                seed=args.seed + s)
         n_shards = args.n_shards if s == 0 else max(
             1, round(args.n_shards * n_toks / train_toks))
         write_shards(packed, "seq_id",

@@ -105,6 +105,30 @@ def test_pretrain_rerun_identical(pipeline, spark, tmp_path):
         assert a == b
 
 
+def test_pretrain_mix_stage(tmp_path, spark):
+    out = str(tmp_path / "mix")
+    res = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
+                "--no-gopher", "--no-neardup", "--merges", "4",
+                "--min-count", "1", "--block-size", "64",
+                "--n-shards", "2", "--seed", "1",
+                "--mix", "en=0.6,de=0.4", "--mix-epochs", "2.0"])
+    mix = res["stages"]["mix"]
+    plan = {p["stratum"]: p for p in mix["plan"]}
+    assert set(plan) == {"en", "de"}
+    # water level: the binding stratum saturates at <= max_epochs,
+    # planned token totals follow the 60/40 recipe
+    assert all(0 < p["rate"] <= 2.0 for p in plan.values())
+    assert plan["en"]["planned"] / plan["de"]["planned"] == \
+        pytest.approx(1.5, rel=1e-9)
+    # mixed train tokens ~ sum of planned (rounding = per-doc coins)
+    total_planned = sum(p["planned"] for p in plan.values())
+    assert abs(mix["train_tokens"] - total_planned) / total_planned < 0.1
+    # packed train blocks carry the mixed stream; non-recipe langs drop
+    pk = res["stages"]["pack"]["train"]
+    assert pk["blocks"] * 64 == pk["tokens"]
+    assert 0 <= mix["train_tokens"] - pk["tokens"] < 64
+
+
 def test_token_ids_expr_pandas_sql_parity(spark):
     import duckdb
 
