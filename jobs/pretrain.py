@@ -101,6 +101,12 @@ def main(argv=None):
                     help="shards for the train split; val/test get a "
                          "token-proportional share (min 1)")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose outputs already exist "
+                         "(curate RESULT.json, tokenizer _SUCCESS, "
+                         "per-split packed _SUCCESS) — safe because "
+                         "every stage is deterministic: a resumed run "
+                         "produces byte-identical shards to a full one")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
@@ -114,36 +120,44 @@ def main(argv=None):
     from mahout_spark.session import get_spark
 
     idc, tc = args.id_col, args.text_col
-    result: dict = {"stages": {}}
+    result: dict = {"stages": {}, "resumed": []}
     t_all = time.time()
 
     # -- stage 1: curation (sub-job via the file contract) --------------------
     if args.skip_curation:
         curated_path = args.input
     else:
-        from jobs import curate
-
         curate_out = f"{args.output}/curate"
-        cargv = ["--input", args.input, "--output", curate_out,
-                 "--id-col", idc, "--text-col", tc,
-                 "--lang-col", args.lang_col,
-                 "--splits", args.splits, "--seed", str(args.seed),
-                 "--cpus", str(args.cpus)]
-        for flag, on in [("--no-gopher", args.no_gopher),
-                         ("--c4", args.c4),
-                         ("--line-dedup", args.line_dedup),
-                         ("--scrub-pii", args.scrub_pii),
-                         ("--no-neardup", args.no_neardup)]:
-            if on:
-                cargv.append(flag)
-        if args.rates:
-            cargv += ["--rates", args.rates]
-        t0 = time.time()
-        curate.main(cargv)  # runs + stops its own SparkSession
-        result["stages"]["curate"] = json.load(
-            open(f"{curate_out}/RESULT.json"))
-        result["stages"]["curate"]["wall_s"] = round(time.time() - t0, 2)
         curated_path = f"{curate_out}/curated"
+        if args.resume and os.path.exists(f"{curate_out}/RESULT.json"):
+            # every stage is hash-coin deterministic, so an existing
+            # output IS the output a re-run would produce
+            result["stages"]["curate"] = json.load(
+                open(f"{curate_out}/RESULT.json"))
+            result["resumed"].append("curate")
+        else:
+            from jobs import curate
+
+            cargv = ["--input", args.input, "--output", curate_out,
+                     "--id-col", idc, "--text-col", tc,
+                     "--lang-col", args.lang_col,
+                     "--splits", args.splits, "--seed", str(args.seed),
+                     "--cpus", str(args.cpus)]
+            for flag, on in [("--no-gopher", args.no_gopher),
+                             ("--c4", args.c4),
+                             ("--line-dedup", args.line_dedup),
+                             ("--scrub-pii", args.scrub_pii),
+                             ("--no-neardup", args.no_neardup)]:
+                if on:
+                    cargv.append(flag)
+            if args.rates:
+                cargv += ["--rates", args.rates]
+            t0 = time.time()
+            curate.main(cargv)  # runs + stops its own SparkSession
+            result["stages"]["curate"] = json.load(
+                open(f"{curate_out}/RESULT.json"))
+            result["stages"]["curate"]["wall_s"] = round(
+                time.time() - t0, 2)
 
     spark = get_spark("pretrain", master=f"local[{args.cpus}]",
                       shuffle_partitions=max(args.cpus * 2, 32))
@@ -152,18 +166,32 @@ def main(argv=None):
 
     # -- stage 2: tokenizer (train split only) ---------------------------------
     t0 = time.time()
-    train_docs = docs.filter(F.col("split") == 0)
-    model = bpe_train(train_docs, tc, n_merges=args.merges,
-                      min_count=args.min_count, max_words=args.max_words)
-    model.save(f"{args.output}/tokenizer/merges")
-    enc = bpe_encode_pandas(docs, idc, tc, model.merges) \
-        .join(docs.select(idc, "split"), idc).persist()
-    vocab = build_vocab(enc.filter(F.col("split") == 0), "tokens")
-    unk_id = len(vocab)
-    spark.createDataFrame(
-        [(i, t) for i, t in enumerate(vocab)] + [(unk_id, "<unk>")],
-        "token_id int, token string").coalesce(1) \
-        .write.mode("overwrite").parquet(f"{args.output}/tokenizer/vocab")
+    merges_path = f"{args.output}/tokenizer/merges"
+    vocab_path = f"{args.output}/tokenizer/vocab"
+    if args.resume and os.path.exists(f"{merges_path}/_SUCCESS") \
+            and os.path.exists(f"{vocab_path}/_SUCCESS"):
+        model = BPEModel.load(spark, merges_path)
+        vrows = spark.read.parquet(vocab_path).orderBy("token_id") \
+            .collect()
+        vocab = [r["token"] for r in vrows[:-1]]  # last row is <unk>
+        unk_id = len(vocab)
+        result["resumed"].append("tokenizer")
+        enc = bpe_encode_pandas(docs, idc, tc, model.merges) \
+            .join(docs.select(idc, "split"), idc).persist()
+    else:
+        train_docs = docs.filter(F.col("split") == 0)
+        model = bpe_train(train_docs, tc, n_merges=args.merges,
+                          min_count=args.min_count,
+                          max_words=args.max_words)
+        model.save(merges_path)
+        enc = bpe_encode_pandas(docs, idc, tc, model.merges) \
+            .join(docs.select(idc, "split"), idc).persist()
+        vocab = build_vocab(enc.filter(F.col("split") == 0), "tokens")
+        unk_id = len(vocab)
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(vocab)] + [(unk_id, "<unk>")],
+            "token_id int, token string").coalesce(1) \
+            .write.mode("overwrite").parquet(vocab_path)
     result["stages"]["tokenizer"] = {
         "n_merges": len(model.merges), "vocab_size": unk_id + 1,
         "wall_s": round(time.time() - t0, 2)}
@@ -215,16 +243,21 @@ def main(argv=None):
     packs = {}
     for s, (n_docs, n_toks) in sorted(tok_stats.items()):
         name = SPLIT_NAMES.get(s, str(s))
-        part, pack_key = parts[s]
-        packed = pack_sequences(part, pack_key, "token_ids",
-                                args.block_size, drop_last=(s == 0),
-                                seed=args.seed + s)
-        n_shards = args.n_shards if s == 0 else max(
-            1, round(args.n_shards * n_toks / train_toks))
-        write_shards(packed, "seq_id",
-                     f"{args.output}/packed/split={s}", n_shards,
-                     weight_col="n_tokens", seed=args.seed + s)
-        out = spark.read.parquet(f"{args.output}/packed/split={s}")
+        sp_path = f"{args.output}/packed/split={s}"
+        if args.resume and os.path.exists(f"{sp_path}/_SUCCESS"):
+            result["resumed"].append(f"pack/{name}")
+            n_shards = len([d for d in os.listdir(sp_path)
+                            if d.startswith("shard=")])
+        else:
+            part, pack_key = parts[s]
+            packed = pack_sequences(part, pack_key, "token_ids",
+                                    args.block_size, drop_last=(s == 0),
+                                    seed=args.seed + s)
+            n_shards = args.n_shards if s == 0 else max(
+                1, round(args.n_shards * n_toks / train_toks))
+            write_shards(packed, "seq_id", sp_path, n_shards,
+                         weight_col="n_tokens", seed=args.seed + s)
+        out = spark.read.parquet(sp_path)
         agg = out.agg(F.count(F.lit(1)).alias("blocks"),
                       F.sum("n_tokens").alias("toks")).collect()[0]
         packs[name] = {"blocks": int(agg["blocks"]),

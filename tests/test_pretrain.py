@@ -105,6 +105,30 @@ def test_pretrain_rerun_identical(pipeline, spark, tmp_path):
         assert a == b
 
 
+def test_pretrain_resume_skips_and_matches(pipeline, spark):
+    import shutil
+
+    out, res = pipeline
+    before = sorted((r["seq_id"], r["tokens"]) for r in
+                    spark.read.parquet(f"{out}/packed/split=0").collect())
+    shutil.rmtree(f"{out}/packed/split=0")
+    res2 = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
+                 "--no-gopher", "--no-neardup", "--merges", "8",
+                 "--min-count", "1", "--block-size", "64",
+                 "--n-shards", "2", "--seed", "1", "--resume"])
+    # curation + tokenizer + intact splits skipped; train repacked
+    assert "curate" in res2["resumed"]
+    assert "tokenizer" in res2["resumed"]
+    assert {"pack/val", "pack/test"} <= set(res2["resumed"])
+    assert "pack/train" not in res2["resumed"]
+    # determinism: the repacked train split is byte-identical
+    after = sorted((r["seq_id"], r["tokens"]) for r in
+                   spark.read.parquet(f"{out}/packed/split=0").collect())
+    assert before == after
+    assert res2["stages"]["pack"]["train"] == \
+        res["stages"]["pack"]["train"]
+
+
 def test_pretrain_mix_stage(tmp_path, spark):
     out = str(tmp_path / "mix")
     res = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
