@@ -123,6 +123,33 @@ def main(argv=None):
     result: dict = {"stages": {}, "resumed": []}
     t_all = time.time()
 
+    # determinism only makes resume safe for IDENTICAL parameters: stamp
+    # every output-shaping knob and refuse to resume across a change
+    # (otherwise stale shards would sit under a manifest claiming the
+    # new parameters)
+    knobs = {k: getattr(args, k) for k in
+             ("input", "merges", "min_count", "max_words", "block_size",
+              "n_shards", "seed", "mix", "mix_epochs", "splits", "rates",
+              "no_gopher", "c4", "line_dedup", "scrub_pii", "no_neardup",
+              "skip_curation")}
+    stamp_path = f"{args.output}/ARGS.json"
+    prior_result = None
+    if args.resume:
+        if os.path.exists(stamp_path):
+            prior = json.load(open(stamp_path))
+            if prior != knobs:
+                diff = {k: (prior.get(k), v) for k, v in knobs.items()
+                        if prior.get(k) != v}
+                raise SystemExit(
+                    f"--resume refused: parameters changed since the "
+                    f"existing output was written {diff}; use a fresh "
+                    f"--output (or delete it) to rebuild")
+        if os.path.exists(f"{args.output}/RESULT.json"):
+            prior_result = json.load(open(f"{args.output}/RESULT.json"))
+    os.makedirs(args.output, exist_ok=True)
+    with open(stamp_path, "w") as f:
+        json.dump(knobs, f)
+
     # -- stage 1: curation (sub-job via the file contract) --------------------
     if args.skip_curation:
         curated_path = args.input
@@ -168,6 +195,7 @@ def main(argv=None):
     t0 = time.time()
     merges_path = f"{args.output}/tokenizer/merges"
     vocab_path = f"{args.output}/tokenizer/vocab"
+    enc = None
     if args.resume and os.path.exists(f"{merges_path}/_SUCCESS") \
             and os.path.exists(f"{vocab_path}/_SUCCESS"):
         model = BPEModel.load(spark, merges_path)
@@ -176,8 +204,6 @@ def main(argv=None):
         vocab = [r["token"] for r in vrows[:-1]]  # last row is <unk>
         unk_id = len(vocab)
         result["resumed"].append("tokenizer")
-        enc = bpe_encode_pandas(docs, idc, tc, model.merges) \
-            .join(docs.select(idc, "split"), idc).persist()
     else:
         train_docs = docs.filter(F.col("split") == 0)
         model = bpe_train(train_docs, tc, n_merges=args.merges,
@@ -196,10 +222,53 @@ def main(argv=None):
         "n_merges": len(model.merges), "vocab_size": unk_id + 1,
         "wall_s": round(time.time() - t0, 2)}
 
+    # fully-resumed fast path: when the prior run's every packed split is
+    # intact (and the tokenizer was reusable), the corpus encode — the
+    # dominant compute — is skipped outright; stats come from the prior
+    # manifest and the packed parquet itself
+    prior_stages = (prior_result or {}).get("stages", {})
+    name_to_split = {v: k for k, v in SPLIT_NAMES.items()}
+    prior_splits = [name_to_split.get(n) for n in
+                    prior_stages.get("pack", {}) if n != "wall_s"]
+    if (args.resume and "tokenizer" in result["resumed"]
+            and prior_stages.get("encode") and prior_splits
+            and None not in prior_splits
+            and all(os.path.exists(
+                f"{args.output}/packed/split={s}/_SUCCESS")
+                for s in prior_splits)):
+        result["stages"]["encode"] = prior_stages["encode"]
+        result["resumed"].append("encode")
+        packs = {}
+        for s in sorted(prior_splits):
+            name = SPLIT_NAMES.get(s, str(s))
+            sp_path = f"{args.output}/packed/split={s}"
+            result["resumed"].append(f"pack/{name}")
+            out = spark.read.parquet(sp_path)
+            agg = out.agg(F.count(F.lit(1)).alias("blocks"),
+                          F.sum("n_tokens").alias("toks")).collect()[0]
+            packs[name] = {
+                "blocks": int(agg["blocks"]),
+                "tokens": int(agg["toks"] or 0),
+                "n_shards": len([d for d in os.listdir(sp_path)
+                                 if d.startswith("shard=")])}
+        if args.mix and prior_stages.get("mix"):
+            result["stages"]["mix"] = prior_stages["mix"]
+        result["stages"]["pack"] = packs
+        result["block_size"] = args.block_size
+        result["wall_s"] = round(time.time() - t_all, 2)
+        print(json.dumps(result))
+        with open(f"{args.output}/RESULT.json", "w") as f:
+            json.dump(result, f)
+        spark.stop()
+        return
+
     # -- stages 3-5 per split: encode -> ids -> pack -> shards -----------------
     t0 = time.time()
+    if enc is None:
+        enc = bpe_encode_pandas(docs, idc, tc, model.merges) \
+            .join(docs.select(idc, "split"), idc).persist()
     ids = tokens_to_ids_pandas(enc, idc, "tokens", vocab, unk_id=unk_id) \
-        .join(docs.select(idc, "split"), idc).persist()
+        .join(enc.select(idc, "split"), idc).persist()
     tok_stats = {int(r["split"]): (int(r["docs"]), int(r["toks"]))
                  for r in ids.groupBy("split")
                  .agg(F.count(F.lit(1)).alias("docs"),
@@ -253,8 +322,12 @@ def main(argv=None):
             packed = pack_sequences(part, pack_key, "token_ids",
                                     args.block_size, drop_last=(s == 0),
                                     seed=args.seed + s)
-            n_shards = args.n_shards if s == 0 else max(
-                1, round(args.n_shards * n_toks / train_toks))
+            # token-proportional share of the train shard count, clamped
+            # to [1, n_shards] (no train split -> train_toks falls back
+            # to 1 and the ratio explodes without the cap)
+            n_shards = args.n_shards if s == 0 else min(
+                args.n_shards, max(
+                    1, round(args.n_shards * n_toks / train_toks)))
             write_shards(packed, "seq_id", sp_path, n_shards,
                          weight_col="n_tokens", seed=args.seed + s)
         out = spark.read.parquet(sp_path)

@@ -405,9 +405,13 @@ def token_ids_sql(tokens_sql: str, vocab_list_sql: str,
     forbids subqueries inside lambdas, so callers bind it once via a
     cross join: ``CROSS JOIN (SELECT list(token ORDER BY token) AS vl
     FROM vocab)``); id = 0-based position in that order (list_position
-    is 1-based, hence the -1; coalesce handles unseen tokens)."""
+    is 1-based, hence the -1). Misses: DuckDB's list_position returns 0
+    for a missing element (NULL in some versions) — nullif(…, 0) folds
+    both conventions into NULL so coalesce lands on `unk_id` either
+    way (pinned by the dropped-vocab branch of the parity test)."""
     return (f"list_transform({tokens_sql}, t -> coalesce("
-            f"list_position({vocab_list_sql}, t) - 1, {unk_id})::INT)")
+            f"nullif(list_position({vocab_list_sql}, t), 0) - 1, "
+            f"{unk_id})::INT)")
 
 
 def tokens_to_ids_pandas(df: DataFrame, id_col: str, tokens_col: str,

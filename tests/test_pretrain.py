@@ -127,6 +127,27 @@ def test_pretrain_resume_skips_and_matches(pipeline, spark):
     assert before == after
     assert res2["stages"]["pack"]["train"] == \
         res["stages"]["pack"]["train"]
+    # fully-resumed fast path: everything intact now, so the corpus
+    # encode itself is skipped and stats come from manifest + disk
+    res3 = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
+                 "--no-gopher", "--no-neardup", "--merges", "8",
+                 "--min-count", "1", "--block-size", "64",
+                 "--n-shards", "2", "--seed", "1", "--resume"])
+    assert "encode" in res3["resumed"]
+    assert {"pack/train", "pack/val", "pack/test"} <= set(res3["resumed"])
+    assert res3["stages"]["pack"]["train"]["blocks"] == \
+        res["stages"]["pack"]["train"]["blocks"]
+    # resume across changed parameters is refused (stale shards would
+    # not match the new manifest)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    bad = subprocess.run(
+        [sys.executable, "jobs/pretrain.py", "--input", DOCS,
+         "--output", out, "--no-gopher", "--no-neardup", "--merges", "8",
+         "--min-count", "1", "--block-size", "128", "--n-shards", "2",
+         "--seed", "1", "--resume"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=120)
+    assert bad.returncode != 0
+    assert "refused" in bad.stderr
 
 
 def test_pretrain_mix_stage(tmp_path, spark):
@@ -188,6 +209,21 @@ def test_token_ids_expr_pandas_sql_parity(spark):
         f"(SELECT list(token ORDER BY token) AS vl FROM voc) v"
     ).fetchall()}
     assert {k: list(v) for k, v in got.items()} == a
+    # unseen-token branch on the SQL side too: drop one vocab entry so
+    # real lookups miss (list_position NULL -> coalesce -> unk id)
+    vocab2 = vocab[1:]
+    unk2 = len(vocab2)
+    a2 = {r["doc_id"]: r["ids"] for r in enc.select(
+        "doc_id", token_ids_expr(F.col("tokens"), vocab2, unk_id=unk2)
+        .alias("ids")).collect()}
+    assert any(unk2 in v for v in a2.values())  # the branch fires
+    con.register("voc2", pd.DataFrame({"token": vocab2}))
+    got2 = {r[0]: list(r[1]) for r in con.execute(
+        f"SELECT doc_id, {token_ids_sql('tokens', 'vl', unk2)} "
+        f"FROM enc CROSS JOIN "
+        f"(SELECT list(token ORDER BY token) AS vl FROM voc2) v"
+    ).fetchall()}
+    assert got2 == a2
 
 
 def test_token_ids_unknown_maps_to_unk(spark):
