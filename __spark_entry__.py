@@ -3016,6 +3016,24 @@ def _q_shard_plan(spark, sf_dir) -> DataFrame:
 
 MIX_SHARES = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
 MIX_EPOCHS, MIX_SEED = 2.0, 11
+REQ_QS, REQ_EPS = [0.5, 0.9, 0.99, 0.999], 0.1
+
+
+def _q_req_event_quantiles(spark, sf_dir) -> DataFrame:
+    """REQ relative-error quantiles (core/req.py — Cormode et al. 2021):
+    tail quantiles whose rank error shrinks with distance from the top,
+    so p99/p999 stay sharp where KLL's additive eps*n bound saturates.
+    Verified against exact RELATIVE rank windows (half-width
+    ceil(eps*(n-r+1))) — the windows hash-exact, the sketch lands
+    inside."""
+    from mahout_spark.sketch.agg import req_spec, sketch_by_key
+    from mahout_spark.sketch.queries import relative_quantile_bound_check
+
+    ev = _read(spark, sf_dir, "events")
+    spec = req_spec(32, seed=5)
+    sk = sketch_by_key(ev, ["event_type"], spec, value_col="value")
+    return relative_quantile_bound_check(sk, spec, ev, ["event_type"],
+                                         "value", REQ_QS, rel_eps=REQ_EPS)
 
 
 def _q_mixture_plan(spark, sf_dir) -> DataFrame:
@@ -3205,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pack": _q_bpe_pack,
         "mixture_plan": _q_mixture_plan,
         "mixture_sample": _q_mixture_sample,
+        "req_event_quantiles": _q_req_event_quantiles,
     }
 
 
@@ -3361,6 +3380,15 @@ def _sequence_pack_oracle() -> str:
         "SELECT doc_id, text FROM documents", "doc_id",
         tokens_array_sql("text"), PACK_BLOCK, drop_last=True,
         seed=PACK_SEED)
+
+
+def _req_quantiles_oracle() -> str:
+    from mahout_spark.sketch.queries import (
+        relative_quantile_bound_oracle_sql)
+
+    return relative_quantile_bound_oracle_sql(
+        "SELECT event_type, value FROM events", ["event_type"], "value",
+        REQ_QS, REQ_EPS)
 
 
 def _mixture_plan_oracle() -> str:
@@ -4517,6 +4545,7 @@ FROM u GROUP BY 1""",
         "bpe_pack": _bpe_pack_oracle(),
         "mixture_plan": _mixture_plan_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
+        "req_event_quantiles": _req_quantiles_oracle(),
         "thin_qr_r": """
 WITH g AS (
   SELECT sum(l_quantity * l_quantity) AS g00,

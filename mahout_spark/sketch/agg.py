@@ -45,6 +45,7 @@ from mahout_spark.core.countsketch import CountSketch
 from mahout_spark.core.hll import HyperLogLog
 from mahout_spark.core.kll import KLLSketch
 from mahout_spark.core.priority import PrioritySample
+from mahout_spark.core.req import REQSketch
 from mahout_spark.core.spacesaving import MisraGries
 from mahout_spark.core.tdigest import TDigest
 from mahout_spark.core.moments import MomentsSketch
@@ -81,7 +82,7 @@ class SketchSpec:
             "mg": MisraGries, "theta": ThetaSketch, "csk": CountSketch,
             "tdigest": TDigest, "kll": KLLSketch, "psk": PrioritySample,
             "tus": TupleSketch, "mms": MomentsSketch,
-            "cbf": CountingBloomFilter,
+            "cbf": CountingBloomFilter, "req": REQSketch,
         }[self.kind].deserialize(bytes(blob))
 
 
@@ -158,6 +159,16 @@ def tdigest_spec(compression: float = 100.0,
 def kll_spec(k: int = 200, seed: int = 1) -> SketchSpec:
     return SketchSpec(
         "kll", make=lambda: KLLSketch(k, seed),
+        update=lambda s, k_, v: s.update_batch(v),
+        needs_key=False, needs_value=True)
+
+
+def req_spec(k: int = 32, seed: int = 1) -> SketchSpec:
+    """REQ relative-error quantile sketch (core/req.py): tail-accurate
+    sibling of kll_spec — same raw-row contract (rank queries are
+    order statistics, no linear preagg exists)."""
+    return SketchSpec(
+        "req", make=lambda: REQSketch(k, seed),
         update=lambda s, k_, v: s.update_batch(v),
         needs_key=False, needs_value=True)
 
@@ -301,7 +312,8 @@ SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "tdigest": tdigest_spec, "kll": kll_spec, "mg": mg_spec,
                 "theta": theta_spec, "csk": countsketch_spec,
                 "psk": priority_spec, "tus": tuple_spec,
-                "mms": moments_spec, "cbf": countingbloom_spec}
+                "mms": moments_spec, "cbf": countingbloom_spec,
+                "req": req_spec}
 
 
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:

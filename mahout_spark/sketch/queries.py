@@ -444,6 +444,85 @@ FROM b JOIN ranked lo ON {on_lo} AND lo.rn = b.lo_r
 """
 
 
+def relative_quantile_bound_check(sketch_df: DataFrame, spec: SketchSpec,
+                                  source_df: DataFrame,
+                                  group_cols: list[str], value_col: str,
+                                  qs: list[float],
+                                  rel_eps: float) -> DataFrame:
+    """``quantile_bound_check`` with RELATIVE (HRA) rank windows — the
+    REQ sketch's contract: at rank r = ceil(q·n) the window half-width is
+    d = ceil(rel_eps · (n − r + 1)), i.e. proportional to the distance
+    from the TOP, so a p999 probe demands near-exactness while a median
+    probe tolerates rel_eps·n/2. Same verification-query caveat as the
+    additive version (per-group sort at gate scale only)."""
+    from pyspark.sql import Window
+
+    est = None
+    for q in qs:
+        o = sketch_eval(sketch_df, spec, "quantile", "est", args=(q,)) \
+            .withColumn("q", F.lit(float(q)))
+        est = o if est is None else est.unionByName(o)
+
+    src = source_df.select(*group_cols,
+                           F.col(value_col).cast("double").alias("__v"))
+    n_df = src.groupBy(*group_cols).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(*group_cols).orderBy("__v")
+    ranked = src.withColumn("__rn", F.row_number().over(w))
+    qs_df = est.sparkSession.createDataFrame([(float(q),) for q in qs],
+                                             "q double")
+    r = F.ceil(F.col("q") * F.col("__n"))
+    d = F.ceil(F.lit(float(rel_eps)) * (F.col("__n") - r + F.lit(1)))
+    bounds = (n_df.crossJoin(qs_df)
+              .withColumn("__lo_r", F.greatest(F.lit(1).cast("long"),
+                                               (r - d).cast("long")))
+              .withColumn("__hi_r", F.least(F.col("__n").cast("long"),
+                                            (r + d).cast("long"))))
+    lo = ranked.select(*group_cols, F.col("__rn").alias("__lo_r"),
+                       F.col("__v").alias("lo_val"))
+    hi = ranked.select(*group_cols, F.col("__rn").alias("__hi_r"),
+                       F.col("__v").alias("hi_val"))
+    out = (bounds.join(lo, [*group_cols, "__lo_r"])
+           .join(hi, [*group_cols, "__hi_r"])
+           .join(est, [*group_cols, "q"]))
+    return out.select(
+        *group_cols, "q", "lo_val", "hi_val",
+        ((F.col("est") >= F.col("lo_val"))
+         & (F.col("est") <= F.col("hi_val"))).alias("within"))
+
+
+def relative_quantile_bound_oracle_sql(source_sql: str,
+                                       group_cols: list[str],
+                                       value_expr: str, qs: list[float],
+                                       rel_eps: float) -> str:
+    """DuckDB twin of ``relative_quantile_bound_check``: exact relative
+    rank-window values and ``TRUE`` for ``within``."""
+    gsel = ", ".join(group_cols)
+    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    on_lo = " AND ".join(f"lo.{g} = b.{g}" for g in group_cols)
+    on_hi = " AND ".join(f"hi.{g} = b.{g}" for g in group_cols)
+    b_g = ", ".join(f"b.{g}" for g in group_cols)
+    return f"""
+WITH src AS (SELECT {gsel}, ({value_expr})::DOUBLE AS v
+             FROM ({source_sql})),
+n AS (SELECT {gsel}, count(*) AS n FROM src GROUP BY {gsel}),
+ranked AS (SELECT {gsel}, v,
+                  row_number() OVER (PARTITION BY {gsel} ORDER BY v) AS rn
+           FROM src),
+qs(q) AS (SELECT * FROM (VALUES {q_rows}) t(q)),
+rd AS (SELECT {gsel}, q, n, ceil(q * n)::BIGINT AS r,
+              ceil({float(rel_eps)!r} * (n - ceil(q * n)::BIGINT + 1))::BIGINT
+                AS d
+       FROM n CROSS JOIN qs),
+b AS (SELECT {gsel}, q,
+             greatest(1, r - d) AS lo_r,
+             least(n, r + d) AS hi_r
+      FROM rd)
+SELECT {b_g}, b.q, lo.v AS lo_val, hi.v AS hi_val, TRUE AS within
+FROM b JOIN ranked lo ON {on_lo} AND lo.rn = b.lo_r
+       JOIN ranked hi ON {on_hi} AND hi.rn = b.hi_r
+"""
+
+
 def hll_distinct_oracle_sql(token_source_sql: str, p: int,
                             group_col: str = "lang",
                             token_col: str = "token",
