@@ -110,3 +110,51 @@ def test_quantile_sketch_merge_bounds(a, b):
         # guaranteed for tiny inputs, but monotonicity of quantiles is
         qs = [m.quantile(q) for q in (0.1, 0.3, 0.5, 0.7, 0.9)]
         assert all(x <= y + 1e-9 for x, y in zip(qs, qs[1:]))
+
+
+# -- REQ (relative-error quantiles) -------------------------------------------
+
+def _build_req(vals):
+    from mahout_spark.core.req import REQSketch
+
+    s = REQSketch(k=8, seed=7)
+    if vals:
+        s.update_batch(np.array(vals, dtype=np.float64))
+    return s
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals_st)
+def test_req_count_and_range(vals):
+    s = _build_req(vals)
+    assert s.n == len(vals)
+    if vals:
+        q = s.quantile(0.5)
+        assert min(vals) <= q <= max(vals)
+        # quantiles are retained values: every estimate is a real input
+        assert q in set(vals) or any(abs(q - v) == 0 for v in vals)
+    else:
+        assert np.isnan(s.quantile(0.5))
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals_st, vals_st)
+def test_req_merge_count_and_serde(a, b):
+    m = _build_req(a).merge(_build_req(b))
+    assert m.n == len(a) + len(b)
+    from mahout_spark.core.req import REQSketch
+
+    rt = REQSketch.deserialize(m.serialize())
+    assert rt.n == m.n
+    for q in (0.1, 0.5, 0.9):
+        x, y = rt.quantile(q), m.quantile(q)
+        assert (np.isnan(x) and np.isnan(y)) or x == y
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=1e6, allow_nan=False),
+                min_size=50, max_size=400))
+def test_req_monotone_quantiles(vals):
+    s = _build_req(vals)
+    qs = [s.quantile(q) for q in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99)]
+    assert qs == sorted(qs)

@@ -166,3 +166,54 @@ def test_windowed_cms_stream_matches_batch_byte_exact(spark):
         a = CountMinSketch.deserialize(blob)
         b = CountMinSketch.deserialize(want[key])
         assert np.array_equal(a.counts, b.counts), key
+
+
+@pytest.mark.slow
+def test_windowed_req_matches_batch(spark):
+    """REQ rides the same stateful windowed path: each closed window's
+    sketch answers tail quantiles within the relative bound of a batch
+    build over the same events."""
+    import numpy as np
+
+    from mahout_spark.core.req import REQSketch
+    from mahout_spark.sketch.agg import req_spec
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(800):
+        rows.append((base + pd.Timedelta(minutes=(i % 170)),
+                     "a" if i % 2 == 0 else "b", float(i) ** 1.5))
+    pdf = pd.DataFrame(rows, columns=["ts", "etype", "value"])
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(
+            "ts timestamp, etype string, value double").parquet(src)
+        out = windowed_sketch_stream(stream, req_spec(32, seed=3), "ts",
+                                     "etype", value_col="value",
+                                     window="1 hour",
+                                     watermark="0 seconds")
+        q = (out.writeStream.format("parquet")
+             .option("path", os.path.join(tmp, "out"))
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(tmp, "out")).collect()
+
+    closed = {(r["w_start"].hour, r["grp"]): REQSketch.deserialize(
+        bytes(r["sketch"])) for r in got}
+    assert len(closed) >= 2
+    for (hour, grp), sk in closed.items():
+        vals = pdf[(pdf["ts"].dt.hour == hour)
+                   & (pdf["etype"] == grp)]["value"].to_numpy()
+        assert sk.n == len(vals)
+        if sk.n == 0:
+            continue
+        srt = np.sort(vals)
+        n = len(vals)
+        for q_ in (0.5, 0.9, 0.99):
+            est = sk.quantile(q_)
+            r = int(np.ceil(q_ * n))
+            tr = np.searchsorted(srt, est, side="right")
+            assert abs(tr - r) <= 0.1 * (n - r + 1) + 2
