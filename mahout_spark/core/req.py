@@ -61,6 +61,7 @@ class _Compactor:
     section_size: int
     num_sections: int = 3
     state: int = 0  # compaction counter (drives the section schedule)
+    hra: bool = True
     buf: np.ndarray = field(default_factory=lambda: np.empty(0),
                             repr=False)
 
@@ -69,20 +70,25 @@ class _Compactor:
         return 2 * self.num_sections * self.section_size
 
     def compact(self, coin: int) -> np.ndarray:
-        """Sort, compact the schedule-chosen low region, return the
-        promoted items. Only ``secs·section_size`` items leave per
-        compaction (secs follows the trailing-ones schedule) and the top
-        ``num_sections·section_size`` items are never touched — repeated
-        calls drain an over-full buffer while the schedule state keeps
-        advancing."""
+        """Sort, compact the schedule-chosen region on the INACCURATE
+        side, return the promoted items. Only ``secs·section_size``
+        items leave per compaction (secs follows the trailing-ones
+        schedule) and ``num_sections·section_size`` items on the
+        accurate end (top for HRA, bottom for LRA) are never touched —
+        repeated calls drain an over-full buffer while the schedule
+        state keeps advancing."""
         self.buf = np.sort(self.buf, kind="stable")
         secs = min(_trailing_ones(self.state) + 1, self.num_sections)
         protect = self.num_sections * self.section_size
         compactable = max(len(self.buf) - protect, 0)
-        lo_len = min(max(secs * self.section_size, 2), compactable)
-        low, high = self.buf[:lo_len], self.buf[lo_len:]
-        promoted = low[coin::2]
-        self.buf = high
+        c_len = min(max(secs * self.section_size, 2), compactable)
+        if self.hra:
+            region, kept = self.buf[:c_len], self.buf[c_len:]
+        else:
+            cut = len(self.buf) - c_len
+            kept, region = self.buf[:cut], self.buf[cut:]
+        promoted = region[coin::2]
+        self.buf = kept
         self.state += 1
         if self.state >= (1 << self.num_sections) \
                 and self.section_size > _MIN_SEC:
@@ -93,10 +99,15 @@ class _Compactor:
 
 @dataclass
 class REQSketch:
-    """HRA relative-error quantile sketch over float64 values."""
+    """Relative-error quantile sketch over float64 values.
+
+    ``hra=True`` (default) protects HIGH ranks (p99/p999 tails);
+    ``hra=False`` is the LRA variant protecting LOW ranks (minima /
+    p001 floors) — the same DataSketches mode switch."""
 
     k: int = 32  # initial section size (even, >= 4)
     seed: int = 1
+    hra: bool = True
     levels: list = field(default_factory=list, repr=False)
     n: int = 0
     _compactions: int = 0
@@ -105,7 +116,7 @@ class REQSketch:
         if self.k < _MIN_SEC or self.k % 2:
             raise ValueError("k must be an even integer >= 4")
         if not self.levels:
-            self.levels = [_Compactor(self.k)]
+            self.levels = [_Compactor(self.k, hra=self.hra)]
 
     # -- updates ---------------------------------------------------------
     def update_batch(self, values: np.ndarray) -> None:
@@ -147,7 +158,7 @@ class REQSketch:
                 return
             promoted = self.levels[over].compact(self._coin())
             if over + 1 >= len(self.levels):
-                self.levels.append(_Compactor(self.k))
+                self.levels.append(_Compactor(self.k, hra=self.hra))
             up = self.levels[over + 1]
             up.buf = np.concatenate([up.buf, promoted])
 
@@ -194,9 +205,9 @@ class REQSketch:
 
     # -- merge -----------------------------------------------------------
     def merge(self, other: "REQSketch") -> "REQSketch":
-        if self.k != other.k:
-            raise ValueError("merge requires identical k")
-        out = REQSketch(self.k, self.seed)
+        if self.k != other.k or self.hra != other.hra:
+            raise ValueError("merge requires identical k and hra mode")
+        out = REQSketch(self.k, self.seed, hra=self.hra)
         H = max(len(self.levels), len(other.levels))
         out.levels = []
         for h in range(H):
@@ -208,7 +219,7 @@ class REQSketch:
                 [c for c in (a, b) if c is not None],
                 key=lambda c: (c.state, -c.section_size))
             c = _Compactor(pick.section_size, pick.num_sections,
-                           pick.state)
+                           pick.state, hra=self.hra)
             c.buf = np.concatenate(
                 [x.buf for x in (a, b) if x is not None])
             out.levels.append(c)
@@ -219,8 +230,9 @@ class REQSketch:
 
     # -- serialization ---------------------------------------------------
     def serialize(self) -> bytes:
-        header = struct.pack("<4sIqqII", _MAGIC, self.k, self.seed,
-                             self.n, self._compactions, len(self.levels))
+        header = struct.pack("<4sIqqIII", _MAGIC, self.k, self.seed,
+                             self.n, self._compactions, len(self.levels),
+                             int(self.hra))
         parts = [header]
         for c in self.levels:
             parts.append(struct.pack("<III", c.section_size,
@@ -232,24 +244,24 @@ class REQSketch:
     @classmethod
     def deserialize(cls, data: bytes) -> "REQSketch":
         try:
-            magic, k, seed, n, comps, nlev = struct.unpack_from(
-                "<4sIqqII", data)
+            magic, k, seed, n, comps, nlev, hra = struct.unpack_from(
+                "<4sIqqIII", data)
         except struct.error as e:
             raise ValueError("not a REQ blob") from e
         if magic != _MAGIC:
             raise ValueError("not a REQ blob")
-        off = struct.calcsize("<4sIqqII")
+        off = struct.calcsize("<4sIqqIII")
         levels = []
         for _ in range(nlev):
             ss, ns, st = struct.unpack_from("<III", data, off)
             off += 12
             (cnt,) = struct.unpack_from("<I", data, off)
             off += 4
-            c = _Compactor(ss, ns, st)
+            c = _Compactor(ss, ns, st, hra=bool(hra))
             c.buf = np.frombuffer(data, dtype=np.float64, offset=off,
                                   count=cnt).copy()
             off += 8 * cnt
             levels.append(c)
-        out = cls(k=k, seed=seed, levels=levels, n=n)
+        out = cls(k=k, seed=seed, hra=bool(hra), levels=levels, n=n)
         out._compactions = comps
         return out

@@ -163,12 +163,13 @@ def kll_spec(k: int = 200, seed: int = 1) -> SketchSpec:
         needs_key=False, needs_value=True)
 
 
-def req_spec(k: int = 32, seed: int = 1) -> SketchSpec:
+def req_spec(k: int = 32, seed: int = 1, hra: bool = True) -> SketchSpec:
     """REQ relative-error quantile sketch (core/req.py): tail-accurate
     sibling of kll_spec — same raw-row contract (rank queries are
-    order statistics, no linear preagg exists)."""
+    order statistics, no linear preagg exists). ``hra=False`` protects
+    LOW ranks instead (minima / p001 floors)."""
     return SketchSpec(
-        "req", make=lambda: REQSketch(k, seed),
+        "req", make=lambda: REQSketch(k, seed, hra=hra),
         update=lambda s, k_, v: s.update_batch(v),
         needs_key=False, needs_value=True)
 

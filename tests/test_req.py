@@ -149,3 +149,25 @@ def test_distributed_build_within_relative_windows(spark):
         [0.5, 0.9, 0.99, 0.999], rel_eps=0.1).collect()
     assert len(out) > 0
     assert all(r["within"] for r in out)
+
+
+def test_lra_mode_protects_low_ranks():
+    """hra=False flips the protected end: minima/p001 floors become the
+    sharp side (and the serialized blob keeps the mode)."""
+    rng = np.random.default_rng(3)
+    data = rng.lognormal(0, 2, 300_000)
+    srt = np.sort(data)
+    n = len(data)
+    s = REQSketch(k=32, seed=1, hra=False)
+    s.update_batch(data)
+    for q in (0.0001, 0.001, 0.01):
+        est = s.quantile(q)
+        r = int(np.ceil(q * n))
+        tr = np.searchsorted(srt, est, side="right")
+        # error relative to distance from the BOTTOM
+        assert abs(tr - r) <= 0.08 * max(r, 1) + 2, q
+    s2 = REQSketch.deserialize(s.serialize())
+    assert s2.hra is False
+    assert s2.quantile(0.001) == s.quantile(0.001)
+    with pytest.raises(ValueError):
+        s.merge(REQSketch(k=32, hra=True))
