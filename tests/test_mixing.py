@@ -15,7 +15,12 @@ DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(DOCS).cache()
+    # unpersist at teardown: a leaked cache entry substitutes an
+    # InMemoryRelation for every later identical read in the shared
+    # session, breaking the plan-audit tests' pruning assertions
+    d = spark.read.parquet(DOCS).cache()
+    yield d
+    d.unpersist()
 
 
 @pytest.fixture(scope="module")
