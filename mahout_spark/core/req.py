@@ -1,4 +1,4 @@
-"""REQ sketch: RELATIVE-error streaming quantiles (HRA mode).
+"""REQ sketch: RELATIVE-error streaming quantiles (HRA + LRA modes).
 
 Cormode, Karnin, Liberty, Thaler, Veselý — "Relative Error Streaming
 Quantiles" (PODS 2021; the Apache DataSketches ``req_sketch``). KLL and
@@ -7,7 +7,9 @@ eps·n, which is useless exactly where web-corpus monitoring looks:
 p99/p999/max-ish tail latencies, document-length outliers, head-domain
 sizes. REQ bounds the error RELATIVE to the distance from the accurate
 end — in high-rank-accuracy (HRA) mode the estimate of a rank r is off
-by O(eps · (n − r)), so the p999 of 10^12 rows is as sharp as the p50.
+by O(eps · (n − r)), so the p999 of 10^12 rows is as sharp as the p50;
+``hra=False`` (LRA) mirrors the protection to LOW ranks — error
+O(eps · r) — for minima / p001 floors.
 
 Mechanics (the paper's relative-compactor scheme, same simplification
 discipline as core/kll.py — which pins a fixed 2/3 capacity decay):
@@ -15,11 +17,13 @@ discipline as core/kll.py — which pins a fixed 2/3 capacity decay):
 - a stack of compactors; items at level h carry weight 2^h;
 - each compactor holds ``num_sections`` sections of ``section_size``
   items (capacity = 2·num_sections·section_size);
-- on overflow the buffer is sorted and only its LOW part is compacted
-  (every other item promoted, offset by a deterministic splitmix coin —
-  the engine-wide no-rand() rule), the high ``num_sections·section_size``
-  items are PROTECTED in place: high values survive uncompacted longer,
-  which is exactly where the relative guarantee comes from;
+- on overflow the buffer is sorted and only its INACCURATE side is
+  compacted (every other item promoted, offset by a deterministic
+  splitmix coin — the engine-wide no-rand() rule) while
+  ``num_sections·section_size`` items on the accurate end (top for HRA,
+  bottom for LRA) are PROTECTED in place: values near the accurate end
+  survive uncompacted longer, which is exactly where the relative
+  guarantee comes from;
 - the number of low sections compacted follows the trailing-ones
   schedule of the compaction counter (1, 2, 1, 3, 1, 2, 1, 4, …), and
   after 2^num_sections compactions the sections double and halve in
@@ -44,7 +48,8 @@ import numpy as np
 
 from mahout_spark.core.hashing import splitmix64
 
-_MAGIC = b"REQ1"
+_MAGIC = b"REQ2"
+_MAGIC_V1 = b"REQ1"  # pre-LRA layout (no hra field; implicitly HRA)
 _MIN_SEC = 4
 
 
@@ -107,10 +112,12 @@ class REQSketch:
 
     k: int = 32  # initial section size (even, >= 4)
     seed: int = 1
-    hra: bool = True
     levels: list = field(default_factory=list, repr=False)
     n: int = 0
     _compactions: int = 0
+    # kept LAST so the pre-LRA positional signature (k, seed, levels, n)
+    # still binds correctly; pass as a keyword
+    hra: bool = True
 
     def __post_init__(self):
         if self.k < _MIN_SEC or self.k % 2:
@@ -244,13 +251,20 @@ class REQSketch:
     @classmethod
     def deserialize(cls, data: bytes) -> "REQSketch":
         try:
-            magic, k, seed, n, comps, nlev, hra = struct.unpack_from(
-                "<4sIqqIII", data)
+            (magic,) = struct.unpack_from("<4s", data)
+            if magic == _MAGIC_V1:  # legacy pre-LRA layout: hra=True
+                k, seed, n, comps, nlev = struct.unpack_from(
+                    "<IqqII", data, 4)
+                hra = 1
+                off = struct.calcsize("<4sIqqII")
+            else:
+                magic, k, seed, n, comps, nlev, hra = struct.unpack_from(
+                    "<4sIqqIII", data)
+                off = struct.calcsize("<4sIqqIII")
         except struct.error as e:
             raise ValueError("not a REQ blob") from e
-        if magic != _MAGIC:
+        if magic not in (_MAGIC, _MAGIC_V1):
             raise ValueError("not a REQ blob")
-        off = struct.calcsize("<4sIqqIII")
         levels = []
         for _ in range(nlev):
             ss, ns, st = struct.unpack_from("<III", data, off)

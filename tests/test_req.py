@@ -171,3 +171,31 @@ def test_lra_mode_protects_low_ranks():
     assert s2.quantile(0.001) == s.quantile(0.001)
     with pytest.raises(ValueError):
         s.merge(REQSketch(k=32, hra=True))
+
+
+def test_legacy_v1_blob_deserializes_as_hra():
+    """Pre-LRA REQ1 blobs (no hra field) still load, as hra=True."""
+    import struct
+
+    s = REQSketch(k=32, seed=2)
+    s.update_batch(np.arange(500.0))
+    blob = s.serialize()
+    # rebuild the v1 layout: old header (no hra word) + same level data
+    hdr_new = struct.calcsize("<4sIqqIII")
+    _, k, seed, n, comps, nlev, hra = struct.unpack_from("<4sIqqIII",
+                                                         blob)
+    v1 = struct.pack("<4sIqqII", b"REQ1", k, seed, n, comps, nlev) \
+        + blob[hdr_new:]
+    s2 = REQSketch.deserialize(v1)
+    assert s2.hra is True and s2.n == s.n
+    assert s2.quantile(0.9) == s.quantile(0.9)
+
+
+def test_positional_signature_binds_levels():
+    """hra stays the LAST field: REQSketch(k, seed, levels, n) keeps its
+    pre-LRA positional meaning (a regression here silently discards the
+    caller's levels)."""
+    donor = REQSketch(k=32, seed=1)
+    donor.update_batch(np.arange(100.0))
+    s = REQSketch(32, 1, donor.levels, donor.n)
+    assert s.n == 100 and s.quantile(0.5) == 49.0 and s.hra is True
