@@ -64,6 +64,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SPLIT_NAMES = {0: "train", 1: "val", 2: "test"}
 
 
+def _split_intact(spark, sp_path: str) -> bool:
+    """A packed split counts as resumable when its _SUCCESS marker
+    exists AND (when a _MANIFEST.json was written) the shard manifest
+    recomputed from the parquet matches bit-for-bit — a corrupted or
+    half-overwritten layout falls through to a repack instead of being
+    silently reused."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(f"{sp_path}/_SUCCESS"):
+        return False
+    man_path = f"{sp_path}/_MANIFEST.json"
+    if _os.path.exists(man_path):
+        from mahout_spark.operators.packing import verify_shards
+
+        return not verify_shards(spark, sp_path,
+                                 _json.load(open(man_path)),
+                                 "seq_id", "tokens")
+    return True  # pre-manifest layout: trust the marker
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -116,7 +137,9 @@ def main(argv=None):
     from mahout_spark.operators.bpe import (BPEModel, bpe_encode_pandas,
                                             bpe_train, build_vocab,
                                             tokens_to_ids_pandas)
-    from mahout_spark.operators.packing import pack_sequences, write_shards
+    from mahout_spark.operators.packing import (pack_sequences,
+                                                shard_manifest,
+                                                write_shards)
     from mahout_spark.session import get_spark
 
     idc, tc = args.id_col, args.text_col
@@ -233,9 +256,9 @@ def main(argv=None):
     if (args.resume and "tokenizer" in result["resumed"]
             and prior_stages.get("encode") and prior_splits
             and None not in prior_splits
-            and all(os.path.exists(
-                f"{args.output}/packed/split={s}/_SUCCESS")
-                for s in prior_splits)):
+            and all(_split_intact(spark,
+                                  f"{args.output}/packed/split={s}")
+                    for s in prior_splits)):
         result["stages"]["encode"] = prior_stages["encode"]
         result["resumed"].append("encode")
         packs = {}
@@ -313,7 +336,7 @@ def main(argv=None):
     for s, (n_docs, n_toks) in sorted(tok_stats.items()):
         name = SPLIT_NAMES.get(s, str(s))
         sp_path = f"{args.output}/packed/split={s}"
-        if args.resume and os.path.exists(f"{sp_path}/_SUCCESS"):
+        if args.resume and _split_intact(spark, sp_path):
             result["resumed"].append(f"pack/{name}")
             n_shards = len([d for d in os.listdir(sp_path)
                             if d.startswith("shard=")])
@@ -330,6 +353,11 @@ def main(argv=None):
                     1, round(args.n_shards * n_toks / train_toks)))
             write_shards(packed, "seq_id", sp_path, n_shards,
                          weight_col="n_tokens", seed=args.seed + s)
+            man = [r.asDict() for r in shard_manifest(
+                spark.read.parquet(sp_path), "seq_id", "tokens")
+                .collect()]
+            with open(f"{sp_path}/_MANIFEST.json", "w") as f:
+                json.dump(man, f)
         out = spark.read.parquet(sp_path)
         agg = out.agg(F.count(F.lit(1)).alias("blocks"),
                       F.sum("n_tokens").alias("toks")).collect()[0]

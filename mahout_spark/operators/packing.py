@@ -235,3 +235,54 @@ def write_shards(df: DataFrame, id_col: str, path: str, n_shards: int,
      .sortWithinPartitions("shard", "__k", id_col)
      .drop("__k", "__w", "start")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def shard_manifest(df: DataFrame, id_col: str,
+                   tokens_col: str | None = None) -> DataFrame:
+    """(shard, n_rows[, n_tokens], ids_md5[, content_md5]) per shard —
+    the data-loader contract for a written shard layout: a trainer (or a
+    resumed pipeline) can verify a shard's integrity without trusting
+    _SUCCESS markers. Hashes are order-canonical (per-row digests sorted
+    before the shard digest), so any partitioning of the read reproduces
+    them. One groupBy over the shard column; the result is
+    n_shards-bounded."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.col(id_col).cast("string"))))).alias("ids_md5"),
+    ]
+    if tokens_col is not None:
+        row_h = F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"),
+            F.concat_ws(SEP, F.col(tokens_col))))
+        aggs += [
+            F.sum(F.size(tokens_col)).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(row_h))))
+            .alias("content_md5"),
+        ]
+    return df.groupBy(F.col("shard").cast("int").alias("shard")).agg(*aggs)
+
+
+def verify_shards(spark, path: str, manifest: list[dict], id_col: str,
+                  tokens_col: str | None = None) -> list[str]:
+    """Recompute `shard_manifest` over a written layout and diff it
+    against a stored manifest (the _MANIFEST.json contract written by
+    jobs/pretrain.py). Returns a list of human-readable mismatches —
+    empty means the layout is bit-intact."""
+    got = {int(r["shard"]): r.asDict() for r in shard_manifest(
+        spark.read.parquet(path), id_col, tokens_col).collect()}
+    want = {int(m["shard"]): m for m in manifest}
+    problems = []
+    for sh in sorted(set(got) | set(want)):
+        if sh not in got:
+            problems.append(f"shard {sh}: in manifest but not on disk")
+            continue
+        if sh not in want:
+            problems.append(f"shard {sh}: on disk but not in manifest")
+            continue
+        for k, v in want[sh].items():
+            if k != "shard" and got[sh].get(k) != v:
+                problems.append(
+                    f"shard {sh}: {k} mismatch "
+                    f"(manifest {v!r}, disk {got[sh].get(k)!r})")
+    return problems

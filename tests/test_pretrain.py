@@ -150,6 +150,47 @@ def test_pretrain_resume_skips_and_matches(pipeline, spark):
     assert "refused" in bad.stderr
 
 
+def test_shard_manifest_verifies_and_heals(pipeline, spark):
+    """Each packed split carries a _MANIFEST.json (order-canonical
+    per-shard digests); verify_shards proves integrity, and a corrupted
+    split fails verification so --resume repacks it instead of silently
+    reusing it."""
+    import glob
+
+    from mahout_spark.operators.packing import verify_shards
+
+    out, res = pipeline
+    for s in (0, 1, 2):
+        sp = f"{out}/packed/split={s}"
+        man = json.load(open(f"{sp}/_MANIFEST.json"))
+        assert len(man) == res["stages"]["pack"][
+            {0: "train", 1: "val", 2: "test"}[s]]["n_shards"]
+        assert verify_shards(spark, sp, man, "seq_id", "tokens") == []
+    # corrupt: drop one parquet part from train shard 0
+    sp0 = f"{out}/packed/split=0"
+    victim = glob.glob(f"{sp0}/shard=0/*.parquet")[0]
+    os.remove(victim)
+    man0 = json.load(open(f"{sp0}/_MANIFEST.json"))
+    assert verify_shards(spark, sp0, man0, "seq_id", "tokens") != []
+    before = {r["seq_id"]: r["tokens"] for r in
+              spark.read.parquet(f"{out}/packed/split=1").collect()}
+    res2 = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
+                 "--no-gopher", "--no-neardup", "--merges", "8",
+                 "--min-count", "1", "--block-size", "64",
+                 "--n-shards", "2", "--seed", "1", "--resume"])
+    # the corrupted split was repacked, the intact ones were skipped
+    assert "pack/train" not in res2["resumed"]
+    assert {"pack/val", "pack/test"} <= set(res2["resumed"])
+    assert res2["stages"]["pack"]["train"] == \
+        res["stages"]["pack"]["train"]
+    assert verify_shards(spark, sp0,
+                         json.load(open(f"{sp0}/_MANIFEST.json")),
+                         "seq_id", "tokens") == []
+    after = {r["seq_id"]: r["tokens"] for r in
+             spark.read.parquet(f"{out}/packed/split=1").collect()}
+    assert before == after
+
+
 def test_pretrain_mix_stage(tmp_path, spark):
     out = str(tmp_path / "mix")
     res = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
