@@ -64,25 +64,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SPLIT_NAMES = {0: "train", 1: "val", 2: "test"}
 
 
-def _split_intact(spark, sp_path: str) -> bool:
-    """A packed split counts as resumable when its _SUCCESS marker
+def _split_intact(spark, sp_path: str) -> tuple[bool, list | None]:
+    """(intact, manifest-or-None) for a packed split. Intact = _SUCCESS
     exists AND (when a _MANIFEST.json was written) the shard manifest
-    recomputed from the parquet matches bit-for-bit — a corrupted or
-    half-overwritten layout falls through to a repack instead of being
-    silently reused."""
-    import json as _json
-    import os as _os
-
-    if not _os.path.exists(f"{sp_path}/_SUCCESS"):
-        return False
+    recomputed from the parquet matches bit-for-bit. ANY read/parse
+    failure — truncated part file, missing parts, half-written manifest
+    JSON — counts as not-intact (logged to stderr with the diagnostics),
+    so --resume repacks instead of crashing: self-healing over trusting.
+    A pre-manifest layout returns (True, None); the caller backfills its
+    manifest. Callers memoize — verification reads the whole split."""
+    if not os.path.exists(f"{sp_path}/_SUCCESS"):
+        return False, None
     man_path = f"{sp_path}/_MANIFEST.json"
-    if _os.path.exists(man_path):
-        from mahout_spark.operators.packing import verify_shards
+    if not os.path.exists(man_path):
+        return True, None  # pre-manifest layout: trust the marker
+    from mahout_spark.operators.packing import verify_shards
 
-        return not verify_shards(spark, sp_path,
-                                 _json.load(open(man_path)),
-                                 "seq_id", "tokens")
-    return True  # pre-manifest layout: trust the marker
+    try:
+        man = json.load(open(man_path))
+        problems = verify_shards(spark, sp_path, man, "seq_id", "tokens")
+    except Exception as e:  # corrupt parquet/JSON: repack, don't crash
+        print(f"resume: {sp_path} unreadable "
+              f"({e.__class__.__name__}: {str(e)[:200]}); repacking",
+              file=sys.stderr)
+        return False, None
+    if problems:
+        print(f"resume: {sp_path} failed manifest verification; "
+              f"repacking: " + "; ".join(problems[:5]), file=sys.stderr)
+        return False, None
+    return True, man
+
+
+def _manifest_stats(man: list) -> dict:
+    """pack-stage stats straight from a verified manifest — no rescan."""
+    return {"blocks": int(sum(m["n_rows"] for m in man)),
+            "tokens": int(sum(m.get("n_tokens", 0) for m in man)),
+            "n_shards": len(man)}
 
 
 def main(argv=None):
@@ -253,11 +270,34 @@ def main(argv=None):
     name_to_split = {v: k for k, v in SPLIT_NAMES.items()}
     prior_splits = [name_to_split.get(n) for n in
                     prior_stages.get("pack", {}) if n != "wall_s"]
+    # memoized verification: each split is read-and-hashed at most once
+    # per run even though both the fast path and the per-split loop ask
+    intact_memo: dict = {}
+
+    def split_intact(sp_path: str) -> tuple[bool, list | None]:
+        if sp_path not in intact_memo:
+            intact_memo[sp_path] = _split_intact(spark, sp_path)
+        return intact_memo[sp_path]
+
+    def resumed_stats(sp_path: str, man: list | None) -> dict:
+        """Stats for a verified split; legacy (manifest-less) layouts
+        get their manifest backfilled here so the NEXT resume verifies
+        them too."""
+        if man is None:
+            from mahout_spark.operators.packing import shard_manifest
+
+            man = [r.asDict() for r in shard_manifest(
+                spark.read.parquet(sp_path), "seq_id", "tokens")
+                .collect()]
+            with open(f"{sp_path}/_MANIFEST.json", "w") as f:
+                json.dump(man, f)
+            intact_memo[sp_path] = (True, man)
+        return _manifest_stats(man)
+
     if (args.resume and "tokenizer" in result["resumed"]
             and prior_stages.get("encode") and prior_splits
             and None not in prior_splits
-            and all(_split_intact(spark,
-                                  f"{args.output}/packed/split={s}")
+            and all(split_intact(f"{args.output}/packed/split={s}")[0]
                     for s in prior_splits)):
         result["stages"]["encode"] = prior_stages["encode"]
         result["resumed"].append("encode")
@@ -266,14 +306,7 @@ def main(argv=None):
             name = SPLIT_NAMES.get(s, str(s))
             sp_path = f"{args.output}/packed/split={s}"
             result["resumed"].append(f"pack/{name}")
-            out = spark.read.parquet(sp_path)
-            agg = out.agg(F.count(F.lit(1)).alias("blocks"),
-                          F.sum("n_tokens").alias("toks")).collect()[0]
-            packs[name] = {
-                "blocks": int(agg["blocks"]),
-                "tokens": int(agg["toks"] or 0),
-                "n_shards": len([d for d in os.listdir(sp_path)
-                                 if d.startswith("shard=")])}
+            packs[name] = resumed_stats(sp_path, split_intact(sp_path)[1])
         if args.mix and prior_stages.get("mix"):
             result["stages"]["mix"] = prior_stages["mix"]
         result["stages"]["pack"] = packs
@@ -336,10 +369,11 @@ def main(argv=None):
     for s, (n_docs, n_toks) in sorted(tok_stats.items()):
         name = SPLIT_NAMES.get(s, str(s))
         sp_path = f"{args.output}/packed/split={s}"
-        if args.resume and _split_intact(spark, sp_path):
+        intact, man = (split_intact(sp_path) if args.resume
+                       else (False, None))
+        if intact:
             result["resumed"].append(f"pack/{name}")
-            n_shards = len([d for d in os.listdir(sp_path)
-                            if d.startswith("shard=")])
+            packs[name] = resumed_stats(sp_path, man)
         else:
             part, pack_key = parts[s]
             packed = pack_sequences(part, pack_key, "token_ids",
@@ -358,12 +392,7 @@ def main(argv=None):
                 .collect()]
             with open(f"{sp_path}/_MANIFEST.json", "w") as f:
                 json.dump(man, f)
-        out = spark.read.parquet(sp_path)
-        agg = out.agg(F.count(F.lit(1)).alias("blocks"),
-                      F.sum("n_tokens").alias("toks")).collect()[0]
-        packs[name] = {"blocks": int(agg["blocks"]),
-                       "tokens": int(agg["toks"] or 0),
-                       "n_shards": n_shards}
+            packs[name] = _manifest_stats(man)
     ids.unpersist()
     result["stages"]["pack"] = dict(packs)
     result["stages"]["pack"]["wall_s"] = round(time.time() - t0, 2)

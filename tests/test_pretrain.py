@@ -191,6 +191,42 @@ def test_shard_manifest_verifies_and_heals(pipeline, spark):
     assert before == after
 
 
+def test_resume_heals_crash_corruptions(pipeline, spark):
+    """The realistic kill-mid-write modes — truncated parquet part and
+    half-written manifest JSON — must repack, not crash; a legacy
+    manifest-less split is skipped AND gets its manifest backfilled."""
+    import glob
+
+    out, res = pipeline
+    args = ["jobs/pretrain.py", "--input", DOCS, "--output", out,
+            "--no-gopher", "--no-neardup", "--merges", "8",
+            "--min-count", "1", "--block-size", "64",
+            "--n-shards", "2", "--seed", "1", "--resume"]
+    # truncated part file (corrupt footer)
+    sp0 = f"{out}/packed/split=0"
+    victim = glob.glob(f"{sp0}/shard=0/*.parquet")[0]
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[:max(4, len(blob) // 2)])
+    res2 = _run(args)
+    assert "pack/train" not in res2["resumed"]
+    assert res2["stages"]["pack"]["train"] == \
+        res["stages"]["pack"]["train"]
+    # half-written manifest JSON
+    open(f"{sp0}/_MANIFEST.json", "w").write('[{"shard": 0, "n_r')
+    res3 = _run(args)
+    assert "pack/train" not in res3["resumed"]
+    assert res3["stages"]["pack"]["train"] == \
+        res["stages"]["pack"]["train"]
+    # legacy layout: no manifest at all -> skipped via _SUCCESS, and
+    # the manifest is backfilled for the next resume
+    os.remove(f"{sp0}/_MANIFEST.json")
+    res4 = _run(args)
+    assert "pack/train" in res4["resumed"]
+    assert res4["stages"]["pack"]["train"] == \
+        res["stages"]["pack"]["train"]
+    assert os.path.exists(f"{sp0}/_MANIFEST.json")
+
+
 def test_pretrain_mix_stage(tmp_path, spark):
     out = str(tmp_path / "mix")
     res = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
