@@ -120,6 +120,18 @@ def main(argv=None):
     ap.add_argument("--no-neardup", action="store_true")
     ap.add_argument("--rates", default="")
     ap.add_argument("--splits", default="0.9,0.05,0.05")
+    # cross-split leakage QA (after curation, before tokenization)
+    ap.add_argument("--leakage-check", type=int, default=None,
+                    metavar="K",
+                    help="report train docs sharing any K-token gram "
+                         "with the val/test splits (the Brown et al. "
+                         "overlap rule turned inward: eval examples "
+                         "quoted inside training text); the small eval "
+                         "side broadcasts, the train side adds one "
+                         "gram join")
+    ap.add_argument("--leakage-drop", action="store_true",
+                    help="also drop the flagged train docs (one "
+                         "anti-join); RESULT records before/after")
     # tokenizer
     ap.add_argument("--merges", type=int, default=64)
     ap.add_argument("--min-count", type=int, default=2)
@@ -171,7 +183,7 @@ def main(argv=None):
              ("input", "merges", "min_count", "max_words", "block_size",
               "n_shards", "seed", "mix", "mix_epochs", "splits", "rates",
               "no_gopher", "c4", "line_dedup", "scrub_pii", "no_neardup",
-              "skip_curation")}
+              "skip_curation", "leakage_check", "leakage_drop")}
     stamp_path = f"{args.output}/ARGS.json"
     prior_result = None
     if args.resume:
@@ -230,6 +242,38 @@ def main(argv=None):
                       shuffle_partitions=max(args.cpus * 2, 32))
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(curated_path).filter(F.col("split") >= 0)
+
+    # -- stage 1b: cross-split leakage QA --------------------------------------
+    if args.leakage_check:
+        from mahout_spark.operators.substring import contamination_spans
+
+        k = args.leakage_check
+        train_d = docs.filter(F.col("split") == 0)
+        eval_d = docs.filter(F.col("split") > 0)
+        spans = contamination_spans(train_d, eval_d, idc, tc, tc,
+                                    k=k).persist()
+        agg = spans.agg(F.countDistinct(idc).alias("d"),
+                        F.count(F.lit(1)).alias("s"),
+                        F.sum("n_units").alias("u")).collect()[0]
+        leak = {"k": k,
+                "train_docs_overlapping_eval": int(agg["d"] or 0),
+                "spans": int(agg["s"] or 0),
+                "tokens_covered": int(agg["u"] or 0)}
+        if args.leakage_drop:
+            before = train_d.count()
+            # localCheckpoint materializes the flagged ids so the
+            # anti-join below never recomputes the gram join after
+            # spans is unpersisted
+            flagged = spans.select(idc).distinct() \
+                .localCheckpoint(eager=True)
+            docs = (docs.filter(F.col("split") > 0)
+                    .unionByName(train_d.join(flagged, idc,
+                                              "left_anti")))
+            leak["train_docs_before"] = before
+            leak["train_docs_after"] = before - leak[
+                "train_docs_overlapping_eval"]
+        spans.unpersist()
+        result["stages"]["leakage"] = leak
 
     # -- stage 2: tokenizer (train split only) ---------------------------------
     t0 = time.time()

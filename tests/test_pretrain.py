@@ -251,6 +251,26 @@ def test_pretrain_mix_stage(tmp_path, spark):
     assert 0 <= mix["train_tokens"] - pk["tokens"] < 64
 
 
+def test_pretrain_leakage_check_and_drop(tmp_path):
+    out = str(tmp_path / "leak")
+    res = _run(["jobs/pretrain.py", "--input", DOCS, "--output", out,
+                "--no-gopher", "--no-neardup", "--merges", "4",
+                "--min-count", "1", "--block-size", "64",
+                "--n-shards", "2", "--seed", "1",
+                "--leakage-check", "6", "--leakage-drop"])
+    leak = res["stages"]["leakage"]
+    assert leak["k"] == 6
+    # the synthetic corpus shares short spans across docs, so the check
+    # has something to find; the drop arithmetic must be exact
+    assert leak["train_docs_overlapping_eval"] >= 0
+    assert leak["spans"] >= leak["train_docs_overlapping_eval"]
+    assert leak["train_docs_after"] == \
+        leak["train_docs_before"] - leak["train_docs_overlapping_eval"]
+    # encode saw the post-drop train split
+    assert res["stages"]["encode"]["train"]["docs"] == \
+        leak["train_docs_after"]
+
+
 def test_token_ids_expr_pandas_sql_parity(spark):
     import duckdb
 
