@@ -14,6 +14,7 @@ tests bound error vs exact percentiles).
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass, field
 
@@ -26,6 +27,22 @@ _BUFFER = 512
 def _k1(q: np.ndarray, compression: float) -> np.ndarray:
     q = np.clip(q, 1e-15, 1 - 1e-15)
     return compression / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+
+def _k1_scalar(q: float, compression: float) -> float:
+    """Scalar twin of ``_k1`` for the sequential compaction loop.
+
+    Same clip bounds and operation order, without the per-element ndarray
+    allocation that dominated the compaction loop (guide §1.2 per-task
+    work: the t-digest build was the quantile bench's hottest kernel).
+    libm's ``asin`` can differ from NumPy's vectorized ``arcsin`` in the
+    last ulp on some inputs; ``_k1`` only gates centroid-absorb decisions
+    in an algorithm whose results are bounded by rank error, and every
+    gate checks the estimate against an exact rank WINDOW (never raw
+    centroid values), so a 1-ulp k-scale difference is within contract.
+    """
+    q = min(max(q, 1e-15), 1 - 1e-15)
+    return compression / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
 
 
 @dataclass
@@ -67,24 +84,28 @@ class TDigest:
         order = np.argsort(vals, kind="stable")
         vals, wts = vals[order], wts[order]
         total = wts.sum()
+        # plain-float locals in the sequential loop: ndarray round-trips
+        # per element were ~10x the arithmetic (same values, same branches)
+        vals_l, wts_l = vals.tolist(), wts.tolist()
         out_means, out_weights = [], []
-        cur_mean, cur_w = vals[0], wts[0]
+        cur_mean, cur_w = vals_l[0], wts_l[0]
         w_so_far = 0.0
-        k_lim = _k1(np.array([0.0]), self.compression)[0] + 1.0
-        for i in range(1, len(vals)):
-            proposed = (w_so_far + cur_w + wts[i]) / total
-            if _k1(np.array([proposed]), self.compression)[0] <= k_lim:
+        k_lim = _k1_scalar(0.0, self.compression) + 1.0
+        for i in range(1, len(vals_l)):
+            wi = wts_l[i]
+            proposed = (w_so_far + cur_w + wi) / total
+            if _k1_scalar(proposed, self.compression) <= k_lim:
                 # absorb into current centroid (weighted mean)
-                nw = cur_w + wts[i]
-                cur_mean += (vals[i] - cur_mean) * wts[i] / nw
+                nw = cur_w + wi
+                cur_mean += (vals_l[i] - cur_mean) * wi / nw
                 cur_w = nw
             else:
                 out_means.append(cur_mean)
                 out_weights.append(cur_w)
                 w_so_far += cur_w
-                k_lim = _k1(np.array([w_so_far / total]),
-                            self.compression)[0] + 1.0
-                cur_mean, cur_w = vals[i], wts[i]
+                k_lim = _k1_scalar(w_so_far / total,
+                                   self.compression) + 1.0
+                cur_mean, cur_w = vals_l[i], wts_l[i]
         out_means.append(cur_mean)
         out_weights.append(cur_w)
         self.means = np.asarray(out_means)

@@ -62,17 +62,36 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     ``queries``: DataFrame[query_id, <vec_col>]. The query side is
     broadcast (explicitly) — the big side never shuffles before top-k.
+
+    Per-pair work is one dot product: both norms are hoisted out of the
+    |corpus| x |queries| expression (guide §1.2 "per-task work") — the
+    query norm onto the broadcast side, the corpus norm onto the corpus
+    row before the join. ``cosine_expr`` would otherwise recompute
+    norm(corpus_vec) once per QUERY. The hoisted product keeps the exact
+    IEEE expression dot/(norm_q * norm_c) of ``cosine_expr``, so scores
+    are bit-identical. A narrow corpus scan (single-row-group file) is
+    widened so the scoring parallelizes (guide §2.5).
     """
+    from mahout_spark.plans.scaleio import widen_partitions
+
     q = queries.select(F.col(query_id),
                        F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
-    scorer = (cosine_expr if metric == "cosine"
-              else lambda a, b: dot_expr(a, b))
-    joined = c.crossJoin(F.broadcast(q))
-    scored = joined.select(
-        query_id, "neighbor_id",
-        scorer(F.col("__qv"), F.col("__cv")).alias("score"))
+    c = widen_partitions(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv")))
+    if metric == "cosine":
+        # cosine_expr(q, c) = dot/(norm(q) * norm(c)); precompute each
+        # norm once per row instead of once per pair
+        q = q.withColumn("__qn", norm_expr(F.col("__qv")))
+        c = c.withColumn("__cn", norm_expr(F.col("__cv")))
+        scored = (c.crossJoin(F.broadcast(q)).select(
+            query_id, "neighbor_id",
+            (dot_expr(F.col("__qv"), F.col("__cv"))
+             / (F.col("__qn") * F.col("__cn"))).alias("score")))
+    else:
+        scored = (c.crossJoin(F.broadcast(q)).select(
+            query_id, "neighbor_id",
+            dot_expr(F.col("__qv"), F.col("__cv")).alias("score")))
     return topk_per_group(scored, [query_id], "score", k,
                           tiebreak_cols=["neighbor_id"])
 

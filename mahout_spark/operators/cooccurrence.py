@@ -38,8 +38,21 @@ def sample_down_and_binarize(triples: DataFrame, seed: int = 0xDEADBEEF,
     hash(row, col, seed) coin instead of a seeded per-partition RNG so task
     retries and both cluster sizes reproduce identical samples.
     """
-    binarized = triples.select(row, col).distinct()
-    row_counts = binarized.groupBy(row).agg(F.count("*").alias("__rc"))
+    from pyspark.sql import Window
+
+    # One distinct pass, pinned: the counts and the join probe all read
+    # the same cached table (the un-pinned version re-derived the whole
+    # scan+distinct subtree once per consumer — measured as 3 full input
+    # scans on the llr bench). Column counts stay a groupBy+join so a hot
+    # column is AQE-skew-splittable; row counts ride a window partitioned
+    # by the row key, which (a) costs one exchange instead of an
+    # aggregate + join pair and (b) leaves the output hash-partitioned by
+    # the row key — exactly the distribution the downstream A'A self-join
+    # needs, so that join re-uses the exchange. A row hot enough to
+    # stress the count window would already be fatal to that self-join
+    # (fan-out is quadratic in row frequency), so the window adds no new
+    # skew exposure.
+    binarized = triples.select(row, col).distinct().persist()
     col_counts = binarized.groupBy(col).agg(F.count("*").alias("__cc"))
     rate = F.least(
         F.lit(1.0),
@@ -47,8 +60,8 @@ def sample_down_and_binarize(triples: DataFrame, seed: int = 0xDEADBEEF,
         F.lit(float(max_per_col)) / F.col("__cc"),
     )
     return (binarized
-            .join(row_counts, row)
             .join(col_counts, col)
+            .withColumn("__rc", F.count("*").over(Window.partitionBy(row)))
             .filter(deterministic_coin([F.col(row), F.col(col)], seed, rate))
             .select(row, col))
 

@@ -81,9 +81,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
       are the textbook MinHash construction.
 
     Docs with no shingles are dropped (nothing to hash).
+
+    The input is widened first (guide §2.5): a single-row-group source
+    file would otherwise run the whole tokenize+shingle+hash map stage as
+    ONE task. min() aggregation is insensitive to both duplicates and
+    partitioning, so the result is unchanged.
     """
-    sh = (df.select(F.col(id_col).alias("__id"),
-                    tokens_array(F.col(text_col)).alias("__toks"))
+    from mahout_spark.plans.scaleio import widen_partitions
+
+    sh = (widen_partitions(df.select(F.col(id_col).alias("__id"),
+                                     F.col(text_col).alias("__t")))
+          .select("__id", tokens_array(F.col("__t")).alias("__toks"))
           .select("__id", F.explode(
               shingles_from_tokens(F.col("__toks"), shingle_n)).alias("__s"))
           .distinct())
@@ -138,6 +146,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, num_perm: int,
     sized = buckets.withColumn(
         "__n", F.count("*").over(Window.partitionBy("band", "bh"))
     ).filter(F.col("__n") <= max_bucket)
+    # persist: the self-join consumes `sized` twice, and without the pin
+    # the whole union-of-bands + window subtree is DUPLICATED in the plan
+    # (measured: the two copies were the heaviest stages of the minhash
+    # bench). The cache also preserves the window's (band, bh)
+    # partitioning, so the equi-join needs no further exchange — both
+    # sides zip the same cached partitions.
+    sized = sized.persist()
     a = sized.select("band", "bh", F.col("__id").alias("id_a"))
     b = sized.select("band", "bh", F.col("__id").alias("id_b"))
     return (a.join(b, ["band", "bh"])

@@ -82,7 +82,10 @@ def row_similarity(triples: DataFrame, measure: str = "cosine",
     # computed on the PREPROCESSED values, as the reference normalizes first
     norm_col = (F.count("*").cast("double") if m.norm_is_count
                 else F.sum(F.col("value") * F.col("value")))
-    norms = df.groupBy("row_id").agg(norm_col.alias("norm"))
+    # pinned: consumed twice (norm_a / norm_b joins) and — exclude_self
+    # aside — the two differently-aliased branches were measured to defeat
+    # exchange reuse, re-running the whole norm aggregation per branch
+    norms = df.groupBy("row_id").agg(norm_col.alias("norm")).persist()
 
     a = df.select(F.col("col_id").alias("__c"), F.col("row_id").alias("row_a"),
                   F.col("value").alias("__va"))

@@ -59,8 +59,22 @@ def tfidf(docs: DataFrame, variant: str = "mahout", id_col: str = "doc_id",
     'mllib' = tf·log((N+1)/(df+1)); 'tf' = tf. High-DF pruning mirrors
     HighDFWordsPruner (maxDFPercent).
     """
-    tc = term_counts(docs, id_col, text_col)
-    n_docs = docs.select(id_col).distinct().count()
+    from mahout_spark.plans.scaleio import widen_partitions
+
+    # widen a single-row-group source so tokenize+explode parallelizes
+    # (guide §2.5); count aggregation is partition-insensitive
+    tc = term_counts(widen_partitions(docs.select(id_col, text_col)),
+                     id_col, text_col)
+    if max_df_fraction is not None:
+        # pruning needs the concrete count driver-side
+        n_docs = docs.select(id_col).distinct().count()
+        n = F.lit(float(n_docs))
+    else:
+        # fold the corpus count into the one job as a broadcast scalar —
+        # same value, no separate count action (guide §2.4: fewer passes)
+        nd = docs.select(id_col).distinct().agg(
+            F.count("*").cast("double").alias("__n_docs"))
+        n = F.col("__n_docs")
     dfreq = doc_freq(tc, id_col)
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
@@ -68,8 +82,9 @@ def tfidf(docs: DataFrame, variant: str = "mahout", id_col: str = "doc_id",
         dfreq = dfreq.filter(
             F.col("df") <= int(max_df_fraction * n_docs))
     j = tc.join(dfreq, "token")
+    if max_df_fraction is None:
+        j = j.crossJoin(F.broadcast(nd))
     tf, df = F.col("tf").cast("double"), F.col("df").cast("double")
-    n = F.lit(float(n_docs))
     if variant == "mahout":
         w = F.sqrt(tf) * (F.log(n / (df + 1)) + 1.0)
     elif variant == "mllib":

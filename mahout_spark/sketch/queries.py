@@ -211,6 +211,12 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
     from mahout_spark.operators.topk import topk_per_group
 
     spark = sketch_df.sparkSession
+    # pin the sketch table: the block-count probe below is an ACTION, and
+    # without the pin it executes the entire upstream sketch-build
+    # pipeline once for the probe and again for the real query (measured
+    # ~2x the build cost on the flagship bench). The table is one row per
+    # group (blob-sized), so the cache is bounded by groups x sketch_bytes.
+    sketch_df = sketch_df.persist()
     n_est = sketch_df.agg(
         F.approx_count_distinct(group_col).alias("n")).first()["n"]
     if block_rows is None:
