@@ -34,6 +34,12 @@ def auc(scored: DataFrame, label_col: str = "label",
     per-score grouping: midrank = rows_before + (n + 1)/2. All counts are
     integers, so R1 sums are exact in float64 and the single final
     division is bit-reproducible across engines.
+
+    Scale caveat: the prefix window runs over DISTINCT SCORES on a single
+    partition. Fine for discrete/quantized scorers (distinct << n); for
+    continuous scores distinct ~ n and the plan degenerates — use
+    ``auc_sampled`` (the reference's own bounded-buffer contract,
+    Auc.java:30-35) at that scale.
     """
     g = (scored.select(F.col(score_col).cast("double").alias("s"),
                        F.col(label_col).cast("int").alias("y"))
@@ -222,8 +228,13 @@ def exponential_average(df: DataFrame, t_col: str, x_col: str,
         mx = df.groupBy(*gcols).agg(F.max(t).alias("__T"))
         src = df.join(mx, gcols)
     else:
-        src = df.withColumn(
-            "__T", F.max(t).over(Window.partitionBy(F.lit(1))))
+        # broadcast the 1-row global max instead of an unpartitioned
+        # window: Window.partitionBy(lit(1)) funnels EVERY raw event row
+        # through one partition before the discounted sums — a
+        # scale-killer; the cross join attaches the same value with a
+        # map-side broadcast (mirrors the grouped branch)
+        mx = df.agg(F.max(t).alias("__T"))
+        src = df.crossJoin(F.broadcast(mx))
     disc = F.exp((t - F.col("__T")) / F.lit(float(alpha)))
     agg = [(F.sum(x * disc) / F.sum(disc)).alias("ewa_mean"),
            F.count("*").alias("n")]

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from mahout_spark.operators.rescorer import (IDRescorer, apply_rescorer,
                                              filter_candidates)
-from mahout_spark.operators.topk import topk_per_group
+from mahout_spark.operators.topk import global_topk, topk_per_group
 from mahout_spark.sketch.agg import cms_spec_shape, sketch_by_key
 from mahout_spark.sketch.queries import cms_pairwise
 
@@ -394,9 +394,8 @@ def recommend_anonymous(prefs: DataFrame, anon_prefs: list,
                      F.count("*").alias("__n")))
     else:
         raise ValueError(measure)
-    nb = topk_per_group(
-        sims.filter(~F.isnan(F.col("sim"))).withColumn("__g", F.lit(1)),
-        ["__g"], "sim", n_neighbors, tiebreak_cols=["__u"]).drop("__g")
+    nb = global_topk(sims.filter(~F.isnan(F.col("sim"))),
+                     "sim", n_neighbors, tiebreak_cols=["__u"])
     cand = p_.join(F.broadcast(nb.select("__u", "sim")), "__u")
     seen = spark.createDataFrame([(i,) for i, _ in anon_prefs],
                                  anon.select("__it").schema)
@@ -409,9 +408,7 @@ def recommend_anonymous(prefs: DataFrame, anon_prefs: list,
            .filter(F.col("__n") >= min_evidence)
            .select(F.col("__it").alias("item_id"), "score"))
     est = apply_rescorer(est, "item_id", "score", rescorer)
-    return topk_per_group(est.withColumn("__g", F.lit(1)), ["__g"],
-                          "score", top_n,
-                          tiebreak_cols=["item_id"]).drop("__g")
+    return global_topk(est, "score", top_n, tiebreak_cols=["item_id"])
 
 
 def most_similar_items(item_sims: DataFrame, n: int,
@@ -543,9 +540,7 @@ def item_average_recommend(prefs: DataFrame, top_n: int = 10,
     max_seen = (prefs.groupBy(user).agg(F.count("*").alias("n"))
                 .agg(F.max("n")).first()[0]) or 0
     m = top_n + int(max_seen)
-    top_items = topk_per_group(avgs.withColumn("__g", F.lit(1)), ["__g"],
-                               "score", m,
-                               tiebreak_cols=["item_id"]).drop("__g")
+    top_items = global_topk(avgs, "score", m, tiebreak_cols=["item_id"])
     users = prefs.select(F.col(user).alias("user_id")).distinct()
     cand = users.crossJoin(F.broadcast(top_items))
     seen = prefs.select(F.col(user).alias("user_id"),
@@ -588,9 +583,8 @@ def item_user_average_recommend(prefs: DataFrame, top_n: int = 10,
         top_items = avgs  # rescore is user-dependent: no exact prefix
         top_items_b = top_items
     else:
-        top_items = topk_per_group(avgs.withColumn("__g", F.lit(1)), ["__g"],
-                                   "__iavg", m,
-                                   tiebreak_cols=["item_id"]).drop("__g")
+        top_items = global_topk(avgs, "__iavg", m,
+                                tiebreak_cols=["item_id"])
         top_items_b = F.broadcast(top_items)
     cand = uavgs.crossJoin(top_items_b)
     seen = prefs.select(F.col(user).alias("user_id"),

@@ -29,3 +29,18 @@ def topk_per_group(df: DataFrame, group_cols: list[str],
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn"))
+
+
+def global_topk(df: DataFrame, order_col: str, k: int,
+                tiebreak_cols: list[str] | None = None,
+                descending: bool = True) -> DataFrame:
+    """GLOBAL top-K — selection-identical to ``topk_per_group`` with a
+    constant group, but planned as TakeOrderedAndProject (per-partition
+    bounded heaps + driver merge of k rows) instead of a single-partition
+    Window: no ``WindowExec: No Partition Defined`` warning, no full sort,
+    and the shuffle is bounded by n_partitions x k rows.
+    """
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    for t in (tiebreak_cols or []):
+        order.append(F.col(t).asc())
+    return df.orderBy(*order).limit(k)

@@ -360,16 +360,23 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
     # keys. At token-stream scale this shrinks the Python-bound data by
     # orders of magnitude and is the direct analog of the reference's
     # per-partition dense accumulators (SparkEngine.scala:44-82).
+    # A preagg path ends in a deterministic keyed exchange, so the scan's
+    # partitioning cannot affect results — widen narrow (single-row-group)
+    # inputs so the map side parallelizes (guide §2.5; no-op at scale).
+    # Raw paths (preagg=None: t-digest/KLL/REQ ingestion) keep their input
+    # partitioning: their results are partition-order sensitive.
+    from mahout_spark.plans.scaleio import widen_partitions
+
     if spec.preagg == "sum" and key_col:
         agg = (F.sum("__val") if value_col else
                F.count("*").cast("double")).alias("__val")
-        slim = slim.groupBy(*gnames, "__key").agg(agg)
+        slim = widen_partitions(slim).groupBy(*gnames, "__key").agg(agg)
     elif spec.preagg == "distinct" and key_col:
-        slim = slim.select(*gnames, "__key").distinct()
+        slim = widen_partitions(slim).select(*gnames, "__key").distinct()
     elif spec.preagg == "value_sum" and value_col:
         # value-sensitive but weight-mergeable (t-digest): collapse
         # duplicate values JVM-side, feed weighted updates
-        slim = (slim.groupBy(*gnames, "__val")
+        slim = (widen_partitions(slim).groupBy(*gnames, "__val")
                 .agg(F.count("*").cast("double").alias("__w")))
     has_val = "__val" in slim.columns
     has_wt = "__w" in slim.columns
@@ -455,12 +462,16 @@ def sketch_per_group(df: DataFrame, group_cols: list[str], spec: SketchSpec,
     if value_col:
         sel.append(F.col(value_col).cast("double").alias("__val"))
     slim = df.select(*sel)
+    # see sketch_by_key: preagg outputs are partition-independent, so a
+    # narrow scan can be widened without changing any result
+    from mahout_spark.plans.scaleio import widen_partitions
+
     if spec.preagg == "sum" and key_col:
         agg = (F.sum("__val") if value_col else
                F.count("*").cast("double")).alias("__val")
-        slim = slim.groupBy(*gnames, "__key").agg(agg)
+        slim = widen_partitions(slim).groupBy(*gnames, "__key").agg(agg)
     elif spec.preagg == "distinct" and key_col:
-        slim = slim.select(*gnames, "__key").distinct()
+        slim = widen_partitions(slim).select(*gnames, "__key").distinct()
     has_val = "__val" in slim.columns
 
     out_fields = [slim.schema[g] for g in gnames]
@@ -522,13 +533,17 @@ def sketch_per_group_skewed(df: DataFrame, group_cols: list[str],
         sel.append(F.col(value_col).cast("double").alias("__val"))
     slim = df.select(*sel)
     has_key = "__key" in slim.columns
+    # see sketch_by_key: preagg outputs are partition-independent, so a
+    # narrow scan can be widened without changing any result
+    from mahout_spark.plans.scaleio import widen_partitions
+
     if spec.preagg == "sum" and has_key:
         agg = (F.sum("__val") if value_col else
                F.count("*").cast("double")).alias("__val")
-        slim = slim.groupBy(*gnames, "__key").agg(agg)
+        slim = widen_partitions(slim).groupBy(*gnames, "__key").agg(agg)
         feed_val = "__val"
     elif spec.preagg == "distinct" and has_key:
-        slim = slim.select(*gnames, "__key").distinct()
+        slim = widen_partitions(slim).select(*gnames, "__key").distinct()
         feed_val = None
     else:
         feed_val = "__val" if value_col else None
@@ -576,9 +591,17 @@ def cms_per_group_bucketed(df: DataFrame, group_cols: list[str], depth: int,
     # occurrence
     w1 = (F.sum(F.col(weight_col).cast("double")) if weight_col else
           F.count("*").cast("double")).alias("__w")
-    pairs = (df.select(*gnames, key.alias("__k"),
-                       *([F.col(weight_col)] if weight_col else []))
-             .groupBy(*gnames, "__k").agg(w1))
+    src = df.select(*gnames, key.alias("__k"),
+                    *([F.col(weight_col)] if weight_col else []))
+    if weight_col is None:
+        # count weights are exact in float64 under any partitioning, so a
+        # narrow scan can be widened (guide §2.5); a general double
+        # weight sum is addition-order sensitive in the last ulp, so the
+        # weighted path keeps its input partitioning
+        from mahout_spark.plans.scaleio import widen_partitions
+
+        src = widen_partitions(src)
+    pairs = src.groupBy(*gnames, "__k").agg(w1)
     buckets = F.array(*[
         F.pmod(F.xxhash64(F.col("__k"), F.lit(seed).cast("long"),
                           F.lit(i).cast("long")), F.lit(width))

@@ -200,6 +200,8 @@ def _data_lines(spark: SparkSession, path: str):
     df = spark.createDataFrame(lines, "file_line long, line string")
     data = (df.withColumn("line", F.trim("line"))
             .filter((F.col("line") != "") & ~F.col("line").startswith("%")))
+    # single-partition by design: ids follow FILE order of one ARFF file
+    # (bounded input), so the unpartitioned window is sequential-safe
     w = Window.orderBy("file_line")
     return model, data.withColumn("row_id", F.row_number().over(w) - 1)
 
