@@ -77,7 +77,13 @@ def _split_intact(spark, sp_path: str) -> tuple[bool, list | None]:
         return False, None
     man_path = f"{sp_path}/_MANIFEST.json"
     if not os.path.exists(man_path):
-        return True, None  # pre-manifest layout: trust the marker
+        # pre-manifest layout: trust the marker, loudly — integrity
+        # checking is downgraded until the caller backfills the manifest
+        print(f"resume: {sp_path} has _SUCCESS but no _MANIFEST.json; "
+              f"trusting the marker and backfilling a manifest from "
+              f"on-disk content (verify it if this layout is not a "
+              f"known legacy write)", file=sys.stderr)
+        return True, None
     from mahout_spark.operators.packing import verify_shards
 
     try:
@@ -160,6 +166,11 @@ def main(argv=None):
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
+    if args.leakage_drop and not args.leakage_check:
+        # the whole leakage stage is gated on --leakage-check K; a bare
+        # --leakage-drop would otherwise silently do nothing
+        ap.error("--leakage-drop requires --leakage-check K "
+                 "(e.g. --leakage-check 13, the Brown et al. rule)")
 
     from pyspark.sql import functions as F
 
@@ -199,8 +210,14 @@ def main(argv=None):
         if os.path.exists(f"{args.output}/RESULT.json"):
             prior_result = json.load(open(f"{args.output}/RESULT.json"))
     os.makedirs(args.output, exist_ok=True)
-    with open(stamp_path, "w") as f:
-        json.dump(knobs, f)
+
+    def _commit_stamp():
+        # stamp knobs only on SUCCESSFUL completion (tmp + rename):
+        # a crashed run must not canonize its parameters, or a later
+        # --resume would silently adopt the previous run's outputs
+        with open(stamp_path + ".tmp", "w") as f:
+            json.dump(knobs, f)
+        os.replace(stamp_path + ".tmp", stamp_path)
 
     # -- stage 1: curation (sub-job via the file contract) --------------------
     if args.skip_curation:
@@ -359,6 +376,7 @@ def main(argv=None):
         print(json.dumps(result))
         with open(f"{args.output}/RESULT.json", "w") as f:
             json.dump(result, f)
+        _commit_stamp()
         spark.stop()
         return
 
@@ -447,6 +465,7 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/RESULT.json", "w") as f:
         json.dump(result, f)
+    _commit_stamp()
     spark.stop()
 
 

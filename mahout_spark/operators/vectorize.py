@@ -62,8 +62,11 @@ def tfidf(docs: DataFrame, variant: str = "mahout", id_col: str = "doc_id",
     from mahout_spark.plans.scaleio import widen_partitions
 
     # widen a single-row-group source so tokenize+explode parallelizes
-    # (guide §2.5); count aggregation is partition-insensitive
-    tc = term_counts(widen_partitions(docs.select(id_col, text_col)),
+    # (guide §2.5); count aggregation is partition-insensitive. Inputs
+    # under a few MB tokenize serially faster than an exchange costs
+    # (measured crossover at sf0.1 vs 10x), hence the byte floor.
+    tc = term_counts(widen_partitions(docs.select(id_col, text_col),
+                                      min_bytes=4 << 20),
                      id_col, text_col)
     if max_df_fraction is not None:
         # pruning needs the concrete count driver-side

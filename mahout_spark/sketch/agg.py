@@ -317,6 +317,12 @@ SKETCH_SPECS = {"cms": cms_spec, "hll": hll_spec, "bloom": bloom_spec,
                 "req": req_spec}
 
 
+# kinds whose merge result is byte-identical under any merge tree
+# (counter/register/set semantics; priority sampling is an order
+# statistic of the union) — see sketch_by_key's adaptive salt skip
+_EXACT_MERGE_KINDS = {"cms", "csk", "hll", "bloom", "cbf", "theta", "psk"}
+
+
 def _merge_blobs(spec: SketchSpec, blobs) -> bytes:
     acc = None
     for blob in blobs:
@@ -411,6 +417,21 @@ def sketch_by_key(df: DataFrame, group_cols: list[str], spec: SketchSpec,
         head["sketch"] = [blob]
         return head
 
+    if n_salt > 1 and spec.kind in _EXACT_MERGE_KINDS:
+        # The salt level exists to cap per-task merge fan-in (partial
+        # blob count per group <= #partials partitions). For kinds whose
+        # merge is bit-exact under ANY merge tree, the level is pure
+        # topology — skip it when the fan-in is already bounded (few
+        # hundred blobs = tens of MB in one merge task) and keep it for
+        # genuinely wide builds (thousands of map partitions at cluster
+        # scale). Order-sensitive kinds (t-digest/KLL/REQ/Misra-Gries,
+        # float-summing tuple/moments) keep their requested tree shape.
+        try:
+            nparts = partials.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover — defensive
+            nparts = None
+        if nparts is not None and nparts <= 256:
+            n_salt = 1
     if n_salt > 1:
         # two-level treeAggregate: merge within salt buckets, then across
         salted = partials.withColumn(

@@ -255,9 +255,15 @@ def cms_topk_cosine(sketch_df: DataFrame, group_col: str, k: int = 10,
                              "depth": [depth], "width": [width]})
 
     packed = src.groupBy("__blk").applyInPandas(pack, schema=pack_schema)
-    pa = packed.select(F.col("__blk").alias("__ba"),
-                       F.col("ids").alias("__ia"), F.col("mat").alias("__ma"),
-                       "depth", "width")
+    # spread the probe side to one partition per block: AQE coalesces the
+    # tiny packed table to 1-2 partitions, which would serialize the
+    # n_blocks^2 BLAS tile tasks; only block payloads (bounded:
+    # n_items x depth x width x 4B) move, never tiles. Scale-adaptive by
+    # construction — n_blocks already tracks cluster parallelism.
+    pa = (packed.select(F.col("__blk").alias("__ba"),
+                        F.col("ids").alias("__ia"),
+                        F.col("mat").alias("__ma"), "depth", "width")
+          .repartition(n_blocks))
     pb = packed.select(F.col("__blk").alias("__bb"),
                        F.col("ids").alias("__ib"), F.col("mat").alias("__mb"))
     pairs = pa.crossJoin(pb)
@@ -460,8 +466,20 @@ def relative_quantile_bound_check(sketch_df: DataFrame, spec: SketchSpec,
     d = ceil(rel_eps · (n − r + 1)), i.e. proportional to the distance
     from the TOP, so a p999 probe demands near-exactness while a median
     probe tolerates rel_eps·n/2. Same verification-query caveat as the
-    additive version (per-group sort at gate scale only)."""
+    additive version (per-group sort at gate scale only).
+
+    HRA sketches only: an LRA sketch is loose exactly where these
+    windows are tight (the guard below rejects it instead of emitting
+    spurious gate failures)."""
     from pyspark.sql import Window
+
+    if getattr(spec.make(), "hra", True) is False:
+        raise ValueError(
+            "relative_quantile_bound_check verifies HIGH-rank-accuracy "
+            "windows (d = ceil(eps*(n-r+1))); the spec's sketch is "
+            "hra=False (low-rank-accurate), whose tight ranks are the "
+            "mirror image — verify it against windows of half-width "
+            "ceil(eps*r) instead")
 
     est = None
     for q in qs:
