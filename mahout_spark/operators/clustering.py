@@ -522,7 +522,10 @@ def spectral_kmeans(affinity: DataFrame, n: int, k: int,
     """
     from mahout_spark.operators.decompositions import dssvd
 
-    deg = affinity.groupBy("row_id").agg(F.sum("value").alias("__d"))
+    # pinned: joined twice (row and column scaling) — the aliased
+    # branches otherwise re-run the degree aggregation per side
+    deg = affinity.groupBy("row_id").agg(
+        F.sum("value").alias("__d")).persist()
     lap = (affinity
            .join(deg, "row_id")
            .withColumn("value", F.col("value") / F.sqrt(F.col("__d")))

@@ -131,7 +131,11 @@ def llr_item_similarity(triples: DataFrame, row: str = "row_id",
              if downsample else triples.select(row, col).distinct())
     inter = inter.persist()
     n_users = inter.select(row).distinct().count()
-    item_counts = inter.groupBy(col).agg(F.count("*").alias("n"))
+    # pinned: consumed twice (n_a / n_b joins) — the two differently-
+    # aliased branches otherwise defeat exchange reuse and re-run the
+    # whole aggregation per branch (same pattern as rowsim's norms;
+    # measured as two identical map stages on the llr bench)
+    item_counts = inter.groupBy(col).agg(F.count("*").alias("n")).persist()
     # n_ab and LLR are symmetric in (a, b): count/score each unordered
     # pair once (half the big pair shuffle), mirror for the per-item top-K
     unordered = pair_mode == "unordered"

@@ -291,7 +291,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
           .select("__id", F.explode(F.array_distinct(
               shingles_from_tokens(F.col("__toks"), shingle_n)))
               .alias("__s")))
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
+    # pinned: sh feeds three consumers (sizes + both join sides) and
+    # sizes two aliased joins — without the pins each branch re-derives
+    # the whole tokenize+shingle subtree (same pattern as rowsim norms)
+    sh = sh.persist()
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz")).persist()
     a = sh.select(F.col("__id").alias("id_a"), "__s")
     b = sh.select(F.col("__id").alias("id_b"), "__s")
     inter = (a.join(b, "__s").filter(F.col("id_a") < F.col("id_b"))

@@ -152,7 +152,9 @@ def exact_user_similarity(prefs: DataFrame, measure: str = "cosine",
         n = F.col("n").cast("double")
         sim = 1.0 / (1.0 + F.sqrt(F.col("d2")) / F.sqrt(n))
     elif measure in ("tanimoto", "loglikelihood"):
-        sizes = prefs.groupBy(user).agg(F.count("*").alias("__sz"))
+        # pinned: consumed by two aliased joins (user_a / user_b)
+        sizes = prefs.groupBy(user).agg(
+            F.count("*").alias("__sz")).persist()
         agg = (agg.join(sizes.select(F.col(user).alias("user_a"),
                                      F.col("__sz").alias("__nx")), "user_a")
                .join(sizes.select(F.col(user).alias("user_b"),
