@@ -227,6 +227,9 @@ def parse_stages(evdir):
                 continue
             st["tasks"] += 1
             st["run_ms"] += tm.get("Executor Run Time", 0)
+            st["gc_ms"] = st.get("gc_ms", 0) + tm.get("JVM GC Time", 0)
+            st["deser_ms"] = st.get("deser_ms", 0) + tm.get(
+                "Executor Deserialize Time", 0)
             st["input_b"] += (tm.get("Input Metrics") or {}).get(
                 "Bytes Read", 0)
             sr = tm.get("Shuffle Read Metrics") or {}
@@ -279,13 +282,15 @@ def main():
         spark.stop()
         time.sleep(1)
         stages = parse_stages(EVDIR)
-        print("| stage | wall_ms | tasks | task_ms | in_MB | shr_MB | "
-              "shw_MB | desc | name |")
-        print("|---|---|---|---|---|---|---|---|---|")
+        print("| stage | wall_ms | tasks | task_ms | gc_ms | deser_ms | "
+              "in_MB | shr_MB | shw_MB | desc | name |")
+        print("|---|---|---|---|---|---|---|---|---|---|---|")
         for st in stages:
             wall = (st["complete"] - st["submit"]) if st["complete"] else 0
             print(f"| {st['stage']} | {wall} | {st['tasks']} "
-                  f"| {st['run_ms']} | {st['input_b']/1e6:.1f} "
+                  f"| {st['run_ms']} | {st.get('gc_ms', 0)} "
+                  f"| {st.get('deser_ms', 0)} "
+                  f"| {st['input_b']/1e6:.1f} "
                   f"| {st['sh_read_b']/1e6:.1f} "
                   f"| {st['sh_write_b']/1e6:.1f} | {st['desc'][:28]} "
                   f"| {st['name']} |")
